@@ -1,0 +1,95 @@
+"""Count-min sketch kernel (pure numpy).
+
+The Spark-native equivalent of the reference's counting quotient filter
+capability (``qf_insert(key, count)`` / ``qf_count_key_value``,
+gqf.h:137-201): point-frequency estimates for a key multiset, mergeable
+by elementwise addition (exactly associative/commutative, the
+``qf_merge`` analogue at gqf.c:2428-2475 without its layout caveats).
+
+Cormode-Muthukrishnan bounds: with width w and depth d, the estimate
+overestimates by at most eps*N with probability >= 1-delta, where
+eps = e/w and delta = e^-d. Estimates never underestimate.
+Rows use independent seeds derived from (seed, row).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import U64, lemire_reduce, simple_mix_split
+
+_MAGIC = b"CMS1"
+_HDR = struct.Struct("<4sHBBIQQ")  # magic ver d pad w seed total
+
+
+class CountMinSketch:
+    def __init__(self, width: int, depth: int = 4, seed: int = 0x5EED):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.total = 0
+
+    @classmethod
+    def create(cls, eps: float = 0.0005, delta: float = 0.01, seed: int = 0x5EED) -> "CountMinSketch":
+        w = int(np.ceil(np.e / eps))
+        d = int(np.ceil(np.log(1.0 / delta)))
+        return cls(w, d, seed)
+
+    @property
+    def eps(self) -> float:
+        return float(np.e / self.width)
+
+    @property
+    def delta(self) -> float:
+        return float(np.exp(-self.depth))
+
+    def _row_idx(self, keys, row: int) -> np.ndarray:
+        h = simple_mix_split(keys, self.seed ^ (0x9E3779B97F4A7C15 * (row + 1) & 0xFFFFFFFFFFFFFFFF))
+        return lemire_reduce(h >> U64(16), self.width).astype(np.int64)
+
+    def add_many(self, keys, counts=None) -> None:
+        keys = np.asarray(keys)
+        if counts is None:
+            counts = np.ones(keys.size, dtype=np.int64)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+        for r in range(self.depth):
+            np.add.at(self.table[r], self._row_idx(keys, r), counts)
+        self.total += int(counts.sum())
+
+    def query_many(self, keys) -> np.ndarray:
+        keys = np.asarray(keys)
+        est = np.full(keys.size, np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.depth):
+            np.minimum(est, self.table[r][self._row_idx(keys, r)], out=est)
+        return est
+
+    def _params(self) -> tuple:
+        return (self.width, self.depth, self.seed)
+
+    @classmethod
+    def merge(cls, a: "CountMinSketch", b: "CountMinSketch") -> "CountMinSketch":
+        if a._params() != b._params():
+            raise ValueError(f"incompatible CMS sketches: {a._params()} vs {b._params()}")
+        out = cls(a.width, a.depth, a.seed)
+        np.add(a.table, b.table, out=out.table)
+        out.total = a.total + b.total
+        return out
+
+    def to_bytes(self) -> bytes:
+        hdr = _HDR.pack(_MAGIC, 1, self.depth, 0, self.width, self.seed, self.total)
+        return hdr + self.table.astype("<i8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CountMinSketch":
+        magic, ver, d, _pad, w, seed, total = _HDR.unpack_from(blob)
+        if magic != _MAGIC or ver != 1:
+            raise ValueError("bad cms blob header")
+        s = cls(w, d, seed)
+        s.table = np.frombuffer(blob, dtype="<i8", offset=_HDR.size,
+                                count=w * d).astype(np.int64).reshape(d, w)
+        s.total = total
+        return s

@@ -1,0 +1,435 @@
+"""Vectorized cuckoo filter kernel (pure numpy, no Spark).
+
+Re-expresses ``cuckoofilter.h`` + ``singletable.h`` of
+GerHobbelt/cuckoofilter as a batch-oriented numpy structure:
+
+- partial-key cuckoo hashing, 4-slot buckets (singletable.h:25),
+  ``bits_per_item`` in {4, 8, 12, 16, 32} fingerprints;
+- sizing ``num_buckets = upperpower2(max(1, n/4))``, doubled when the
+  load fraction would exceed 0.94 (cuckoofilter.h:91-100);
+- tag hash with 0 remapped to 1 (cuckoofilter.h:59-64), index from the
+  high 32 hash bits (cuckoofilter.h:66-73), alt index
+  ``i ^ (tag * 0x5bd1e995)`` (cuckoofilter.h:75-81, self-inverse);
+- insert with a kick chain capped at 500 displacements
+  (cuckoofilter.h:23,156-181), spilling the final evictee to a 1-entry
+  victim cache (cuckoofilter.h:42-48,177-180);
+- Contain / Delete / Size / LoadFactor / BitsPerItem / Info
+  (cuckoofilter.h:135-255);
+- serialize to a little-endian bit-packed blob (cuckoofilter.h:104-119,
+  singletable.h:67-78) with an explicit header carrying the hash seed
+  (the reference's hasher is seeded from std::random_device and is not
+  reproducible; we make the seed part of the filter identity).
+
+Divergences from the reference (deliberate, documented):
+
+- **Batch-vectorized insert.** The reference inserts one key at a time
+  (cuckoofilter.h:143-181). We insert whole key arrays per round:
+  each round places at most one pending key per bucket (first-empty
+  slot, singletable.h:214-221 semantics) and resolves the collision
+  residue with seeded evictions. The multiset of stored (bucket, tag)
+  pairs satisfies the same invariants (no false negatives, both-bucket
+  membership); the physical slot layout differs from a serial C++ run.
+- **Deterministic eviction.** The reference evicts ``rand() % 4``
+  (singletable.h:222-226) — unreproducible. We use a counter-based
+  Philox generator keyed on (filter seed, round) so builds are pure
+  functions of (params, key order): required for checkpoint/resume and
+  for bit-exact canonical merges.
+- **Canonical merge.** The reference has no cuckoo merge (only the CQF
+  does, gqf.c:2428-2475, by iterate-and-reinsert). ``merge`` follows
+  that pattern: extract all stored tags with their *canonical* index
+  ``min(i, AltIndex(i, tag))``, take the sorted union multiset, and
+  rebuild deterministically. merge(a, merge(b, c)) == merge(merge(a, b), c)
+  bit-exact, because the result depends only on the content multiset.
+  Like qf_merge, merging filters with different seed/size/bits raises.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import U64, simple_mix_split, upperpower2
+
+KICK_CONST = U64(0x5BD1E995)  # cuckoofilter.h:78
+MAX_KICKS = 500  # kMaxCuckooCount, cuckoofilter.h:23
+ASSOC = 4  # kTagsPerBucket, singletable.h:25
+
+_MAGIC = b"CKF1"
+_HDR = struct.Struct("<4sHBBBxxxQQQBxxxQI")  # magic ver bits mode log2nb pad seed nitems cap victim_used pad vindex vtag
+
+
+class CuckooFullError(RuntimeError):
+    """NotEnoughSpace (cuckoofilter.h:18): table + victim cache full."""
+
+
+def _dtype_for(bits: int):
+    if bits <= 8:
+        return np.uint8
+    if bits <= 16:
+        return np.uint16
+    return np.uint32
+
+
+def pack_tags(tags: np.ndarray, bits: int) -> bytes:
+    """Bit-pack a flat tag array little-endian. Widths as singletable.h:90-146."""
+    n = tags.size
+    if bits == 8:
+        return tags.astype(np.uint8).tobytes()
+    if bits == 16:
+        return tags.astype("<u2").tobytes()
+    if bits == 32:
+        return tags.astype("<u4").tobytes()
+    if bits == 4:
+        t = tags.astype(np.uint8).reshape(-1, 2)
+        return (t[:, 0] | (t[:, 1] << 4)).tobytes()
+    if bits == 12:
+        # 2 tags -> 3 bytes (the reference's byte-pair layout, singletable.h:102-104)
+        t = tags.astype(np.uint16).reshape(-1, 2)
+        b = np.empty((t.shape[0], 3), dtype=np.uint8)
+        b[:, 0] = t[:, 0] & 0xFF
+        b[:, 1] = ((t[:, 0] >> 8) & 0x0F) | ((t[:, 1] & 0x0F) << 4)
+        b[:, 2] = t[:, 1] >> 4
+        return b.tobytes()
+    raise ValueError(f"unsupported bits_per_item: {bits}")
+
+
+def unpack_tags(buf: bytes, bits: int, n: int) -> np.ndarray:
+    if bits == 8:
+        return np.frombuffer(buf, dtype=np.uint8, count=n).copy()
+    if bits == 16:
+        return np.frombuffer(buf, dtype="<u2", count=n).astype(np.uint16)
+    if bits == 32:
+        return np.frombuffer(buf, dtype="<u4", count=n).astype(np.uint32)
+    if bits == 4:
+        raw = np.frombuffer(buf, dtype=np.uint8, count=n // 2)
+        out = np.empty(n, dtype=np.uint8)
+        out[0::2] = raw & 0x0F
+        out[1::2] = raw >> 4
+        return out
+    if bits == 12:
+        raw = np.frombuffer(buf, dtype=np.uint8, count=(n // 2) * 3).reshape(-1, 3)
+        out = np.empty(n, dtype=np.uint16)
+        out[0::2] = raw[:, 0].astype(np.uint16) | ((raw[:, 1].astype(np.uint16) & 0x0F) << 8)
+        out[1::2] = (raw[:, 1].astype(np.uint16) >> 4) | (raw[:, 2].astype(np.uint16) << 4)
+        return out
+    raise ValueError(f"unsupported bits_per_item: {bits}")
+
+
+class CuckooFilter:
+    """Numpy cuckoo filter over uint64 keys.
+
+    Parameters mirror ``CuckooFilter<uint64_t, bits, SingleTable>``;
+    ``seed`` replaces the reference's random_device-seeded hasher.
+    """
+
+    def __init__(self, num_buckets: int, bits: int, seed: int, capacity: int):
+        if num_buckets & (num_buckets - 1):
+            raise ValueError("num_buckets must be a power of two")
+        self.num_buckets = int(num_buckets)
+        self.bits = int(bits)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.capacity = int(capacity)
+        self.table = np.zeros((self.num_buckets, ASSOC), dtype=_dtype_for(bits))
+        self.num_items = 0
+        self.victim_used = False
+        self.victim_index = 0
+        self.victim_tag = 0
+        self._round = 0  # eviction-rng round counter (part of determinism story)
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def create(cls, max_num_keys: int, bits: int = 12, seed: int = 0x5EED) -> "CuckooFilter":
+        """Sizing rule of cuckoofilter.h:91-100."""
+        nb = upperpower2(max(1, max_num_keys // ASSOC))
+        frac = max_num_keys / nb / ASSOC
+        if frac > 0.94:
+            nb <<= 1
+        return cls(nb, bits, seed, max_num_keys)
+
+    # -- hashing ----------------------------------------------------------
+    def _index_tag(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        """GenerateIndexTagHash (cuckoofilter.h:66-73)."""
+        h = simple_mix_split(keys, self.seed)
+        index = ((h >> U64(32)) & U64(self.num_buckets - 1)).astype(np.int64)
+        tag = (h & U64((1 << self.bits) - 1)).astype(np.uint32)
+        tag = tag + (tag == 0)  # TagHash 0-remap, cuckoofilter.h:59-64
+        return index, tag.astype(self.table.dtype)
+
+    def alt_index(self, index: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        """AltIndex (cuckoofilter.h:75-81); involution by construction."""
+        i = np.asarray(index).astype(np.uint64)
+        t = np.asarray(tag).astype(np.uint64)
+        return ((i ^ (t * KICK_CONST)) & U64(self.num_buckets - 1)).astype(np.int64)
+
+    # -- insert -----------------------------------------------------------
+    def add_many(self, keys, raise_on_full: bool = True) -> int:
+        """Bulk Add (cuckoofilter.h:143-181, vectorized rounds).
+
+        Returns the number of keys stored. On overflow: raises
+        CuckooFullError if ``raise_on_full`` else stops and returns the
+        count stored so far (remaining keys are NOT inserted —
+        NotEnoughSpace semantics, cuckoofilter.h:148-150).
+        """
+        idx, tag = self._index_tag(np.asarray(keys))
+        return self._add_tags(idx, tag, raise_on_full)
+
+    def _add_tags(self, idx: np.ndarray, tag: np.ndarray, raise_on_full: bool = True) -> int:
+        if self.victim_used:
+            if raise_on_full:
+                raise CuckooFullError("victim cache occupied (cuckoofilter.h:148-150)")
+            return 0
+        cur_idx = idx.astype(np.int64).copy()
+        cur_tag = tag.astype(self.table.dtype).copy()
+        kicks = np.zeros(cur_idx.size, dtype=np.int32)
+        # attempt 0: primary bucket, no eviction; attempt 1: alt bucket,
+        # no eviction; attempt >=2: evict (AddImpl kickout = count>0).
+        attempt = np.zeros(cur_idx.size, dtype=np.int8)
+        inserted = 0
+        order = np.arange(cur_idx.size)  # stable priority: earlier keys first
+
+        while cur_idx.size:
+            self._round += 1
+            # one pending key per bucket per round (earliest in key order wins)
+            uniq, first = np.unique(cur_idx, return_index=True)
+            first.sort()
+            sel_idx = cur_idx[first]
+            sel_tag = cur_tag[first]
+            rows = self.table[sel_idx]
+            empty = rows == 0
+            has_empty = empty.any(axis=1)
+
+            # place into first empty slot (singletable.h:214-221)
+            place = np.flatnonzero(has_empty)
+            if place.size:
+                slots = empty[place].argmax(axis=1)
+                self.table[sel_idx[place], slots] = sel_tag[place]
+                inserted += place.size
+                self.num_items += place.size
+
+            # full buckets: advance state machine
+            fullm = np.flatnonzero(~has_empty)
+            new_idx_parts, new_tag_parts, new_kick_parts, new_att_parts, new_ord_parts = [], [], [], [], []
+            if fullm.size:
+                f_pos = first[fullm]  # positions in pending arrays
+                att = attempt[f_pos]
+                # attempt 0 -> retry at alt bucket
+                retry = f_pos[att == 0]
+                if retry.size:
+                    new_idx_parts.append(self.alt_index(cur_idx[retry], cur_tag[retry]))
+                    new_tag_parts.append(cur_tag[retry])
+                    new_kick_parts.append(kicks[retry])
+                    new_att_parts.append(np.ones(retry.size, dtype=np.int8))
+                    new_ord_parts.append(order[retry])
+                # attempt >=1 -> evict a seeded-random slot, re-route evictee
+                evict = f_pos[att >= 1]
+                if evict.size:
+                    rng = np.random.Generator(
+                        np.random.Philox(key=[self.seed & 0xFFFFFFFFFFFFFFFF, self._round])
+                    )
+                    slots = rng.integers(0, ASSOC, size=evict.size)
+                    e_idx = cur_idx[evict]
+                    old = self.table[e_idx, slots].copy()
+                    self.table[e_idx, slots] = cur_tag[evict]
+                    nk = kicks[evict] + 1
+                    over = nk > MAX_KICKS
+                    if over.any():
+                        # spill ONE evictee to the victim cache
+                        # (cuckoofilter.h:177-180); any further overflow
+                        # is NotEnoughSpace.
+                        ov = np.flatnonzero(over)
+                        for j in ov:
+                            if not self.victim_used:
+                                self.victim_used = True
+                                self.victim_index = int(self.alt_index(
+                                    np.array([e_idx[j]]), np.array([old[j]]))[0])
+                                self.victim_tag = int(old[j])
+                                self.num_items += 1
+                                inserted += 1
+                            else:
+                                if raise_on_full:
+                                    raise CuckooFullError(
+                                        f"NotEnoughSpace after {int(nk[j])} kicks")
+                                return inserted
+                        keep = ~over
+                    else:
+                        keep = np.ones(evict.size, dtype=bool)
+                    kk = np.flatnonzero(keep)
+                    if kk.size:
+                        new_idx_parts.append(self.alt_index(e_idx[kk], old[kk]))
+                        new_tag_parts.append(old[kk])
+                        new_kick_parts.append(nk[kk])
+                        new_att_parts.append(np.ones(kk.size, dtype=np.int8))
+                        new_ord_parts.append(order[evict][kk])
+
+            # rebuild pending = (not selected this round) + re-routed
+            mask = np.ones(cur_idx.size, dtype=bool)
+            mask[first] = False
+            new_idx_parts.insert(0, cur_idx[mask])
+            new_tag_parts.insert(0, cur_tag[mask])
+            new_kick_parts.insert(0, kicks[mask])
+            new_att_parts.insert(0, attempt[mask])
+            new_ord_parts.insert(0, order[mask])
+            cur_idx = np.concatenate(new_idx_parts)
+            cur_tag = np.concatenate(new_tag_parts)
+            kicks = np.concatenate(new_kick_parts)
+            attempt = np.concatenate(new_att_parts)
+            order = np.concatenate(new_ord_parts)
+            # deterministic processing order: by original key order
+            if cur_idx.size:
+                srt = np.argsort(order, kind="stable")
+                cur_idx, cur_tag, kicks, attempt, order = (
+                    cur_idx[srt], cur_tag[srt], kicks[srt], attempt[srt], order[srt])
+        return inserted
+
+    # -- lookup -----------------------------------------------------------
+    def contains_many(self, keys) -> np.ndarray:
+        """Bulk Contain (cuckoofilter.h:184-204): victim + both buckets."""
+        idx1, tag = self._index_tag(np.asarray(keys))
+        idx2 = self.alt_index(idx1, tag)
+        t = tag[:, None]
+        found = (self.table[idx1] == t).any(axis=1) | (self.table[idx2] == t).any(axis=1)
+        if self.victim_used:
+            vt = self.table.dtype.type(self.victim_tag)
+            found |= (tag == vt) & ((idx1 == self.victim_index) | (idx2 == self.victim_index))
+        return found
+
+    # -- delete -----------------------------------------------------------
+    def delete_many(self, keys) -> np.ndarray:
+        """Bulk Delete (cuckoofilter.h:206-238): removes ONE occurrence per
+        requested key; caller guarantees presence (reference README.md:21).
+        Returns a bool array: True where a tag was removed.
+        """
+        idx1, tag = self._index_tag(np.asarray(keys))
+        out = np.zeros(idx1.size, dtype=bool)
+        # serial-per-bucket semantics via rounds (duplicate keys in one
+        # batch each remove one copy, as repeated C++ Delete calls would)
+        pending = np.arange(idx1.size)
+        while pending.size:
+            uniq, first = np.unique(idx1[pending], return_index=True)
+            sel = pending[np.sort(first)]
+            for which in (0, 1):
+                bi = idx1[sel] if which == 0 else self.alt_index(idx1[sel], tag[sel])
+                rows = self.table[bi]
+                match = rows == tag[sel][:, None]
+                hit = match.any(axis=1) & ~out[sel]
+                hpos = np.flatnonzero(hit)
+                if hpos.size:
+                    slots = match[hpos].argmax(axis=1)
+                    self.table[bi[hpos], slots] = 0
+                    out[sel[hpos]] = True
+            mask = np.ones(pending.size, dtype=bool)
+            mask[np.sort(first)] = False
+            pending = pending[mask]
+        removed = int(out.sum())
+        self.num_items -= removed
+        if removed and self.victim_used:
+            # TryEliminateVictim (cuckoofilter.h:225-235): re-insert victim
+            self.victim_used = False
+            self.num_items -= 1
+            vi, vt = self.victim_index, self.victim_tag
+            self._add_tags(np.array([vi], dtype=np.int64),
+                           np.array([vt], dtype=self.table.dtype), raise_on_full=False)
+        return out
+
+    # -- stats ------------------------------------------------------------
+    def size(self) -> int:
+        return self.num_items  # cuckoofilter.h:135
+
+    def size_in_tags(self) -> int:
+        return self.num_buckets * ASSOC
+
+    def size_in_bytes(self) -> int:
+        """Bit-packed table bytes (singletable.h:59-61)."""
+        ntags = self.size_in_tags()
+        return {4: ntags // 2, 8: ntags, 12: ntags * 3 // 2, 16: ntags * 2, 32: ntags * 4}[self.bits]
+
+    def load_factor(self) -> float:
+        return self.num_items / self.size_in_tags()  # cuckoofilter.h:86
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.num_items)  # cuckoofilter.h:88
+
+    def expected_fpp(self) -> float:
+        """Analytic bound ~ 2*assoc / 2^bits (partial-key cuckoo, 2 buckets)."""
+        return 2.0 * ASSOC / (1 << self.bits)
+
+    def info(self) -> dict:
+        """Info() (cuckoofilter.h:240-255) as a dict."""
+        return {
+            "mode": "single",
+            "bits_per_item_config": self.bits,
+            "num_buckets": self.num_buckets,
+            "num_items": self.num_items,
+            "load_factor": self.load_factor(),
+            "bits_per_item": self.bits_per_item(),
+            "size_in_bytes": self.size_in_bytes(),
+            "victim_used": self.victim_used,
+            "expected_fpp": self.expected_fpp(),
+        }
+
+    # -- serialization ----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        """Little-endian blob: header + bit-packed table (cuckoofilter.h:104-119)."""
+        hdr = _HDR.pack(
+            _MAGIC, 1, self.bits, 0, int(np.log2(self.num_buckets)),
+            self.seed, self.num_items, self.capacity,
+            int(self.victim_used), self.victim_index, self.victim_tag,
+        )
+        return hdr + pack_tags(self.table.reshape(-1), self.bits)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        magic, ver, bits, mode, log2nb, seed, nitems, cap, vused, vindex, vtag = _HDR.unpack_from(blob)
+        if magic != _MAGIC or ver != 1:
+            raise ValueError("bad cuckoo blob header")
+        f = cls(1 << log2nb, bits, seed, cap)
+        f.num_items = nitems
+        f.victim_used = bool(vused)
+        f.victim_index = vindex
+        f.victim_tag = vtag
+        f.table = unpack_tags(blob[_HDR.size:], bits, f.size_in_tags()).reshape(
+            f.num_buckets, ASSOC)
+        return f
+
+    # -- merge ------------------------------------------------------------
+    def extract_items(self) -> tuple[np.ndarray, np.ndarray]:
+        """All stored tags with canonical index min(i, AltIndex(i, tag))."""
+        bi, _sl = np.nonzero(self.table)
+        tags = self.table[self.table != 0]
+        if self.victim_used:
+            bi = np.append(bi, self.victim_index)
+            tags = np.append(tags, self.table.dtype.type(self.victim_tag))
+        alt = self.alt_index(bi, tags)
+        canon = np.minimum(bi, alt)
+        return canon.astype(np.int64), tags
+
+    def _params(self) -> tuple:
+        return (self.num_buckets, self.bits, self.seed)
+
+    @classmethod
+    def merge(cls, a: "CuckooFilter", b: "CuckooFilter") -> "CuckooFilter":
+        """Content-canonical merge (qf_merge pattern, gqf.c:2428-2475).
+
+        Requires identical (num_buckets, bits, seed) — mirrors gqf.c's
+        refusal to merge mismatched filters (gqf.c:2434-2440). Result is
+        a pure function of the union multiset of stored items, so the
+        operation is associative and commutative bit-exactly. Raises
+        CuckooFullError if the union does not fit.
+        """
+        if a._params() != b._params():
+            raise ValueError(f"incompatible filters: {a._params()} vs {b._params()}")
+        ci = np.concatenate([a.extract_items()[0], b.extract_items()[0]])
+        ct = np.concatenate([a.extract_items()[1], b.extract_items()[1]])
+        srt = np.lexsort((ct, ci))
+        out = cls(a.num_buckets, a.bits, a.seed, max(a.capacity, b.capacity))
+        out._add_tags(ci[srt], ct[srt].astype(out.table.dtype), raise_on_full=True)
+        return out
+
+    def canonicalize(self) -> "CuckooFilter":
+        """Rebuild into canonical layout (same function ``merge`` applies)."""
+        ci, ct = self.extract_items()
+        srt = np.lexsort((ct, ci))
+        out = type(self)(self.num_buckets, self.bits, self.seed, self.capacity)
+        out._add_tags(ci[srt], ct[srt].astype(out.table.dtype), raise_on_full=True)
+        return out

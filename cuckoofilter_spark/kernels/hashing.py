@@ -1,0 +1,138 @@
+"""Vectorized 64-bit hash families (pure numpy, no Spark).
+
+Re-expresses the reference's hash surface (``hashutil.h`` in
+GerHobbelt/cuckoofilter) as seeded, serializable numpy kernels:
+
+- ``murmur64`` / ``simple_mix_split``: the murmur3 finalizer used by
+  ``SimpleMixSplit`` (hashutil.h:102-124). Bit-identical to the C++
+  given the same seed, enabling golden-vector tests.
+- ``two_independent_multiply_shift``: Dietzfelbinger 2-independent
+  multiply-shift over 128-bit (hashutil.h:57-99). The reference seeds it
+  from ``std::random_device`` (non-reproducible); we take explicit seeds.
+- ``splitmix64``: the benchmark harness's fast key generator
+  (benchmarks/random.h:28-41 ``GenerateRandom64Fast``).
+- ``lemire_reduce``: ``(hash * n) >> 32`` fast range map
+  (cuckoofilter_stable.h:15-18, bloom.h:23-26, xorfilter.h:31-35).
+
+All functions operate on ``numpy.uint64`` arrays and wrap modulo 2**64
+(C semantics). Constants are pinned as ``np.uint64`` to avoid numpy's
+silent int64/uint64 -> float64 promotion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+
+_M1 = U64(0xFF51AFD7ED558CCD)
+_M2 = U64(0xC4CEB9FE1A85EC53)
+_S33 = U64(33)
+
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+
+
+def _as_u64(x) -> np.ndarray:
+    a = np.asarray(x)
+    if a.dtype == np.uint64:
+        return a
+    # view() preserves the bit pattern of signed inputs (keys may arrive
+    # as int64 from Arrow); astype would raise / saturate on negatives.
+    if a.dtype == np.int64:
+        return a.view(np.uint64)
+    return a.astype(np.uint64)
+
+
+def murmur64(x) -> np.ndarray:
+    """Murmur3 fmix64 finalizer — hashutil.h:112-122 semantics."""
+    h = _as_u64(x).copy()
+    h ^= h >> _S33
+    h *= _M1
+    h ^= h >> _S33
+    h *= _M2
+    h ^= h >> _S33
+    return h
+
+
+def simple_mix_split(x, seed: int) -> np.ndarray:
+    """``murmur64(key + seed)`` — hashutil.h:102-124 ``SimpleMixSplit``.
+
+    The reference draws ``seed`` from ``std::random_device``; here it is
+    an explicit parameter stored in every sketch blob header so builds
+    are reproducible and blobs are mergeable iff seeds match.
+    """
+    return murmur64(_as_u64(x) + U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def splitmix64(x) -> np.ndarray:
+    """splitmix64 — benchmarks/random.h:28-41 ``GenerateRandom64Fast``."""
+    z = _as_u64(x) + _SM_GAMMA
+    z = (z ^ (z >> U64(30))) * _SM_M1
+    z = (z ^ (z >> U64(27))) * _SM_M2
+    return z ^ (z >> U64(31))
+
+
+def splitmix64_seq(seed: int, n: int) -> np.ndarray:
+    """Deterministic key stream: splitmix64(seed + 1..n)."""
+    base = np.arange(1, n + 1, dtype=np.uint64) + U64(seed & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(base)
+
+
+def two_independent_multiply_shift(x, multiply: int, add: int) -> np.ndarray:
+    """``(add + multiply * key) >> 64`` over 128-bit — hashutil.h:57-99.
+
+    numpy has no 128-bit int; split the 64x64 multiply into 32-bit limbs
+    and propagate carries to recover the high word.
+    """
+    k = _as_u64(x)
+    m = U64(multiply & 0xFFFFFFFFFFFFFFFF)
+    a = U64(add & 0xFFFFFFFFFFFFFFFF)
+    mask32 = U64(0xFFFFFFFF)
+    k_lo, k_hi = k & mask32, k >> U64(32)
+    m_lo, m_hi = m & mask32, m >> U64(32)
+    # 64x64 -> high 64 bits
+    ll = k_lo * m_lo
+    lh = k_lo * m_hi
+    hl = k_hi * m_lo
+    hh = k_hi * m_hi
+    carry = ((ll >> U64(32)) + (lh & mask32) + (hl & mask32)) >> U64(32)
+    hi = hh + (lh >> U64(32)) + (hl >> U64(32)) + carry
+    # add the 64-bit `add` low word: only its carry into the high word matters
+    lo = k * m
+    lo_plus = lo + a
+    hi += (lo_plus < lo).astype(np.uint64)  # carry out of low word
+    return hi
+
+
+def lemire_reduce(h, n: int) -> np.ndarray:
+    """Map a 32-bit hash into [0, n): ``((h & 0xffffffff) * n) >> 32``."""
+    return ((_as_u64(h) & U64(0xFFFFFFFF)) * U64(n)) >> U64(32)
+
+
+def rotl64(x, r: int) -> np.ndarray:
+    """Rotate-left — adversarial key fixtures (bulk-insert-and-query.cc:747-767)."""
+    v = _as_u64(x)
+    r = r % 64
+    if r == 0:
+        return v.copy()
+    return (v << U64(r)) | (v >> U64(64 - r))
+
+
+def reverse_bits64(x) -> np.ndarray:
+    """Bit-reverse — adversarial fixtures (bulk-insert-and-query.cc:758-766)."""
+    v = _as_u64(x).copy()
+    m1 = U64(0x5555555555555555)
+    m2 = U64(0x3333333333333333)
+    m4 = U64(0x0F0F0F0F0F0F0F0F)
+    v = ((v >> U64(1)) & m1) | ((v & m1) << U64(1))
+    v = ((v >> U64(2)) & m2) | ((v & m2) << U64(2))
+    v = ((v >> U64(4)) & m4) | ((v & m4) << U64(4))
+    v = v.byteswap()
+    return v
+
+
+def upperpower2(x: int) -> int:
+    """Smallest power of two >= x — bitsutil.h:21-31."""
+    return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
