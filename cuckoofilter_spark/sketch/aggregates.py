@@ -1,0 +1,115 @@
+"""Column-level sketch aggregates: HLL, count-min, KLL, Bloom.
+
+Thin wrappers binding the numpy kernels into the partial/tree-merge
+protocol of ``udaf.aggregate_sketch``. Each accepts either a scalar
+integer key column or a pre-tokenized ``array<int>`` column (flattened
+inside the Arrow batch — the 10^12-sequence token table never pays a
+Spark-side explode, which would multiply shuffle rows by ~250x).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from ..kernels.bloom import BloomFilter
+from ..kernels.cms import CountMinSketch
+from ..kernels.hll import HyperLogLog
+from ..kernels.kll import KLLSketch
+from .udaf import aggregate_sketch, keys_to_u64, require_key_col, tokens_to_u64
+
+
+def _series_to_keys(s: pd.Series, is_array: bool) -> np.ndarray:
+    return tokens_to_u64(s) if is_array else keys_to_u64(s)
+
+
+def _is_array_col(df: DataFrame, col: str) -> bool:
+    return require_key_col(df, col)
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = 14, seed: int = 0x5EED,
+               fanout: int = 16) -> HyperLogLog:
+    """Distributed distinct-count sketch (count_distinct analogue,
+    bulk-insert-and-query.cc:456-468, as a mergeable aggregate)."""
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: HyperLogLog(p=p, seed=seed),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=HyperLogLog.merge,
+        from_bytes=HyperLogLog.from_bytes,
+        fanout=fanout,
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, eps: float = 0.0005, delta: float = 0.01,
+               seed: int = 0x5EED, fanout: int = 16) -> CountMinSketch:
+    """Distributed point-frequency sketch (CQF counting capability,
+    gqf.h:137-201, as an elementwise-add mergeable aggregate)."""
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: CountMinSketch.create(eps=eps, delta=delta, seed=seed),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=CountMinSketch.merge,
+        from_bytes=CountMinSketch.from_bytes,
+        fanout=fanout,
+    )
+
+
+def kll_sketch(df: DataFrame, col: str, k: int = 200, seed: int = 0x5EED,
+               fanout: int = 16) -> KLLSketch:
+    """Distributed quantile sketch over a numeric column."""
+    def upd(kern, s: pd.Series):
+        kern.add_many(s.to_numpy(dtype=np.float64, na_value=np.nan))
+    return aggregate_sketch(
+        df, col,
+        make=lambda: KLLSketch(k=k, seed=seed),
+        update=upd,
+        merge=KLLSketch.merge,
+        from_bytes=KLLSketch.from_bytes,
+        fanout=fanout,
+    )
+
+
+def bloom_sketch(df: DataFrame, col: str, capacity: int, bits_per_item: int = 10,
+                 seed: int = 0x5EED, fanout: int = 16) -> BloomFilter:
+    """Distributed Bloom build (bloom.h semantics, OR-mergeable)."""
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: BloomFilter.create(capacity, bits_per_item, seed=seed),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=BloomFilter.merge,
+        from_bytes=BloomFilter.from_bytes,
+        fanout=fanout,
+    )
+
+
+def bloom_contains_col(spark: SparkSession, filt: BloomFilter, col) -> Column:
+    """Boolean membership Column against a broadcast Bloom blob."""
+    bc = spark.sparkContext.broadcast(filt.to_bytes())
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = BloomFilter.from_bytes(bc.value)
+        for s in it:
+            yield pd.Series(local.contains_many(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
+def cms_lookup_col(spark: SparkSession, sketch: CountMinSketch, col) -> Column:
+    """Estimated frequency Column against a broadcast CMS blob."""
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.pandas_udf(T.LongType())
+    def est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = CountMinSketch.from_bytes(bc.value)
+        for s in it:
+            yield pd.Series(local.query_many(keys_to_u64(s)))
+
+    return est(F.col(col).cast("long") if isinstance(col, str) else col)

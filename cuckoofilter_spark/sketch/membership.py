@@ -1,0 +1,191 @@
+"""Distributed cuckoo-filter build and membership probes.
+
+The cuckoo filter is not loss-free under arbitrary merges (unlike
+Bloom), so the distributed build does NOT use the generic partial-merge
+protocol. Instead it uses the distribution insight the reference lacks
+(it is single-threaded, SURVEY.md §3.4): **shard by key**.
+
+- ``shard_of(key) = splitmix64(key ^ shard_salt) & (num_shards - 1)``
+  is a pure key function, so both candidate buckets of a key live in
+  the same shard's private table and kick chains never cross shards.
+- Build = ONE shuffle: ``groupBy(shard).applyInPandas`` where each task
+  np.unique-dedupes its keys (global dedup is free because sharding is
+  by key) and bulk-inserts into a private numpy cuckoo table sized
+  ``capacity / num_shards``. Output: one ``(shard, blob)`` row each.
+- The assembled ``ShardedCuckooFilter`` holds the blobs; probes
+  broadcast them once per executor and answer Arrow batches with pure
+  numpy gathers (the reference's batched ``Contain64``
+  (cuckoo-batch-prefetch.h:109-139) is subsumed by Arrow batching).
+
+At 10^12 keys: num_shards ~ a few thousand keeps each shard's keys and
+table inside one task's memory; the single shuffle is the same volume a
+``distinct()`` would pay, and no driver collect ever carries row data —
+only num_shards blobs.
+
+Semi/anti joins: ``approx_semi_join`` filters a fact table by an
+approximate member set — the classic Bloom-join pre-filter; exactness
+(no false positives) can be restored by chaining a real join on the
+survivors, which is then cheap because the filter already dropped the
+bulk (the reference's Contain is exactly this primitive, SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from ..kernels.cuckoo import CuckooFilter
+from ..kernels.hashing import U64, splitmix64
+from .udaf import keys_to_u64
+
+_SHARD_SALT = U64(0xC0FFEE12D00D5EED)
+
+
+def shard_of(keys_u64: np.ndarray, num_shards: int) -> np.ndarray:
+    return (splitmix64(keys_u64 ^ _SHARD_SALT) & U64(num_shards - 1)).astype(np.int64)
+
+
+class ShardedCuckooFilter:
+    """num_shards independent cuckoo filters addressed by a key hash."""
+
+    def __init__(self, blobs: list[bytes], bits: int, seed: int):
+        self.num_shards = len(blobs)
+        if self.num_shards & (self.num_shards - 1):
+            raise ValueError("num_shards must be a power of two")
+        self.bits = bits
+        self.seed = seed
+        self.blobs = blobs
+        self._filters: list[CuckooFilter | None] = [None] * self.num_shards
+
+    def _filter(self, s: int) -> CuckooFilter:
+        if self._filters[s] is None:
+            self._filters[s] = CuckooFilter.from_bytes(self.blobs[s])
+        return self._filters[s]
+
+    def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        sh = shard_of(keys, self.num_shards)
+        out = np.zeros(keys.size, dtype=bool)
+        for s in np.unique(sh):
+            m = sh == s
+            out[m] = self._filter(int(s)).contains_many(keys[m])
+        return out
+
+    def num_items(self) -> int:
+        return sum(self._filter(s).num_items for s in range(self.num_shards))
+
+    def size_in_bytes(self) -> int:
+        return sum(len(b) for b in self.blobs)
+
+    def bits_per_item(self) -> float:
+        n = self.num_items()
+        return 8.0 * self.size_in_bytes() / max(1, n)
+
+    def load_factor(self) -> float:
+        tags = sum(self._filter(s).size_in_tags() for s in range(self.num_shards))
+        return self.num_items() / max(1, tags)
+
+    def expected_fpp(self) -> float:
+        return 2.0 * 4 / (1 << self.bits)
+
+    def info(self) -> dict:
+        return {
+            "num_shards": self.num_shards,
+            "num_items": self.num_items(),
+            "size_in_bytes": self.size_in_bytes(),
+            "bits_per_item": self.bits_per_item(),
+            "load_factor": self.load_factor(),
+            "expected_fpp": self.expected_fpp(),
+        }
+
+
+def cuckoo_build(
+    df: DataFrame,
+    col: str,
+    capacity: int | None = None,
+    bits: int = 12,
+    seed: int = 0x5EED,
+    num_shards: int = 32,
+    dedupe: bool = True,
+) -> ShardedCuckooFilter:
+    """Build a sharded cuckoo filter over an integer key column.
+
+    One shuffle (groupBy shard). ``capacity`` defaults to an exact
+    distinct count when omitted (costs one extra aggregate job) —
+    callers at scale should pass the known/estimated cardinality.
+    """
+    from .udaf import require_key_col
+
+    require_key_col(df, col)
+    proj = df.select(F.col(col).cast("long").alias("k")).where(F.col(col).isNotNull())
+    if capacity is None:
+        capacity = proj.select(F.approx_count_distinct("k")).first()[0]
+        capacity = int(capacity * 1.15) + 64
+    shard_cap = max(64, capacity // num_shards)
+
+    @F.pandas_udf(T.IntegerType())
+    def shard_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(shard_of(keys_to_u64(s), num_shards).astype(np.int32))
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = keys_to_u64(pdf["k"])
+        if dedupe:
+            keys = np.unique(keys)
+        filt = CuckooFilter.create(max(shard_cap, keys.size), bits=bits, seed=seed)
+        filt.add_many(keys)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "blob": [filt.to_bytes()]})
+
+    rows = (
+        proj.withColumn("shard", shard_udf("k"))
+        .groupBy("shard")
+        .applyInPandas(build_shard, "shard int, blob binary")
+        .collect()
+    )
+    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
+    empty = CuckooFilter.create(shard_cap, bits=bits, seed=seed).to_bytes()
+    blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
+    return ShardedCuckooFilter(blobs, bits=bits, seed=seed)
+
+
+def cuckoo_contains_col(spark: SparkSession, filt: ShardedCuckooFilter, col) -> Column:
+    """Boolean Column: approximate membership of ``col`` in the filter.
+
+    Broadcasts the blobs once; deserializes lazily per executor; each
+    Arrow batch is answered by numpy gathers (no per-row Python).
+    """
+    bc = spark.sparkContext.broadcast((filt.blobs, filt.bits, filt.seed))
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        blobs, bits, seed = bc.value
+        local = ShardedCuckooFilter(list(blobs), bits, seed)
+        for s in it:
+            yield pd.Series(local.contains_u64(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
+def approx_semi_join(
+    spark: SparkSession, fact: DataFrame, fact_col: str, filt: ShardedCuckooFilter
+) -> DataFrame:
+    """``fact`` rows whose key is (approximately) in the filter.
+
+    No false negatives; false positives at the filter's epsilon. The
+    distributed analogue of ``df.filter(cf_contains(key))`` — a
+    build-once broadcast pre-filter that replaces a full shuffle join.
+    """
+    return fact.where(cuckoo_contains_col(spark, filt, fact_col))
+
+
+def approx_anti_join(
+    spark: SparkSession, fact: DataFrame, fact_col: str, filt: ShardedCuckooFilter
+) -> DataFrame:
+    """``fact`` rows whose key is definitely NOT in the filter.
+
+    Complement caveat: drops epsilon false positives (rows wrongly
+    believed present) — standard Bloom-anti-join semantics.
+    """
+    return fact.where(~cuckoo_contains_col(spark, filt, fact_col))

@@ -1,0 +1,141 @@
+"""Distributed mergeable-sketch aggregation protocol (the UDAF layer).
+
+The reference's extension surface is the ``FilterAPI<Table>`` adapter
+(benchmarks/filter-api.h:13-63) — construct / add / contain normalized
+per structure. In Spark that becomes this module's protocol:
+
+    partial (per partition, Arrow-vectorized)  ->  tree merge  ->  final
+
+- **Stage 1 (partial):** ``mapInPandas`` over the projected key column
+  only (Catalyst prunes the scan to that column); each task folds its
+  Arrow batches into one numpy kernel and emits a single
+  ``(pid, blob)`` row. This is the map-side combine: shuffle volume is
+  one sketch blob per partition regardless of row count.
+- **Stage 2 (tree merge):** while more blobs than ``fanout``, group by
+  ``pid % ceil(P/fanout)`` and merge within groups via
+  ``applyInPandas`` — the treeAggregate shape, so the driver never
+  receives more than ``fanout`` blobs even at 10^5 partitions.
+- **Stage 3 (final):** driver merges the surviving handful of blobs.
+
+Associativity/commutativity of the kernel merge (tested bit-exact in
+tests/test_kernels.py) is what makes the tree shape legal.
+
+Scale notes (100 TB / 1000 executors): stage 1 reads everything but
+shuffles only P blobs; stage 2 moves ≤ P blobs once; no stage depends
+on collecting row data to the driver. Skewed key distributions do not
+matter here (no groupBy on data keys — partials are positional).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+BLOB_SCHEMA = "pid long, blob binary"
+
+
+def keys_to_u64(s: pd.Series) -> np.ndarray:
+    """Normalize an Arrow-delivered key Series to uint64 (bit-view of int64).
+
+    int32/int64 are widened to int64 then reinterpreted; the same
+    normalization runs at build and probe time so signedness never
+    matters. Floats/strings must be keyified Spark-side first
+    (``F.xxhash64`` — JVM, vectorized) — raise rather than guess.
+    """
+    if not pd.api.types.is_integer_dtype(s.dtype):
+        raise TypeError(
+            f"sketch keys must be integers (got {s.dtype}); "
+            "hash other types Spark-side with F.xxhash64(...) first")
+    return s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+
+
+_INT_TYPES = ("byte", "short", "int", "bigint", "long", "integer", "smallint", "tinyint")
+
+
+def require_key_col(df: DataFrame, col: str) -> bool:
+    """Validate that ``col`` is integer or array<integer>; return is_array.
+
+    Raises eagerly (driver-side) with the keyify hint instead of letting
+    an executor-side CAST error surface mid-job.
+    """
+    dt = df.schema[col].dataType
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        if not isinstance(dt.elementType, T.IntegralType):
+            raise TypeError(
+                f"column {col!r} is array<{dt.elementType.simpleString()}>; sketch keys "
+                "must be integers — hash Spark-side with F.xxhash64(...) first")
+        return True
+    if not isinstance(dt, T.IntegralType):
+        raise TypeError(
+            f"column {col!r} has type {dt.simpleString()}; sketch keys must be "
+            "integers — hash Spark-side with F.xxhash64(...) first")
+    return False
+
+
+def tokens_to_u64(s: pd.Series) -> np.ndarray:
+    """Flatten an array<int> column batch to one uint64 key vector."""
+    arrs = [np.asarray(a, dtype=np.int64) for a in s if a is not None and len(a)]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(arrs).view(np.uint64)
+
+
+def aggregate_sketch(
+    df: DataFrame,
+    col: str,
+    make: Callable[[], object],
+    update: Callable[[object, pd.Series], None],
+    merge: Callable[[object, object], object],
+    from_bytes: Callable[[bytes], object],
+    fanout: int = 16,
+):
+    """Run the partial -> tree-merge -> final protocol; return the kernel.
+
+    ``update(kernel, series)`` folds one Arrow batch of ``col`` into the
+    kernel; ``merge`` must be the kernel's associative merge.
+    """
+    proj = df.select(F.col(col).alias("k"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kern = make()
+        pid = 0
+        for pdf in batches:
+            update(kern, pdf["k"])
+        yield pd.DataFrame({"pid": [pid], "blob": [kern.to_bytes()]})
+
+    blob_df = proj.mapInPandas(partial, schema=BLOB_SCHEMA)
+    # re-key pids so the tree groups are balanced
+    blob_df = blob_df.withColumn(
+        "pid", F.monotonically_increasing_id())
+
+    num_partials = df.rdd.getNumPartitions()
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        kern = from_bytes(bytes(pdf["blob"].iloc[0]))
+        for b in pdf["blob"].iloc[1:]:
+            kern = merge(kern, from_bytes(bytes(b)))
+        return pd.DataFrame({"pid": [int(pdf["pid"].iloc[0])], "blob": [kern.to_bytes()]})
+
+    level = num_partials
+    while level > fanout:
+        groups = math.ceil(level / fanout)
+        blob_df = (
+            blob_df.withColumn("g", F.pmod(F.col("pid"), F.lit(groups)))
+            .groupBy("g")
+            .applyInPandas(lambda pdf: merge_group(pdf.drop(columns=["g"])), BLOB_SCHEMA)
+        )
+        level = groups
+
+    rows = blob_df.collect()
+    if not rows:
+        return make()
+    kern = from_bytes(bytes(rows[0]["blob"]))
+    for r in rows[1:]:
+        kern = merge(kern, from_bytes(bytes(r["blob"])))
+    return kern
