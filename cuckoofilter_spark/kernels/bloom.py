@@ -25,7 +25,8 @@ import numpy as np
 from .hashing import U64, lemire_reduce, simple_mix_split
 
 _MAGIC = b"BLM1"
-_HDR = struct.Struct("<4sHBBIQQQ")  # magic ver k pad m_words seed n_added capacity
+_FMT = "<4sHBBIQQQ"
+_HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver k pad m_words seed n_added capacity
 
 
 class BloomFilter:
@@ -86,17 +87,17 @@ class BloomFilter:
         return out
 
     def to_bytes(self) -> bytes:
-        hdr = _HDR.pack(_MAGIC, 1, self.k, 0, self.num_bits // 64,
+        hdr = struct.pack(_FMT, _MAGIC, 1, self.k, 0, self.num_bits // 64,
                         self.seed, self.n_added, self.capacity)
         return hdr + self.words.astype("<u8").tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "BloomFilter":
-        magic, ver, k, _pad, m_words, seed, n_added, cap = _HDR.unpack_from(blob)
+        magic, ver, k, _pad, m_words, seed, n_added, cap = struct.unpack_from(_FMT, blob)
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad bloom blob header")
         f = cls(m_words * 64, k, seed, cap)
-        f.words = np.frombuffer(blob, dtype="<u8", offset=_HDR.size,
+        f.words = np.frombuffer(blob, dtype="<u8", offset=_HDR_SIZE,
                                 count=m_words).astype(np.uint64)
         f.n_added = n_added
         return f

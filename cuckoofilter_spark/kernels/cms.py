@@ -21,7 +21,8 @@ import numpy as np
 from .hashing import U64, lemire_reduce, simple_mix_split
 
 _MAGIC = b"CMS1"
-_HDR = struct.Struct("<4sHBBIQQ")  # magic ver d pad w seed total
+_FMT = "<4sHBBIQQ"
+_HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver d pad w seed total
 
 
 class CountMinSketch:
@@ -80,16 +81,16 @@ class CountMinSketch:
         return out
 
     def to_bytes(self) -> bytes:
-        hdr = _HDR.pack(_MAGIC, 1, self.depth, 0, self.width, self.seed, self.total)
+        hdr = struct.pack(_FMT, _MAGIC, 1, self.depth, 0, self.width, self.seed, self.total)
         return hdr + self.table.astype("<i8").tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CountMinSketch":
-        magic, ver, d, _pad, w, seed, total = _HDR.unpack_from(blob)
+        magic, ver, d, _pad, w, seed, total = struct.unpack_from(_FMT, blob)
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad cms blob header")
         s = cls(w, d, seed)
-        s.table = np.frombuffer(blob, dtype="<i8", offset=_HDR.size,
+        s.table = np.frombuffer(blob, dtype="<i8", offset=_HDR_SIZE,
                                 count=w * d).astype(np.int64).reshape(d, w)
         s.total = total
         return s

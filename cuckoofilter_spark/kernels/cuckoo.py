@@ -56,7 +56,8 @@ MAX_KICKS = 500  # kMaxCuckooCount, cuckoofilter.h:23
 ASSOC = 4  # kTagsPerBucket, singletable.h:25
 
 _MAGIC = b"CKF1"
-_HDR = struct.Struct("<4sHBBBxxxQQQBxxxQI")  # magic ver bits mode log2nb pad seed nitems cap victim_used pad vindex vtag
+_FMT = "<4sHBBBxxxQQQBxxxQI"
+_HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver bits mode log2nb pad seed nitems cap victim_used pad vindex vtag
 
 
 class CuckooFullError(RuntimeError):
@@ -371,7 +372,7 @@ class CuckooFilter:
     # -- serialization ----------------------------------------------------
     def to_bytes(self) -> bytes:
         """Little-endian blob: header + bit-packed table (cuckoofilter.h:104-119)."""
-        hdr = _HDR.pack(
+        hdr = struct.pack(_FMT, 
             _MAGIC, 1, self.bits, 0, int(np.log2(self.num_buckets)),
             self.seed, self.num_items, self.capacity,
             int(self.victim_used), self.victim_index, self.victim_tag,
@@ -380,7 +381,7 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
-        magic, ver, bits, mode, log2nb, seed, nitems, cap, vused, vindex, vtag = _HDR.unpack_from(blob)
+        magic, ver, bits, mode, log2nb, seed, nitems, cap, vused, vindex, vtag = struct.unpack_from(_FMT, blob)
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad cuckoo blob header")
         f = cls(1 << log2nb, bits, seed, cap)
@@ -388,7 +389,7 @@ class CuckooFilter:
         f.victim_used = bool(vused)
         f.victim_index = vindex
         f.victim_tag = vtag
-        f.table = unpack_tags(blob[_HDR.size:], bits, f.size_in_tags()).reshape(
+        f.table = unpack_tags(blob[_HDR_SIZE:], bits, f.size_in_tags()).reshape(
             f.num_buckets, ASSOC)
         return f
 

@@ -22,7 +22,8 @@ import numpy as np
 from .hashing import U64, simple_mix_split
 
 _MAGIC = b"HLL1"
-_HDR = struct.Struct("<4sHBBQ")  # magic ver p pad seed
+_FMT = "<4sHBBQ"
+_HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver p pad seed
 
 
 def _alpha(m: int) -> float:
@@ -84,14 +85,14 @@ class HyperLogLog:
         return out
 
     def to_bytes(self) -> bytes:
-        return _HDR.pack(_MAGIC, 1, self.p, 0, self.seed) + self.registers.tobytes()
+        return struct.pack(_FMT, _MAGIC, 1, self.p, 0, self.seed) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "HyperLogLog":
-        magic, ver, p, _pad, seed = _HDR.unpack_from(blob)
+        magic, ver, p, _pad, seed = struct.unpack_from(_FMT, blob)
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad hll blob header")
         s = cls(p, seed)
-        s.registers = np.frombuffer(blob, dtype=np.uint8, offset=_HDR.size,
+        s.registers = np.frombuffer(blob, dtype=np.uint8, offset=_HDR_SIZE,
                                     count=s.m).copy()
         return s

@@ -25,7 +25,8 @@ import struct
 import numpy as np
 
 _MAGIC = b"KLL1"
-_HDR = struct.Struct("<4sHHIQQQ")  # magic ver k nlevels seed n compactions
+_FMT = "<4sHHIQQQ"
+_HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver k nlevels seed n compactions
 
 
 def _capacity(k: int, height: int, num_levels: int) -> int:
@@ -134,18 +135,18 @@ class KLLSketch:
         return out
 
     def to_bytes(self) -> bytes:
-        hdr = _HDR.pack(_MAGIC, 1, self.k, len(self.levels), self.seed,
+        hdr = struct.pack(_FMT, _MAGIC, 1, self.k, len(self.levels), self.seed,
                         self.n, self._compactions)
         lens = np.array([b.size for b in self.levels], dtype="<u4").tobytes()
         return hdr + lens + b"".join(b.astype("<f8").tobytes() for b in self.levels)
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "KLLSketch":
-        magic, ver, k, nlev, seed, n, comp = _HDR.unpack_from(blob)
+        magic, ver, k, nlev, seed, n, comp = struct.unpack_from(_FMT, blob)
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad kll blob header")
         s = cls(k, seed)
-        off = _HDR.size
+        off = _HDR_SIZE
         lens = np.frombuffer(blob, dtype="<u4", offset=off, count=nlev)
         off += 4 * nlev
         s.levels = []

@@ -116,21 +116,50 @@ def cuckoo_build(
     distinct count when omitted (costs one extra aggregate job) —
     callers at scale should pass the known/estimated cardinality.
     """
-    from .udaf import require_key_col
+    from .udaf import require_key_col, tokens_to_u64
 
-    require_key_col(df, col)
-    proj = df.select(F.col(col).cast("long").alias("k")).where(F.col(col).isNotNull())
+    is_array = require_key_col(df, col)
+    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
+
+    # Stage 1 (map-side combine): per input partition, flatten (for token
+    # arrays) + np.unique-dedupe, split by shard, and emit ONE binary row of
+    # packed uint64 keys per (partition, shard). The shuffle then moves
+    # P x num_shards small blobs instead of per-key rows — at 10^12 tokens
+    # the exchange is bounded by P x vocab x 8 bytes, and no Python UDF sits
+    # in the exchange (sharding is numpy inside the same Arrow pass).
+    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
+                 for pdf in batches]
+        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
+        if dedupe:
+            keys = np.unique(keys)
+        sh = shard_of(keys, num_shards)
+        order = np.argsort(sh, kind="stable")
+        keys, sh = keys[order], sh[order]
+        bounds = np.searchsorted(sh, np.arange(num_shards + 1))
+        shards, blobs = [], []
+        for s in range(num_shards):
+            seg = keys[bounds[s]:bounds[s + 1]]
+            if seg.size:
+                shards.append(s)
+                blobs.append(seg.tobytes())
+        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
+                            "keys": blobs})
+
+    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
+
     if capacity is None:
-        capacity = proj.select(F.approx_count_distinct("k")).first()[0]
+        if is_array:
+            flat = base.select(F.explode("k").alias("t"))
+            capacity = flat.select(F.approx_count_distinct("t")).first()[0]
+        else:
+            capacity = base.select(F.approx_count_distinct("k")).first()[0]
         capacity = int(capacity * 1.15) + 64
     shard_cap = max(64, capacity // num_shards)
 
-    @F.pandas_udf(T.IntegerType())
-    def shard_udf(s: pd.Series) -> pd.Series:
-        return pd.Series(shard_of(keys_to_u64(s), num_shards).astype(np.int32))
-
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = keys_to_u64(pdf["k"])
+        keys = np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
         if dedupe:
             keys = np.unique(keys)
         filt = CuckooFilter.create(max(shard_cap, keys.size), bits=bits, seed=seed)
@@ -139,8 +168,7 @@ def cuckoo_build(
                              "blob": [filt.to_bytes()]})
 
     rows = (
-        proj.withColumn("shard", shard_udf("k"))
-        .groupBy("shard")
+        packed.groupBy("shard")
         .applyInPandas(build_shard, "shard int, blob binary")
         .collect()
     )
