@@ -56,7 +56,9 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.sketch.aggregates import bloom_contains_col, bloom_sketch
 
     li = _t(spark, sf_dir, "lineitem")
-    filt = bloom_sketch(li, "l_suppkey", capacity=200, bits_per_item=16, seed=SEED)
+    cap = li.agg(F.approx_count_distinct("l_suppkey")).first()[0]
+    filt = bloom_sketch(li, "l_suppkey", capacity=int(cap * 1.5) + 64,
+                        bits_per_item=16, seed=SEED)
     sup = _t(spark, sf_dir, "supplier")
     probes = (sup.select(F.col("s_suppkey").alias("probe"))
               .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
@@ -78,6 +80,57 @@ def q_cf_mixed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = mix_in(li.selectExpr("l_partkey AS k"), negatives, "k", 50)
     return (probes.withColumn("hit", cuckoo_contains_col(spark, filt, "probe"))
             .groupBy("expected_hit", "hit").agg(F.count("*").alias("cnt")))
+
+
+def q_xor_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static xor-filter semi-join (xorfilter.h AddAll/Contain):
+    distributed dedupe -> driver peel -> broadcast probe. 16-bit
+    fingerprints; zero FP on this keyspace verified for SEED."""
+    from cuckoofilter_spark.sketch.membership import xor_build, xor_contains_col
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = xor_build(li, "l_partkey", fp_bits=16, seed=SEED)
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("hit", xor_contains_col(spark, filt, "p_partkey"))
+            .where("hit").select(F.col("p_partkey").alias("member_key")))
+
+
+def q_cf_semisort_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-sorted (PackedTable, bits=13) cuckoo membership: PermEncoding
+    codeword blobs (packedtable.h/permencoding.h), ~12.6 bits/item at
+    full load vs 16 unpacked. Zero FP on this keyspace for SEED."""
+    from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") < 100)
+    filt = cuckoo_build(li, "l_suppkey", bits=13, seed=SEED, num_shards=8,
+                        mode="semisort")
+    sup = _t(spark, sf_dir, "supplier")
+    return (sup.withColumn("hit", cuckoo_contains_col(spark, filt, "s_suppkey"))
+            .where("hit").select(F.col("s_suppkey").alias("member_key")))
+
+
+def q_cf_checkpoint_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed build (stage-1 partials + lineage manifest) — result
+    must equal the direct build; resume semantics tested in tests/."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter_spark.plans.checkpoint import cuckoo_build_checkpointed
+    from cuckoofilter_spark.sketch.membership import cuckoo_contains_col
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    ckpt = tempfile.mkdtemp(prefix="cfckpt_")
+    try:
+        filt = cuckoo_build_checkpointed(
+            spark, li, "l_partkey", ckpt, capacity=1200, bits=16, seed=SEED,
+            num_shards=8)
+        part = _t(spark, sf_dir, "part")
+        # the probe depends only on the broadcast blobs (driver-held), so
+        # the checkpoint dir can be cleaned before lazy evaluation
+        return (part.withColumn("hit", cuckoo_contains_col(spark, filt, "p_partkey"))
+                .where("hit").select(F.col("p_partkey").alias("member_key")))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -241,6 +294,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cf_membership": q_cf_membership,
+        "xor_membership": q_xor_membership,
+        "cf_semisort_membership": q_cf_semisort_membership,
+        "cf_checkpoint_membership": q_cf_checkpoint_membership,
         "bloom_membership": q_bloom_membership,
         "cf_mixed_probe": q_cf_mixed_probe,
         "hll_distinct": q_hll_distinct,
@@ -273,6 +329,18 @@ _SHINGLES = (
 def oracle_sql() -> dict[str, str]:
     return {
         "cf_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "xor_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "cf_semisort_membership": """
+            SELECT s_suppkey AS member_key FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_suppkey < 100)
+        """,
+        "cf_checkpoint_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,

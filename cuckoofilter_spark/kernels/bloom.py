@@ -28,6 +28,8 @@ _MAGIC = b"BLM1"
 _FMT = "<4sHBBIQQQ"
 _HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver k pad m_words seed n_added capacity
 
+_CHUNK = 1 << 18  # keys per kernel pass; keeps temporaries L2/L3-resident
+
 
 class BloomFilter:
     def __init__(self, num_bits: int, k: int, seed: int, capacity: int = 0):
@@ -55,9 +57,23 @@ class BloomFilter:
         return pos
 
     def add_many(self, keys) -> None:
-        pos = self._positions(np.asarray(keys)).reshape(-1)
-        np.bitwise_or.at(self.words, pos >> 6, U64(1) << (pos.astype(np.uint64) & U64(63)))
-        self.n_added += np.asarray(keys).size
+        keys = np.asarray(keys)
+        # np.bitwise_or.at is a ~300k ops/s scalar scatter; instead sort
+        # the chunk's bit positions and OR per unique word via reduceat —
+        # all C-speed array passes, chunked to stay cache-resident
+        for lo in range(0, keys.size, _CHUNK):
+            pos = self._positions(keys[lo:lo + _CHUNK]).reshape(-1)
+            if pos.size == 0:
+                continue
+            pos.sort()
+            wi = pos >> 6
+            bitv = U64(1) << (pos.astype(np.uint64) & U64(63))
+            starts = np.empty(wi.size, dtype=bool)
+            starts[0] = True
+            np.not_equal(wi[1:], wi[:-1], out=starts[1:])
+            starts = np.flatnonzero(starts)
+            self.words[wi[starts]] |= np.bitwise_or.reduceat(bitv, starts)
+        self.n_added += keys.size
 
     def contains_many(self, keys) -> np.ndarray:
         pos = self._positions(np.asarray(keys))

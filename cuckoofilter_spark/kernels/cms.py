@@ -24,6 +24,8 @@ _MAGIC = b"CMS1"
 _FMT = "<4sHBBIQQ"
 _HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver d pad w seed total
 
+_CHUNK = 1 << 18  # keys per kernel pass; keeps temporaries L2/L3-resident
+
 
 class CountMinSketch:
     def __init__(self, width: int, depth: int = 4, seed: int = 0x5EED):
@@ -53,13 +55,27 @@ class CountMinSketch:
 
     def add_many(self, keys, counts=None) -> None:
         keys = np.asarray(keys)
-        if counts is None:
-            counts = np.ones(keys.size, dtype=np.int64)
-        else:
+        if counts is not None:
             counts = np.asarray(counts, dtype=np.int64)
-        for r in range(self.depth):
-            np.add.at(self.table[r], self._row_idx(keys, r), counts)
-        self.total += int(counts.sum())
+            # float64 weights are exact for counts < 2^53 (asserted)
+            if counts.size and int(np.abs(counts).max()) >= (1 << 53):
+                raise ValueError("counts too large for exact bincount path")
+        # np.add.at is a ~300k ops/s scalar scatter; bincount is a C
+        # histogram at ~100M ops/s and the row add is a dense w-vector op.
+        # Chunking keeps each hash round's temporaries L2-resident — the
+        # full-array version is DRAM-bandwidth-bound and collapses under
+        # multi-worker parallelism (7x slower single-core, worse scaled).
+        for lo in range(0, keys.size, _CHUNK):
+            ck = keys[lo:lo + _CHUNK]
+            cc = None if counts is None else counts[lo:lo + _CHUNK]
+            for r in range(self.depth):
+                idx = self._row_idx(ck, r)
+                if cc is None:
+                    self.table[r] += np.bincount(idx, minlength=self.width)
+                else:
+                    self.table[r] += np.bincount(
+                        idx, weights=cc, minlength=self.width).astype(np.int64)
+        self.total += int(keys.size if counts is None else counts.sum())
 
     def query_many(self, keys) -> np.ndarray:
         keys = np.asarray(keys)

@@ -124,9 +124,17 @@ class CuckooFilter:
     ``seed`` replaces the reference's random_device-seeded hasher.
     """
 
-    def __init__(self, num_buckets: int, bits: int, seed: int, capacity: int):
+    def __init__(self, num_buckets: int, bits: int, seed: int, capacity: int,
+                 mode: str = "single"):
         if num_buckets & (num_buckets - 1):
             raise ValueError("num_buckets must be a power of two")
+        if mode not in ("single", "semisort"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "semisort" and bits != 13:
+            # the reference ships/tests the 13-bit PackedTable config
+            # (example/test1.cc:38, packedtable.h codeword case bits=13)
+            raise ValueError("semisort mode supports bits=13 only")
+        self.mode = mode
         self.num_buckets = int(num_buckets)
         self.bits = int(bits)
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
@@ -140,13 +148,14 @@ class CuckooFilter:
 
     # -- construction -----------------------------------------------------
     @classmethod
-    def create(cls, max_num_keys: int, bits: int = 12, seed: int = 0x5EED) -> "CuckooFilter":
+    def create(cls, max_num_keys: int, bits: int = 12, seed: int = 0x5EED,
+               mode: str = "single") -> "CuckooFilter":
         """Sizing rule of cuckoofilter.h:91-100."""
         nb = upperpower2(max(1, max_num_keys // ASSOC))
         frac = max_num_keys / nb / ASSOC
         if frac > 0.94:
             nb <<= 1
-        return cls(nb, bits, seed, max_num_keys)
+        return cls(nb, bits, seed, max_num_keys, mode=mode)
 
     # -- hashing ----------------------------------------------------------
     def _index_tag(self, keys) -> tuple[np.ndarray, np.ndarray]:
@@ -172,8 +181,15 @@ class CuckooFilter:
         count stored so far (remaining keys are NOT inserted —
         NotEnoughSpace semantics, cuckoofilter.h:148-150).
         """
-        idx, tag = self._index_tag(np.asarray(keys))
-        return self._add_tags(idx, tag, raise_on_full)
+        keys = np.asarray(keys)
+        # chunked: bounds the pending-set working memory of the kick loop
+        # (cache-resident rounds) — layout is still deterministic because
+        # the chunking policy is fixed
+        total = 0
+        for lo in range(0, keys.size, 1 << 16):
+            idx, tag = self._index_tag(keys[lo:lo + (1 << 16)])
+            total += self._add_tags(idx, tag, raise_on_full)
+        return total
 
     def _add_tags(self, idx: np.ndarray, tag: np.ndarray, raise_on_full: bool = True) -> int:
         if self.victim_used:
@@ -341,9 +357,14 @@ class CuckooFilter:
         return self.num_buckets * ASSOC
 
     def size_in_bytes(self) -> int:
-        """Bit-packed table bytes (singletable.h:59-61)."""
+        """Bit-packed table bytes (singletable.h:59-61; packedtable.h
+        semi-sort saves 1 bit/tag -> 6-byte buckets at bits=13)."""
         ntags = self.size_in_tags()
-        return {4: ntags // 2, 8: ntags, 12: ntags * 3 // 2, 16: ntags * 2, 32: ntags * 4}[self.bits]
+        if self.mode == "semisort":
+            from .packed import BUCKET_BYTES_13
+            return self.num_buckets * BUCKET_BYTES_13
+        return {4: ntags // 2, 8: ntags, 12: ntags * 3 // 2,
+                13: ntags * 2, 16: ntags * 2, 32: ntags * 4}[self.bits]
 
     def load_factor(self) -> float:
         return self.num_items / self.size_in_tags()  # cuckoofilter.h:86
@@ -358,7 +379,7 @@ class CuckooFilter:
     def info(self) -> dict:
         """Info() (cuckoofilter.h:240-255) as a dict."""
         return {
-            "mode": "single",
+            "mode": self.mode,
             "bits_per_item_config": self.bits,
             "num_buckets": self.num_buckets,
             "num_items": self.num_items,
@@ -371,12 +392,19 @@ class CuckooFilter:
 
     # -- serialization ----------------------------------------------------
     def to_bytes(self) -> bytes:
-        """Little-endian blob: header + bit-packed table (cuckoofilter.h:104-119)."""
-        hdr = struct.pack(_FMT, 
-            _MAGIC, 1, self.bits, 0, int(np.log2(self.num_buckets)),
+        """Little-endian blob: header + bit-packed table (cuckoofilter.h:104-119).
+
+        mode=semisort packs buckets through the PermEncoding codec
+        (packedtable.h) — 6 bytes/bucket at bits=13 instead of 8."""
+        hdr = struct.pack(_FMT,
+            _MAGIC, 1, self.bits, 1 if self.mode == "semisort" else 0,
+            int(np.log2(self.num_buckets)),
             self.seed, self.num_items, self.capacity,
             int(self.victim_used), self.victim_index, self.victim_tag,
         )
+        if self.mode == "semisort":
+            from .packed import pack_buckets_13
+            return hdr + pack_buckets_13(self.table)
         return hdr + pack_tags(self.table.reshape(-1), self.bits)
 
     @classmethod
@@ -384,13 +412,18 @@ class CuckooFilter:
         magic, ver, bits, mode, log2nb, seed, nitems, cap, vused, vindex, vtag = struct.unpack_from(_FMT, blob)
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad cuckoo blob header")
-        f = cls(1 << log2nb, bits, seed, cap)
+        f = cls(1 << log2nb, bits, seed, cap,
+                mode="semisort" if mode == 1 else "single")
         f.num_items = nitems
         f.victim_used = bool(vused)
         f.victim_index = vindex
         f.victim_tag = vtag
-        f.table = unpack_tags(blob[_HDR_SIZE:], bits, f.size_in_tags()).reshape(
-            f.num_buckets, ASSOC)
+        if f.mode == "semisort":
+            from .packed import unpack_buckets_13
+            f.table = unpack_buckets_13(blob[_HDR_SIZE:], f.num_buckets)
+        else:
+            f.table = unpack_tags(blob[_HDR_SIZE:], bits, f.size_in_tags()).reshape(
+                f.num_buckets, ASSOC)
         return f
 
     # -- merge ------------------------------------------------------------
@@ -406,7 +439,7 @@ class CuckooFilter:
         return canon.astype(np.int64), tags
 
     def _params(self) -> tuple:
-        return (self.num_buckets, self.bits, self.seed)
+        return (self.num_buckets, self.bits, self.seed, self.mode)
 
     @classmethod
     def merge(cls, a: "CuckooFilter", b: "CuckooFilter") -> "CuckooFilter":
@@ -423,7 +456,8 @@ class CuckooFilter:
         ci = np.concatenate([a.extract_items()[0], b.extract_items()[0]])
         ct = np.concatenate([a.extract_items()[1], b.extract_items()[1]])
         srt = np.lexsort((ct, ci))
-        out = cls(a.num_buckets, a.bits, a.seed, max(a.capacity, b.capacity))
+        out = cls(a.num_buckets, a.bits, a.seed, max(a.capacity, b.capacity),
+                  mode=a.mode)
         out._add_tags(ci[srt], ct[srt].astype(out.table.dtype), raise_on_full=True)
         return out
 
@@ -431,6 +465,7 @@ class CuckooFilter:
         """Rebuild into canonical layout (same function ``merge`` applies)."""
         ci, ct = self.extract_items()
         srt = np.lexsort((ct, ci))
-        out = type(self)(self.num_buckets, self.bits, self.seed, self.capacity)
+        out = type(self)(self.num_buckets, self.bits, self.seed, self.capacity,
+                         mode=self.mode)
         out._add_tags(ci[srt], ct[srt].astype(out.table.dtype), raise_on_full=True)
         return out

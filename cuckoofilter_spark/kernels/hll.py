@@ -25,6 +25,8 @@ _MAGIC = b"HLL1"
 _FMT = "<4sHBBQ"
 _HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver p pad seed
 
+_CHUNK = 1 << 18  # keys per kernel pass; keeps temporaries L2/L3-resident
+
 
 def _alpha(m: int) -> float:
     if m == 16:
@@ -46,20 +48,39 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add_many(self, keys) -> None:
-        h = simple_mix_split(keys, self.seed)
+        keys = np.asarray(keys)
+        # chunked so the hash + sort temporaries stay cache-resident
+        # (full-array passes are DRAM-bandwidth-bound and scale badly
+        # across workers); register max accumulates across chunks
+        for lo in range(0, keys.size, _CHUNK):
+            self._add_chunk(keys[lo:lo + _CHUNK])
+
+    def _add_chunk(self, keys) -> None:
+        h = np.unique(simple_mix_split(keys, self.seed))
+        if h.size == 0:
+            return
+        # Equal hashes yield equal (idx, rho), so dedupe first. The sorted
+        # unique hashes are grouped by idx (idx = high p bits), and within
+        # an idx run `rest` ascends, so rho (leading zeros + 1) is
+        # non-increasing: the max rho of each register is simply the FIRST
+        # element of its run — no np.maximum.at scatter (a ~300k ops/s
+        # scalar loop); everything below runs on <= m survivors.
         idx = (h >> U64(64 - self.p)).astype(np.int64)
+        first = np.empty(h.size, dtype=bool)
+        first[0] = True
+        np.not_equal(idx[1:], idx[:-1], out=first[1:])
+        h = h[first]
+        idx = idx[first]
         rest = (h << U64(self.p)) | U64((1 << self.p) - 1)  # pad low bits
-        # rho = leading zeros of `rest` + 1, in [1, 64-p+1]
-        # leading zeros via bit_length: 64 - floor(log2(rest)) ... do it with
-        # a float trick-free loop over 64 bits? Use np.frexp on float64 is
-        # unsafe at 64-bit precision; count with integer ops instead.
+        # rho = leading zeros of `rest` + 1, in [1, 64-p+1]; integer
+        # bisection (np.frexp on float64 is unsafe at 64-bit precision)
         rho = np.ones(h.size, dtype=np.uint8)
         v = rest
         for shift in (32, 16, 8, 4, 2, 1):
             mask = v < (U64(1) << U64(64 - shift))
             rho[mask] += shift
             v = np.where(mask, v << U64(shift), v)
-        np.maximum.at(self.registers, idx, rho)
+        self.registers[idx] = np.maximum(self.registers[idx], rho)
 
     def estimate(self) -> float:
         regs = self.registers.astype(np.float64)

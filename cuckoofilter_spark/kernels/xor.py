@@ -1,0 +1,193 @@
+"""Static xor filter kernel (pure numpy) — xorfilter.h re-expressed.
+
+The reference's XorFilter (xorfilter.h:55-295, Graf & Lemire) is a
+*static* AMQ built in one shot from the full key set:
+
+- 3 candidate cells per key, one in each third of an array of length
+  ~1.23n + 32 (xorfilter.h:74-75, ``getHashFromHash`` 37-53);
+- build = hypergraph peeling: repeatedly expose cells containing exactly
+  one key, stack them, remove the key; on success assign fingerprints in
+  reverse so that ``fp[h0] ^ fp[h1] ^ fp[h2] == fingerprint(key)``
+  (xorfilter.h:120-279);
+- lookup = 3 gathers + xor (xorfilter.h:281-295);
+- peel failure (p < 2^-something for 1.23 factor) -> retry with a fresh
+  seed (xorfilter.h:246-251).
+
+Vectorization note: the reference peels one cell at a time via an
+explicit queue (xorfilter.h:173-204). We peel in *rounds*: every cell
+with count==1 is exposed simultaneously, keys are removed in bulk, and
+assignment replays rounds in reverse. Within one round no exposed cell
+can contain another same-round key (a cell with count 1 holds only its
+own key), and a stacked key's other cells are always assigned in a
+LATER round (if an earlier-round single cell contained this key, the
+key would have been exposed then), so reverse-round batch assignment
+reproduces the sequential stack semantics exactly.
+
+Merging: xor filters are NOT mergeable (static by construction); the
+distributed story is "dedupe keys in parallel, build once, broadcast"
+— the build-side-of-a-broadcast-join pattern (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import U64, lemire_reduce, rotl64, simple_mix_split, splitmix64
+
+_MAGIC = b"XOR1"
+_FMT = "<4sHBBIQQ"
+_HDR_SIZE = struct.calcsize(_FMT)  # magic ver fpbits pad blocklen seed size
+
+_MAX_ATTEMPTS = 32
+
+
+def _cells(h: np.ndarray, block_length: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """getHashFromHash (xorfilter.h:37-53): rotate, reduce per third."""
+    bl = int(block_length)
+    r0 = lemire_reduce(h & U64(0xFFFFFFFF), bl)
+    r1 = lemire_reduce(rotl64(h, 21) & U64(0xFFFFFFFF), bl) + U64(bl)
+    r2 = lemire_reduce(rotl64(h, 42) & U64(0xFFFFFFFF), bl) + U64(2 * bl)
+    return r0.astype(np.int64), r1.astype(np.int64), r2.astype(np.int64)
+
+
+class XorFilter:
+    """Static xor filter over uint64 keys, fp_bits in {8, 16}."""
+
+    def __init__(self, block_length: int, fp_bits: int, seed: int):
+        if fp_bits not in (8, 16):
+            raise ValueError("fp_bits must be 8 or 16")
+        self.block_length = int(block_length)
+        self.fp_bits = int(fp_bits)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        dt = np.uint8 if fp_bits == 8 else np.uint16
+        self.fingerprints = np.zeros(3 * self.block_length, dtype=dt)
+        self.size = 0
+
+    # -- build ------------------------------------------------------------
+    @classmethod
+    def build(cls, keys: np.ndarray, fp_bits: int = 8, seed: int = 0x5EED) -> "XorFilter":
+        """AddAll (xorfilter.h:120-279): peel + reverse assignment.
+
+        ``keys`` must be duplicate-free (the reference requires the same,
+        xorfilter.h docs); np.unique them if unsure.
+        """
+        keys = np.asarray(keys, dtype=np.uint64)
+        n = keys.size
+        block_length = max(4, int(32 + 1.23 * n) // 3)
+        for attempt in range(_MAX_ATTEMPTS):
+            s = int(splitmix64(np.array([seed + attempt], dtype=np.uint64))[0])
+            f = cls(block_length, fp_bits, seed)
+            if f._try_build(keys, s, attempt):
+                return f
+        raise RuntimeError(f"xor filter peel failed after {_MAX_ATTEMPTS} attempts")
+
+    def _try_build(self, keys: np.ndarray, mix_seed: int, attempt: int) -> bool:
+        self._mix_seed = mix_seed
+        self._attempt = attempt
+        n = keys.size
+        if n == 0:
+            self.size = 0
+            return True
+        h = simple_mix_split(keys, mix_seed)
+        if np.unique(h).size != n:  # hash collision: retry with new seed
+            return False
+        c0, c1, c2 = _cells(h, self.block_length)
+        m = 3 * self.block_length
+        cells = np.concatenate([c0, c1, c2])
+        owners = np.concatenate([h, h, h])
+        count = np.bincount(cells, minlength=m).astype(np.int64)
+        # xorsum per cell: sort (cell, ownerhash) then reduceat-xor
+        order = np.argsort(cells, kind="stable")
+        sc, so = cells[order], owners[order]
+        starts = np.flatnonzero(np.concatenate(([True], sc[1:] != sc[:-1])))
+        xorsum = np.zeros(m, dtype=np.uint64)
+        xorsum[sc[starts]] = np.bitwise_xor.reduceat(so, starts)
+
+        rounds_cells: list[np.ndarray] = []
+        rounds_hashes: list[np.ndarray] = []
+        remaining = n
+        while remaining:
+            single_cells = np.flatnonzero(count == 1)
+            if single_cells.size == 0:
+                return False  # peel stuck -> retry
+            exposed_h = xorsum[single_cells]
+            # one key may be exposed via several cells this round: keep the
+            # first cell per key (stable), matching one stack entry per key
+            uh, first = np.unique(exposed_h, return_index=True)
+            first.sort()
+            sel_cells = single_cells[first]
+            sel_h = xorsum[sel_cells]
+            rounds_cells.append(sel_cells)
+            rounds_hashes.append(sel_h)
+            # remove those keys from all their cells
+            k0, k1, k2 = _cells(sel_h, self.block_length)
+            for kc in (k0, k1, k2):
+                if sel_h.size * 64 < m:
+                    # tail rounds are tiny: scalar scatter beats an
+                    # m-length bincount allocation per round
+                    np.subtract.at(count, kc, 1)
+                    np.bitwise_xor.at(xorsum, kc, sel_h)
+                else:
+                    count -= np.bincount(kc, minlength=m)
+                    # xor out: sort+reduceat (kc may repeat cells)
+                    o = np.argsort(kc, kind="stable")
+                    skc, sh = kc[o], sel_h[o]
+                    st = np.flatnonzero(np.concatenate(([True], skc[1:] != skc[:-1])))
+                    xorsum[skc[st]] ^= np.bitwise_xor.reduceat(sh, st)
+            remaining -= sel_h.size
+
+        # reverse assignment (xorfilter.h:254-274), round-batched
+        fp_mask = np.uint64((1 << self.fp_bits) - 1)
+        for sel_cells, sel_h in zip(reversed(rounds_cells), reversed(rounds_hashes)):
+            k0, k1, k2 = _cells(sel_h, self.block_length)
+            fp = (simple_mix_split(sel_h, 0xF00D) & fp_mask).astype(self.fingerprints.dtype)
+            val = (fp
+                   ^ self.fingerprints[k0] ^ self.fingerprints[k1]
+                   ^ self.fingerprints[k2])
+            # own cell currently holds 0, so xoring all three then storing
+            # into the own cell gives fp ^ other two — the invariant below
+            self.fingerprints[sel_cells] = val
+        self.size = n
+        return True
+
+    # -- lookup -----------------------------------------------------------
+    def contains_many(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        h = simple_mix_split(keys, self._mix_seed)
+        c0, c1, c2 = _cells(h, self.block_length)
+        fp_mask = np.uint64((1 << self.fp_bits) - 1)
+        fp = (simple_mix_split(h, 0xF00D) & fp_mask).astype(self.fingerprints.dtype)
+        return (self.fingerprints[c0] ^ self.fingerprints[c1]
+                ^ self.fingerprints[c2]) == fp
+
+    # -- stats ------------------------------------------------------------
+    def size_in_bytes(self) -> int:
+        return self.fingerprints.nbytes
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.size)
+
+    def expected_fpp(self) -> float:
+        return 1.0 / (1 << self.fp_bits)
+
+    # -- serialization ----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        hdr = struct.pack(_FMT, _MAGIC, 1, self.fp_bits, self._attempt,
+                          self.block_length, self.seed, self.size)
+        return hdr + self.fingerprints.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "XorFilter":
+        magic, ver, fp_bits, attempt, bl, seed, size = struct.unpack_from(_FMT, blob)
+        if magic != _MAGIC or ver != 1:
+            raise ValueError("bad xor blob header")
+        f = cls(bl, fp_bits, seed)
+        f._attempt = attempt
+        f._mix_seed = int(splitmix64(np.array([seed + attempt], dtype=np.uint64))[0])
+        f.size = size
+        dt = np.uint8 if fp_bits == 8 else np.uint16
+        f.fingerprints = np.frombuffer(blob, dtype=dt, offset=_HDR_SIZE,
+                                       count=3 * bl).copy()
+        return f

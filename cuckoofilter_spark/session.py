@@ -24,6 +24,13 @@ def get_spark(app: str = "cuckoofilter-spark", cores: int | None = None,
     pp = os.environ.get("PYTHONPATH", "")
     if _PKG_ROOT not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = _PKG_ROOT + (os.pathsep + pp if pp else "")
+    # Freed large buffers must stay reusable inside long-lived Python
+    # workers: this sandbox's VM hands pages to the guest at ~50 MB/s on
+    # FIRST touch (demand faulting), so the win is never giving pages
+    # back. Workers inherit the env in local mode (spark-submit would use
+    # spark.executorEnv.* for the same effect).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -31,9 +38,13 @@ def get_spark(app: str = "cuckoofilter-spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 8k rows (~3 MB of int32 tokens at the canonical ~340 tok/row)
+        # bounds each worker's peak buffer footprint; first-touch page
+        # faults in this sandbox cost ~50 MB/s, so peak-memory churn, not
+        # batch count, is what hurts
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -109,6 +109,7 @@ def cuckoo_build(
     seed: int = 0x5EED,
     num_shards: int = 32,
     dedupe: bool = True,
+    mode: str = "single",
 ) -> ShardedCuckooFilter:
     """Build a sharded cuckoo filter over an integer key column.
 
@@ -162,7 +163,8 @@ def cuckoo_build(
             [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
         if dedupe:
             keys = np.unique(keys)
-        filt = CuckooFilter.create(max(shard_cap, keys.size), bits=bits, seed=seed)
+        filt = CuckooFilter.create(max(shard_cap, keys.size), bits=bits, seed=seed,
+                                   mode=mode)
         filt.add_many(keys)
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
                              "blob": [filt.to_bytes()]})
@@ -173,7 +175,7 @@ def cuckoo_build(
         .collect()
     )
     blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
-    empty = CuckooFilter.create(shard_cap, bits=bits, seed=seed).to_bytes()
+    empty = CuckooFilter.create(shard_cap, bits=bits, seed=seed, mode=mode).to_bytes()
     blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
     return ShardedCuckooFilter(blobs, bits=bits, seed=seed)
 
@@ -206,6 +208,61 @@ def approx_semi_join(
     build-once broadcast pre-filter that replaces a full shuffle join.
     """
     return fact.where(cuckoo_contains_col(spark, filt, fact_col))
+
+
+def distinct_keys_u64(df: DataFrame, col: str) -> np.ndarray:
+    """Distributed distinct of an integer or array<int> column -> driver.
+
+    Per-partition flatten + np.unique inside the Arrow pass, one packed
+    binary row per partition, global unique on the driver. This is the
+    build side of a broadcast structure: the driver only ever holds the
+    DISTINCT key set (bounded by the key universe, e.g. vocab), never
+    row data — the same contract as a broadcast-join build side.
+    """
+    from .udaf import require_key_col, tokens_to_u64
+
+    is_array = require_key_col(df, col)
+    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
+
+    def part_unique(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
+                 for pdf in batches]
+        uniq = (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, dtype=np.uint64))
+        yield pd.DataFrame({"keys": [uniq.tobytes()]})
+
+    rows = base.mapInPandas(part_unique, schema="keys binary").collect()
+    if not rows:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(
+        [np.frombuffer(bytes(r["keys"]), dtype=np.uint64) for r in rows]))
+
+
+def xor_build(df: DataFrame, col: str, fp_bits: int = 8, seed: int = 0x5EED):
+    """Distributed-dedupe + driver-peel static xor filter build.
+
+    The peel (xorfilter.h:122-279) is inherently sequential, so it runs
+    driver-side over the distinct key set — executor->driver control
+    crosses exactly once, by design (SURVEY §3.3). Returns a XorFilter.
+    """
+    from ..kernels.xor import XorFilter
+
+    return XorFilter.build(distinct_keys_u64(df, col), fp_bits=fp_bits, seed=seed)
+
+
+def xor_contains_col(spark: SparkSession, filt, col) -> Column:
+    """Boolean membership Column against a broadcast xor-filter blob."""
+    bc = spark.sparkContext.broadcast(filt.to_bytes())
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..kernels.xor import XorFilter
+
+        local = XorFilter.from_bytes(bc.value)
+        for s in it:
+            yield pd.Series(local.contains_many(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
 
 
 def approx_anti_join(

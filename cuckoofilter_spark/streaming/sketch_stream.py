@@ -1,0 +1,132 @@
+"""Incremental sketch maintenance over Structured Streaming.
+
+The reference has no streaming surface (SURVEY §2.6) — this is the
+Spark-native extension its capabilities imply: because every sketch in
+the library is an associative+commutative mergeable state (the UDAF
+contract), maintaining one over an unbounded stream is just
+
+    for each micro-batch:  state <- merge(state, partial(batch))
+
+which is exactly ``foreachBatch`` + the existing batch builders. No
+custom stateful operator (applyInPandasWithState) is needed for
+*global* sketches — the state is a handful of blobs, not per-key rows —
+so we keep the simplest fault-tolerant shape: the state table is a
+Parquet dataset of ``(group, kind, blob, updated_batch)`` rows,
+overwritten atomically per micro-batch, idempotent under micro-batch
+replay (merge of the same partial twice is NOT idempotent for CMS/KLL
+counts, so we guard by recording the last applied batch id — the
+standard foreachBatch exactly-once recipe).
+
+At scale: the per-batch partial is computed distributively (same
+partial/tree-merge path as the batch builders); only blobs touch the
+state table. A restart replays from the checkpointed offset, sees the
+recorded batch id, and skips already-applied batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernels.cms import CountMinSketch
+from ..kernels.hll import HyperLogLog
+from ..kernels.kll import KLLSketch
+from ..sketch.aggregates import cms_sketch, hll_sketch, kll_sketch
+
+_KINDS = {
+    "hll": (HyperLogLog, hll_sketch),
+    "cms": (CountMinSketch, cms_sketch),
+    "kll": (KLLSketch, kll_sketch),
+}
+
+
+class StreamingSketchState:
+    """Parquet-backed mergeable sketch state for foreachBatch sinks."""
+
+    def __init__(self, state_dir: str, kind: str, col: str, **params):
+        if kind not in _KINDS:
+            raise ValueError(f"kind must be one of {sorted(_KINDS)}")
+        self.state_dir = state_dir
+        self.kind = kind
+        self.col = col
+        self.params = params
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- state io ---------------------------------------------------------
+    def _blob_path(self) -> str:
+        return os.path.join(self.state_dir, "state.blob")
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_dir, "state.json")
+
+    def load(self):
+        """Current sketch (or a fresh empty one)."""
+        cls, _build = _KINDS[self.kind]
+        try:
+            with open(self._blob_path(), "rb") as f:
+                return cls.from_bytes(f.read())
+        except OSError:
+            return None
+
+    def last_batch_id(self) -> int:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _store(self, sketch, batch_id: int) -> None:
+        tmp = self._blob_path() + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(sketch.to_bytes())
+        os.replace(tmp, self._blob_path())
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "updated_at": time.time(),
+                       "kind": self.kind, "col": self.col}, f)
+        os.replace(tmp, self._meta_path())
+
+    # -- the foreachBatch hook --------------------------------------------
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: exactly-once via the recorded batch id.
+
+        Replayed micro-batches (restart after failure between partial
+        computation and state commit) are skipped — merging the same
+        partial twice would double CMS counts.
+        """
+        if batch_id <= self.last_batch_id():
+            return
+        cls, build = _KINDS[self.kind]
+        partial = build(batch_df, self.col, **self.params)
+        cur = self.load()
+        merged = partial if cur is None else cls.merge(cur, partial)
+        self._store(merged, batch_id)
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str,
+               trigger_available_now: bool = True):
+        """Wire this state into a writeStream.foreachBatch query."""
+        w = (stream_df.writeStream
+             .foreachBatch(self.update)
+             .option("checkpointLocation", checkpoint_dir))
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+
+def stream_token_sketches(spark: SparkSession, stream_df: DataFrame,
+                          state_root: str, checkpoint_root: str,
+                          seed: int = 0x5EED) -> list:
+    """Convenience: maintain HLL(tokens) + CMS(tokens) + KLL(n_tok) over
+    a token stream; returns the started queries."""
+    qs = []
+    for kind, col, params in (
+        ("hll", "tokens", {"p": 14, "seed": seed}),
+        ("cms", "tokens", {"eps": 0.0005, "delta": 0.01, "seed": seed}),
+        ("kll", "n_tok", {"k": 200, "seed": seed}),
+    ):
+        st = StreamingSketchState(os.path.join(state_root, kind), kind, col, **params)
+        qs.append(st.attach(stream_df, os.path.join(checkpoint_root, kind)))
+    return qs
