@@ -49,6 +49,22 @@ def q_cf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("p_partkey").alias("member_key")))
 
 
+def q_cf_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete semantics (cuckoofilter.h:206-238): build over
+    l_partkey<1000, delete the <500 subset, probe part — survivors are
+    exactly [500,1000) members. Anti-join maintenance; zero FP/FN on
+    this keyspace verified for SEED at 16-bit tags."""
+    from cuckoofilter_spark.sketch.membership import (
+        cuckoo_build, cuckoo_contains_col, cuckoo_delete)
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = cuckoo_build(li, "l_partkey", bits=16, seed=SEED, num_shards=8)
+    cuckoo_delete(filt, li.where(F.col("l_partkey") < 500), "l_partkey")
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("hit", cuckoo_contains_col(spark, filt, "p_partkey"))
+            .where("hit").select(F.col("p_partkey").alias("member_key")))
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join over l_suppkey with present+absent probes.
     bloom.h semantics; bits sized so FP=0 on this keyspace (verified
@@ -63,6 +79,22 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (sup.select(F.col("s_suppkey").alias("probe"))
               .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
     return (probes.withColumn("hit", bloom_contains_col(spark, filt, "probe"))
+            .where("hit").select(F.col("probe").alias("member_key")))
+
+
+def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Bloom (simd-block.h 256-bit buckets) semi-join over
+    l_suppkey; sized so FP=0 on this keyspace (verified for SEED)."""
+    from cuckoofilter_spark.sketch.aggregates import (
+        blocked_bloom_contains_col, blocked_bloom_sketch)
+
+    li = _t(spark, sf_dir, "lineitem")
+    cap = li.agg(F.approx_count_distinct("l_suppkey")).first()[0]
+    filt = blocked_bloom_sketch(li, "l_suppkey", capacity=int(cap * 4) + 64, seed=SEED)
+    sup = _t(spark, sf_dir, "supplier")
+    probes = (sup.select(F.col("s_suppkey").alias("probe"))
+              .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
+    return (probes.withColumn("hit", blocked_bloom_contains_col(spark, filt, "probe"))
             .where("hit").select(F.col("probe").alias("member_key")))
 
 
@@ -173,15 +205,21 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     sk = kll_sketch(li, "l_quantity", k=200, seed=SEED)
-    n = li.count()
     qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     est = {q: float(sk.quantile(q)[0]) for q in qs}
+    # all 14 exact ranks in ONE aggregation pass (a driver-side loop of
+    # .count() jobs would scan lineitem 14 times)
+    aggs = [F.count("*").alias("n")]
+    for i, q in enumerate(qs):
+        c = F.col("l_quantity")
+        aggs.append(F.sum((c <= est[q]).cast("long")).alias(f"le{i}"))
+        aggs.append(F.sum((c < est[q]).cast("long")).alias(f"lt{i}"))
+    r = li.agg(*aggs).first()
     rows = []
-    for q in qs:
-        true_rank = li.where(F.col("l_quantity") <= est[q]).count() / n
-        # rank of the previous distinct value must fall below q too
-        # (standard KLL guarantee: some value within eps of target rank)
-        lo_rank = li.where(F.col("l_quantity") < est[q]).count() / n
+    for i, q in enumerate(qs):
+        true_rank = r[f"le{i}"] / r["n"]
+        lo_rank = r[f"lt{i}"] / r["n"]
+        # standard KLL guarantee: some value within eps of target rank
         ok = (true_rank >= q - sk.eps) and (lo_rank <= q + sk.eps)
         rows.append((q, bool(ok)))
     return spark.createDataFrame(rows, "q double, kll_within_bound boolean")
@@ -297,7 +335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xor_membership": q_xor_membership,
         "cf_semisort_membership": q_cf_semisort_membership,
         "cf_checkpoint_membership": q_cf_checkpoint_membership,
+        "cf_delete_membership": q_cf_delete_membership,
         "bloom_membership": q_bloom_membership,
+        "blocked_bloom_membership": q_blocked_bloom_membership,
         "cf_mixed_probe": q_cf_mixed_probe,
         "hll_distinct": q_hll_distinct,
         "cms_topk_freq": q_cms_topk_freq,
@@ -343,6 +383,18 @@ def oracle_sql() -> dict[str, str]:
         "cf_checkpoint_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "cf_delete_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                                WHERE l_partkey >= 500 AND l_partkey < 1000)
+        """,
+        "blocked_bloom_membership": """
+            WITH probes AS (
+                SELECT s_suppkey AS probe FROM supplier
+                UNION ALL SELECT s_suppkey + 100 FROM supplier)
+            SELECT probe AS member_key FROM probes
+            WHERE probe IN (SELECT l_suppkey FROM lineitem)
         """,
         "bloom_membership": """
             WITH probes AS (

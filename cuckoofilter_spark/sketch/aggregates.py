@@ -89,6 +89,38 @@ def bloom_sketch(df: DataFrame, col: str, capacity: int, bits_per_item: int = 10
     )
 
 
+def blocked_bloom_sketch(df: DataFrame, col: str, capacity: int,
+                         seed: int = 0x5EED, fanout: int = 16) -> "BlockedBloomFilter":
+    """Distributed blocked-Bloom build (simd-block.h semantics,
+    OR-mergeable 256-bit buckets)."""
+    from ..kernels.blocked_bloom import BlockedBloomFilter
+
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: BlockedBloomFilter.create(capacity, seed=seed),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=BlockedBloomFilter.merge,
+        from_bytes=BlockedBloomFilter.from_bytes,
+        fanout=fanout,
+    )
+
+
+def blocked_bloom_contains_col(spark: SparkSession, filt, col) -> Column:
+    """Boolean membership Column against a broadcast blocked-Bloom blob."""
+    bc = spark.sparkContext.broadcast(filt.to_bytes())
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..kernels.blocked_bloom import BlockedBloomFilter
+
+        local = BlockedBloomFilter.from_bytes(bc.value)
+        for s in it:
+            yield pd.Series(local.contains_many(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
 def bloom_contains_col(spark: SparkSession, filt: BloomFilter, col) -> Column:
     """Boolean membership Column against a broadcast Bloom blob."""
     bc = spark.sparkContext.broadcast(filt.to_bytes())

@@ -73,6 +73,24 @@ class ShardedCuckooFilter:
             out[m] = self._filter(int(s)).contains_many(keys[m])
         return out
 
+    def delete_u64(self, keys: np.ndarray) -> np.ndarray:
+        """Bulk Delete (cuckoofilter.h:206-238) across shards.
+
+        Caller must guarantee presence (reference README.md:21) —
+        deleting a never-added key can erase a colliding fingerprint.
+        Returns a bool array (True where a tag was removed) and
+        refreshes the serialized blobs so subsequent broadcasts see the
+        deletion (anti-join maintenance, SURVEY §2.1 #6).
+        """
+        sh = shard_of(keys, self.num_shards)
+        out = np.zeros(keys.size, dtype=bool)
+        for s in np.unique(sh):
+            m = sh == s
+            f = self._filter(int(s))
+            out[m] = f.delete_many(keys[m])
+            self.blobs[int(s)] = f.to_bytes()
+        return out
+
     def num_items(self) -> int:
         return sum(self._filter(s).num_items for s in range(self.num_shards))
 
@@ -208,6 +226,18 @@ def approx_semi_join(
     build-once broadcast pre-filter that replaces a full shuffle join.
     """
     return fact.where(cuckoo_contains_col(spark, filt, fact_col))
+
+
+def cuckoo_delete(filt: ShardedCuckooFilter, df: DataFrame, col: str) -> int:
+    """Delete a DataFrame's distinct keys from a sharded filter.
+
+    The key set is deduped distributively (packed per-partition uniques)
+    and the per-shard tag removal runs driver-side on the blobs — the
+    filter is driver-held state, exactly like the build's collect step.
+    Returns the number of tags removed.
+    """
+    keys = distinct_keys_u64(df, col)
+    return int(filt.delete_u64(keys).sum())
 
 
 def distinct_keys_u64(df: DataFrame, col: str) -> np.ndarray:

@@ -378,3 +378,54 @@ def test_kll_deterministic_build():
     a.add_many(data)
     b.add_many(data)
     assert a.to_bytes() == b.to_bytes()  # reproducible (checkpoint/resume)
+
+
+def test_adversarial_key_orders():
+    """Sequential / rotated / bit-reversed key streams (the reference's
+    adversarial seeds 0-127, bulk-insert-and-query.cc:747-767) must not
+    degrade occupancy or false-positive rate — they stress weak hashing."""
+    import numpy as np
+    from cuckoofilter_spark.kernels.cuckoo import CuckooFilter
+    from cuckoofilter_spark.kernels.hashing import reverse_bits64, rotl64
+
+    base = np.arange(1, 50_001, dtype=np.uint64)
+    variants = {
+        "sequential": base,
+        "rot7": rotl64(base, 7),
+        "rot33": rotl64(base, 33),
+        "bitrev": reverse_bits64(base),
+    }
+    for name, keys in variants.items():
+        f = CuckooFilter.create(60_000, bits=12, seed=21)
+        f.add_many(keys)
+        assert f.contains_many(keys).all(), f"{name}: false negative"
+        neg = rotl64(np.arange(60_001, 160_001, dtype=np.uint64), 13)
+        neg = np.setdiff1d(neg, keys)
+        fpp = f.contains_many(neg).mean()
+        assert fpp <= 3 * f.expected_fpp(), f"{name}: fpp {fpp}"
+
+
+def test_blocked_bloom_kernel():
+    """simd-block.h semantics: no false negatives, fpp near model, OR-merge
+    bit-exact and associative, blob round-trip."""
+    import numpy as np
+    from cuckoofilter_spark.kernels.blocked_bloom import BlockedBloomFilter
+
+    rng = np.random.default_rng(4)
+    keys = np.unique(rng.integers(0, 1 << 60, 100_000, dtype=np.uint64))
+    f = BlockedBloomFilter.create(keys.size, seed=9)
+    f.add_many(keys)
+    assert f.contains_many(keys).all()
+    neg = np.setdiff1d(rng.integers(0, 1 << 60, 300_000, dtype=np.uint64), keys)
+    fpp = f.contains_many(neg).mean()
+    assert fpp < 0.02, fpp  # 24 bits/key blocked bloom: sub-percent regime
+    g = BlockedBloomFilter.from_bytes(f.to_bytes())
+    assert np.array_equal(g.buckets, f.buckets)
+    # split/merge == whole, and associativity
+    parts = [BlockedBloomFilter(f.num_buckets, 9) for _ in range(3)]
+    for p, seg in zip(parts, np.array_split(keys, 3)):
+        p.add_many(seg)
+    m1 = BlockedBloomFilter.merge(BlockedBloomFilter.merge(parts[0], parts[1]), parts[2])
+    m2 = BlockedBloomFilter.merge(parts[0], BlockedBloomFilter.merge(parts[1], parts[2]))
+    assert np.array_equal(m1.buckets, f.buckets)
+    assert m1.to_bytes() == m2.to_bytes()
