@@ -98,6 +98,19 @@ def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("probe").alias("member_key")))
 
 
+def q_gcs_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golomb-coded-sequence filter (gcs.h) semi-join, built via the
+    distributed sort-encode plan; log2fpp=16 so FP=0 on this keyspace
+    (verified for SEED)."""
+    from cuckoofilter_spark.sketch.gcsfilter import gcs_build, gcs_contains_col
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = gcs_build(li, "l_partkey", log2fpp=16, seed=SEED)
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("hit", gcs_contains_col(spark, filt, "p_partkey"))
+            .where("hit").select(F.col("p_partkey").alias("member_key")))
+
+
 def q_cf_mixed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's mixed-ratio lookup protocol (50% stratum of
     bulk-insert-and-query.cc:615-618): deterministic probe composition,
@@ -338,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_delete_membership": q_cf_delete_membership,
         "bloom_membership": q_bloom_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
+        "gcs_membership": q_gcs_membership,
         "cf_mixed_probe": q_cf_mixed_probe,
         "hll_distinct": q_hll_distinct,
         "cms_topk_freq": q_cms_topk_freq,
@@ -373,6 +387,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,
         "xor_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "gcs_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,

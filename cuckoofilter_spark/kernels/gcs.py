@@ -1,0 +1,200 @@
+"""Golomb-coded sequence (GCS) filter kernel — gcs.h re-expressed.
+
+The reference's GCS filter (gcs.h:23-383):
+
+- each key hashes to a ``fingerprint`` in ``[0, n * 2^log2fpp)``
+  (bucket-hash + in-bucket residue); the sorted fingerprint sequence is
+  delta-encoded with Golomb-Rice (rice parameter = log2fpp,
+  gcs.h:289-343, qsort at 307);
+- fingerprints are grouped into buckets of ``2^log2bucket`` expected
+  entries; a bucket's codes start at a bit offset stored in a monotone
+  offset list (the reference uses a 3-level MultiStageMonotoneList,
+  gcs.h:114-240 — we store plain uint32 cumulative offsets: the
+  succinct-structure optimization is orthogonal to the filter's
+  semantics and our offsets live in one numpy array either way);
+- ``Contain`` decodes one bucket (~2^log2bucket entries) and checks for
+  the probe's residue (gcs.h:345-369).
+
+Rice coding (parameter k): value v -> unary(v >> k) ++ k low bits,
+where unary(q) = q ones then a zero (matching gcs.h:326-335's
+writeGolombRice shape). Encoding is fully vectorized (bit positions by
+cumsum); decoding is vectorized ACROSS probes with a bounded per-entry
+round loop (each round consumes one code from every still-active
+probe's bucket).
+
+Space: ~ (log2fpp + 1.5) bits/fingerprint + offsets — the
+near-optimal AMQ the reference uses GCS to demonstrate.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import U64, lemire_reduce, simple_mix_split
+
+_MAGIC = b"GCS1"
+_FMT = "<4sHBBQQQ"
+_HDR_SIZE = struct.calcsize(_FMT)  # magic ver log2fpp log2bucket n nbits seed
+
+
+def rice_encode(deltas: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Rice: returns (bit array uint8, per-value bit lengths)."""
+    q = (deltas >> np.uint64(k)).astype(np.int64)
+    lengths = q + 1 + k
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    total = int(offsets[-1])
+    bits = np.zeros(total, dtype=np.uint8)
+    # unary part: q ones starting at offsets[i]
+    # set ones for all unary runs: positions are offsets[i] + [0, q_i)
+    reps = np.repeat(offsets[:-1], q)
+    if reps.size:
+        starts = np.concatenate(([0], np.cumsum(q)[:-1]))
+        intra = np.arange(int(q.sum()), dtype=np.int64) - np.repeat(starts, q)
+        bits[reps + intra] = 1
+    # terminator zero is already 0; remainder: k bits MSB-first
+    for j in range(k):
+        pos = offsets[:-1] + q + 1 + j
+        bits[pos] = ((deltas >> np.uint64(k - 1 - j)) & np.uint64(1)).astype(np.uint8)
+    return bits, lengths
+
+
+class GcsFilter:
+    """Static GCS filter over uint64 keys (duplicate-free)."""
+
+    def __init__(self, log2fpp: int = 10, log2bucket: int = 4, seed: int = 0x5EED):
+        self.log2fpp = int(log2fpp)       # rice parameter & fpp = 2^-log2fpp
+        self.log2bucket = int(log2bucket)  # expected entries per bucket
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.n = 0
+        self.num_buckets = 0
+        self.bits = np.zeros(0, dtype=np.uint8)   # bit-granular code stream
+        self.offsets = np.zeros(1, dtype=np.int64)  # per-bucket bit offsets
+
+    # -- hashing ----------------------------------------------------------
+    def _fingerprints(self, keys: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+        """(bucket, residue): value = lemire(h, n) * 2^log2fpp | low bits,
+        split so one bucket covers 2^log2bucket consecutive slots."""
+        h = simple_mix_split(np.asarray(keys, dtype=np.uint64), self.seed)
+        slot = lemire_reduce(h >> U64(32), max(1, n))  # [0, n)
+        residue = (h & U64((1 << self.log2fpp) - 1))
+        bucket = (slot >> np.uint64(self.log2bucket)).astype(np.int64)
+        value = ((slot & np.uint64((1 << self.log2bucket) - 1))
+                 << np.uint64(self.log2fpp)) | residue
+        return bucket, value.astype(np.uint64)
+
+    # -- build ------------------------------------------------------------
+    @classmethod
+    def build(cls, keys: np.ndarray, log2fpp: int = 10, log2bucket: int = 4,
+              seed: int = 0x5EED) -> "GcsFilter":
+        """Single-node build: sort fingerprints, rice-encode per bucket
+        (the distributed build in sketch/gcsfilter.py produces identical
+        blobs via Spark sort + grouped encode)."""
+        f = cls(log2fpp, log2bucket, seed)
+        keys = np.asarray(keys, dtype=np.uint64)
+        n = keys.size
+        bucket, value = f._fingerprints(keys, n)
+        bits, offsets = f._encode_all(bucket, value, f.num_buckets_for(n))
+        f._assemble(n, bits, offsets)
+        return f
+
+    def num_buckets_for(self, n: int) -> int:
+        return (n + (1 << self.log2bucket) - 1) >> self.log2bucket if n else 0
+
+    def _encode_all(self, bucket: np.ndarray, value: np.ndarray,
+                    num_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+        """Encode the full sorted stream; returns (bits, offsets)."""
+        order = np.lexsort((value, bucket))
+        b, v = bucket[order], value[order]
+        # delta within bucket; first value of a bucket is delta'd from 0
+        first = np.empty(v.size, dtype=bool)
+        if v.size:
+            first[0] = True
+            np.not_equal(b[1:], b[:-1], out=first[1:])
+        deltas = np.where(first, v, v - np.concatenate(([np.uint64(0)], v[:-1])))
+        bits, lengths = rice_encode(deltas.astype(np.uint64), self.log2fpp)
+        # bucket offsets: bit offset where each bucket's codes start
+        per_bucket_bits = np.zeros(num_buckets, dtype=np.int64)
+        if v.size:
+            np.add.at(per_bucket_bits, b, lengths)  # num_buckets-sized, fine
+        offsets = np.concatenate(([0], np.cumsum(per_bucket_bits)))
+        return bits, offsets
+
+    def _assemble(self, n: int, bits: np.ndarray, offsets: np.ndarray) -> None:
+        self.n = n
+        self.num_buckets = offsets.size - 1
+        self.bits = bits
+        self.offsets = offsets
+
+    # -- lookup -----------------------------------------------------------
+    def contains_many(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if self.n == 0:
+            return np.zeros(keys.size, dtype=bool)
+        bucket, value = self._fingerprints(keys, self.n)
+        bucket = np.minimum(bucket, self.num_buckets - 1)
+        pos = self.offsets[bucket].copy()       # cursor per probe
+        end = self.offsets[bucket + 1]
+        acc = np.zeros(keys.size, dtype=np.uint64)  # running prefix sum
+        found = np.zeros(keys.size, dtype=bool)
+        k = np.uint64(self.log2fpp)
+        active = pos < end
+        # each round decodes ONE rice code for every active probe
+        while active.any():
+            ai = np.flatnonzero(active)
+            # unary: count ones from pos (codes are short; scan in blocks of 8)
+            q = np.zeros(ai.size, dtype=np.int64)
+            cursor = pos[ai].copy()
+            scanning = np.ones(ai.size, dtype=bool)
+            while scanning.any():
+                si = np.flatnonzero(scanning)
+                bit = self.bits[cursor[si]]
+                ones = bit == 1
+                q[si[ones]] += 1
+                cursor[si[ones]] += 1
+                scanning[si[~ones]] = False
+            cursor += 1  # skip terminator zero
+            # remainder: log2fpp bits MSB-first
+            rem = np.zeros(ai.size, dtype=np.uint64)
+            for j in range(self.log2fpp):
+                rem = (rem << np.uint64(1)) | self.bits[cursor].astype(np.uint64)
+                cursor += 1
+            delta = (q.astype(np.uint64) << k) | rem
+            acc[ai] += delta
+            hit = acc[ai] == value[ai]
+            found[ai] |= hit
+            pos[ai] = cursor
+            overshoot = acc[ai] > value[ai]
+            done = hit | overshoot | (cursor >= end[ai])
+            active[ai[done]] = False
+        return found
+
+    # -- stats / io -------------------------------------------------------
+    def size_in_bytes(self) -> int:
+        return (self.bits.size + 7) // 8 + self.offsets.size * 8
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.n)
+
+    def expected_fpp(self) -> float:
+        return 2.0 ** (-self.log2fpp)
+
+    def to_bytes(self) -> bytes:
+        hdr = struct.pack(_FMT, _MAGIC, 1, self.log2fpp, self.log2bucket,
+                          self.n, self.bits.size, self.seed)
+        packed = np.packbits(self.bits)
+        return hdr + self.offsets.astype("<i8").tobytes() + packed.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "GcsFilter":
+        magic, ver, log2fpp, log2bucket, n, nbits, seed = struct.unpack_from(_FMT, blob)
+        if magic != _MAGIC or ver != 1:
+            raise ValueError("bad gcs blob header")
+        f = cls(log2fpp, log2bucket, seed)
+        nb = f.num_buckets_for(n)
+        off = np.frombuffer(blob, dtype="<i8", offset=_HDR_SIZE, count=nb + 1)
+        packed = np.frombuffer(blob, dtype=np.uint8,
+                               offset=_HDR_SIZE + (nb + 1) * 8)
+        f._assemble(n, np.unpackbits(packed, count=nbits), off.astype(np.int64))
+        return f

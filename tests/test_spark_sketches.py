@@ -168,3 +168,25 @@ def test_distributed_equals_single_node(spark):
     cref = CountMinSketch.create(eps=0.01, delta=0.01, seed=9)
     cref.add_many(keys.view(np.uint64))
     assert np.array_equal(cs.table, cref.table)
+
+
+def test_gcs_distributed_build_matches_kernel(spark):
+    """Distributed sort-encode build must be bit-identical to the
+    single-node kernel build over the same key set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.kernels.gcs import GcsFilter
+    from cuckoofilter_spark.sketch.gcsfilter import gcs_build
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    f = gcs_build(li, "l_partkey", log2fpp=10, seed=17, buckets_per_group=8)
+    keys = np.array(sorted(
+        r["k"] for r in li.select(F.col("l_partkey").alias("k")).distinct().collect()),
+        dtype=np.int64).view(np.uint64)
+    g = GcsFilter.build(keys, log2fpp=10, seed=17)
+    assert f.to_bytes() == g.to_bytes()
+    assert f.contains_many(keys).all()
+    neg = np.setdiff1d(np.arange(10**7, 10**7 + 50_000, dtype=np.uint64), keys)
+    fpp = f.contains_many(neg).mean()
+    assert fpp <= 3 * f.expected_fpp()
