@@ -325,6 +325,28 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(spark, emb, queries, k=5)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-5 (the ANN scale path: bucketed candidates
+    + exact re-score). Approximate by nature -> no SQL oracle;
+    recall vs brute force is asserted in tests on structured vectors."""
+    from cuckoofilter_spark.ops.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return lsh_topk(spark, emb, queries, k=5, nbits=12, max_hamming=2, seed=SEED)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at 0.95, LSH-blocked with exact
+    verification — near-dups always collide in SRP buckets, so the
+    survivor set equals the exact all-pairs answer."""
+    from cuckoofilter_spark.ops.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.95, nbits=8, bands=4, seed=SEED)
+
+
 def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting over documents (BPE-ish regex counting
     is the n_words path in text_stats): total + per-source stats."""
@@ -335,6 +357,21 @@ def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(token_count("text")).alias("total_tokens"),
                  F.count("*").alias("docs"))
             .withColumn("avg_tokens", F.round(F.col("total_tokens") / F.col("docs"), 6)))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns: deterministic fake container decode +
+    feature extraction over mapInPandas (codec stub is the documented
+    boundary — real decoders are absent here). Not SQL-expressible
+    (binary decode) -> rows-only check; full semantics tested in
+    tests/test_multimodal.py."""
+    from cuckoofilter_spark.ops.multimodal import extract_features, media_table
+
+    media = media_table(spark, 100, seed=42)
+    return (extract_features(media)
+            .groupBy("kind")
+            .agg(F.count("*").alias("n"), F.sum("n_bytes").alias("total_bytes"))
+            .orderBy("kind"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -366,7 +403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
         "token_count_total": q_token_count_total,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -537,6 +577,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings q, embeddings e
             WHERE q.vec_id < 10
             QUALIFY rnk <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
         "token_count_total": f"""
             WITH w AS (SELECT source, {_WORDS} AS W FROM documents)

@@ -166,29 +166,52 @@ def lsh_topk(
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    nbits: int = 12,
+    nbits: int = 8,
+    bands: int = 4,
     seed: int = 0x5EED,
     dim: int | None = None,
 ) -> DataFrame:
-    """All vec pairs (a < b) with cosine >= threshold, LSH-blocked.
+    """All vec pairs (a < b) with cosine >= threshold, banded-LSH blocked.
 
-    Exact-verifies candidates; recall bounded by SRP collision prob
-    (1 - theta/pi)^nbits at angle theta — high for near-dups.
+    Standard multi-band OR construction: ``bands`` independent SRP
+    signatures of ``nbits`` bits each; a pair is a candidate if ANY band
+    collides, then candidates are exact-verified. Miss probability for a
+    pair at angle theta is ``(1 - p^nbits)^bands`` with
+    ``p = 1 - theta/pi`` — at cos 0.99, 4x8 bits gives ~99% recall where
+    a single 32-bit signature would miss most pairs. Join key is
+    (band, sig); candidate dedupe happens before the exact re-score so
+    each pair is verified once.
     """
     if dim is None:
         dim = len(emb.select("embedding").first()[0])
-    sig_udf, _ = srp_signature_col("embedding", dim, nbits, seed)
-    s = emb.select("vec_id", "embedding").withColumn("sig", sig_udf("embedding"))
-    a, b = s.alias("a"), s.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
-                                 lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(f"{side}.embedding"), lambda x: x * x),
-        F.lit(0.0), lambda acc, x: acc + x))
-    return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-                F.round(dot / F.greatest(norm("a") * norm("b"), F.lit(1e-12)), 4).alias("cos"))
-        .where(F.col("cos") >= threshold)
-    )
+    sig_udf, _ = srp_signature_col("embedding", dim, nbits * bands, seed)
+    band_bits = np.uint64(nbits)
+    mask = (1 << nbits) - 1
+
+    s = emb.select("vec_id", "embedding").withColumn("allsig", sig_udf("embedding"))
+    # split the (bands*nbits)-bit signature into per-band keys, explode
+    band_cols = F.array(*[
+        ((F.col("allsig").bitwiseAND(F.lit(mask << (b * nbits))))
+         .cast("long")).alias(f"b{b}")
+        for b in range(bands)])
+    exploded = (s.withColumn("band_sig", F.explode(
+        F.arrays_zip(F.array(*[F.lit(b) for b in range(bands)]).alias("band"),
+                     band_cols.alias("sig"))))
+        .select("vec_id", "embedding",
+                F.col("band_sig.band").alias("band"),
+                F.col("band_sig.sig").alias("sig")))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                    F.col("a.embedding").alias("ea"), F.col("b.embedding").alias("eb"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (cand.select("vec_a", "vec_b",
+                        F.round(dot / F.greatest(norm(F.col("ea")) * norm(F.col("eb")),
+                                                 F.lit(1e-12)), 4).alias("cos"))
+            .where(F.col("cos") >= threshold))

@@ -88,7 +88,8 @@ ALL_QUERIES = [
     "cms_topk_freq", "kll_quantiles", "match_size", "count_distinct",
     "has_duplicates", "mixin_sample", "text_stats", "exact_dedup",
     "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
-    "ann_cosine_topk", "token_count_total",
+    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "token_count_total",
+    "multimodal_features",
 ]
 
 
@@ -102,4 +103,4 @@ def test_all_queries_have_entries(contract):
     assert set(ALL_QUERIES) == set(qs)
     missing_oracles = set(qs) - set(contract.oracle_sql())
     # only genuinely non-SQL-expressible ops may omit the oracle
-    assert missing_oracles <= {"simhash_pairs"}
+    assert missing_oracles <= {"simhash_pairs", "ann_lsh_topk", "multimodal_features"}
