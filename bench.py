@@ -114,7 +114,23 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
 
 
 def query_suite(spark, sf_dir: str) -> dict:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
     import __spark_entry__ as entry
+
+    # warm the session: touch every table (file-index + codec init) and
+    # spin up the Python-worker pool once, so per-query times measure the
+    # queries rather than first-stage worker startup
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    def noop(it):
+        for pdf in it:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    spark.range(100_000).select(F.col("id")).mapInPandas(noop, "n long").count()
 
     times: dict = {}
     for name, fn in entry.queries().items():
