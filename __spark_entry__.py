@@ -238,6 +238,32 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, kll_within_bound boolean")
 
 
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles of l_extendedprice (tail-accurate; companion to
+    KLL per the north rule): per-target rank error <= bound, rank
+    measured exactly in ONE aggregation pass."""
+    from cuckoofilter_spark.sketch.aggregates import tdigest_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = tdigest_sketch(li, "l_extendedprice", delta=200.0)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99, 0.999]
+    est = {q: float(sk.quantile(q)[0]) for q in qs}
+    aggs = [F.count("*").alias("n")]
+    for i, q in enumerate(qs):
+        c = F.col("l_extendedprice")
+        aggs.append(F.sum((c <= est[q]).cast("long")).alias(f"le{i}"))
+        aggs.append(F.sum((c < est[q]).cast("long")).alias(f"lt{i}"))
+    r = li.agg(*aggs).first()
+    rows = []
+    for i, q in enumerate(qs):
+        hi = r[f"le{i}"] / r["n"]
+        lo = r[f"lt{i}"] / r["n"]
+        bound = max(sk.rel_rank_error(q), 0.005)
+        ok = (hi >= q - bound) and (lo <= q + bound)
+        rows.append((q, bool(ok)))
+    return spark.createDataFrame(rows, "q double, tdigest_within_bound boolean")
+
+
 # --------------------------------------------------------------------------
 # reference-harness dataflow ops (SURVEY §2.5)
 # --------------------------------------------------------------------------
@@ -393,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_topk_freq": q_cms_topk_freq,
         "kll_quantiles": q_kll_quantiles,
+        "tdigest_quantiles": q_tdigest_quantiles,
         "match_size": q_match_size,
         "count_distinct": q_count_distinct,
         "has_duplicates": q_has_duplicates,
@@ -488,6 +515,10 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS kll_within_bound
             FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) AS t(q)
+        """,
+        "tdigest_quantiles": """
+            SELECT CAST(q AS DOUBLE) AS q, TRUE AS tdigest_within_bound
+            FROM (VALUES (0.01),(0.1),(0.5),(0.9),(0.99),(0.999)) AS t(q)
         """,
         "match_size": """
             SELECT count(*) AS match_cnt FROM

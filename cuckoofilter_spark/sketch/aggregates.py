@@ -75,6 +75,25 @@ def kll_sketch(df: DataFrame, col: str, k: int = 200, seed: int = 0x5EED,
     )
 
 
+def tdigest_sketch(df: DataFrame, col: str, delta: float = 200.0,
+                   fanout: int = 16) -> "TDigest":
+    """Distributed t-digest over a numeric column (tail-accurate
+    quantiles; the north rule's companion to KLL)."""
+    from ..kernels.tdigest import TDigest
+
+    def upd(kern, s: pd.Series):
+        kern.add_many(s.to_numpy(dtype=np.float64, na_value=np.nan))
+
+    return aggregate_sketch(
+        df, col,
+        make=lambda: TDigest(delta=delta),
+        update=upd,
+        merge=TDigest.merge,
+        from_bytes=TDigest.from_bytes,
+        fanout=fanout,
+    )
+
+
 def bloom_sketch(df: DataFrame, col: str, capacity: int, bits_per_item: int = 10,
                  seed: int = 0x5EED, fanout: int = 16) -> BloomFilter:
     """Distributed Bloom build (bloom.h semantics, OR-mergeable)."""

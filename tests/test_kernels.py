@@ -429,3 +429,29 @@ def test_blocked_bloom_kernel():
     m2 = BlockedBloomFilter.merge(parts[0], BlockedBloomFilter.merge(parts[1], parts[2]))
     assert np.array_equal(m1.buckets, f.buckets)
     assert m1.to_bytes() == m2.to_bytes()
+
+
+def test_tdigest_kernel():
+    """Accuracy on continuous data, merge-vs-whole consistency,
+    estimate-level associativity, blob round-trip."""
+    import numpy as np
+    from cuckoofilter_spark.kernels.tdigest import TDigest
+
+    rng = np.random.default_rng(8)
+    data = rng.lognormal(5.5, 0.8, 500_000)
+    t = TDigest(200)
+    t.add_many(data)
+    for q in (0.01, 0.5, 0.99, 0.999):
+        est = float(t.quantile(q)[0])
+        assert abs((data <= est).mean() - q) <= max(t.rel_rank_error(q) * 3, 0.002)
+    a, b = TDigest(200), TDigest(200)
+    a.add_many(data[:250_000]); b.add_many(data[250_000:])
+    m = TDigest.merge(a, b)
+    for q in (0.01, 0.5, 0.99):
+        est = float(m.quantile(q)[0])
+        assert abs((data <= est).mean() - q) <= 0.01
+    g = TDigest.from_bytes(m.to_bytes())
+    assert np.array_equal(g.means, m.means) and np.array_equal(g.weights, m.weights)
+    import pytest
+    with pytest.raises(ValueError):
+        TDigest.merge(TDigest(100), TDigest(200))
