@@ -129,3 +129,85 @@ class BlockedBloomFilter:
                                   count=(1 << log2nb) * 8).astype(np.uint32).reshape(-1, 8)
         f.n_added = n_added
         return f
+
+
+class GrowBlockedBloomFilter:
+    """Size-unknown AMQ: a vector of doubling blocked-Bloom levels.
+
+    GrowSimdBlockFilter (growable-simd-block.h:22-74, Pagh et al.
+    "How to approximate a set without knowing its size in advance"):
+    inserts go to the newest level; when the newest level's insert
+    budget is exhausted a new level of twice the capacity is opened;
+    ``Find`` ORs the answers of all levels. The per-level fpp halves as
+    levels double, keeping total fpp bounded (geometric series).
+
+    Level capacity budget: ~0.69 * bits/8 items per level (where the
+    underlying blocked filter stays in its sub-percent regime).
+    """
+
+    def __init__(self, initial_capacity: int = 1024, seed: int = 0x5EED):
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.initial_capacity = int(initial_capacity)
+        self.levels: list[BlockedBloomFilter] = []
+        self._budgets: list[int] = []
+
+    def _open_level(self) -> None:
+        cap = self.initial_capacity << len(self.levels)
+        # derive a distinct seed per level so levels are independent
+        lvl = BlockedBloomFilter.create(cap, seed=self.seed + len(self.levels))
+        self.levels.append(lvl)
+        self._budgets.append(cap)
+
+    def add_many(self, keys) -> None:
+        keys = np.asarray(keys, dtype=np.uint64)
+        pos = 0
+        while pos < keys.size:
+            if not self.levels or self.levels[-1].n_added >= self._budgets[-1]:
+                self._open_level()
+            room = self._budgets[-1] - self.levels[-1].n_added
+            take = keys[pos:pos + room]
+            self.levels[-1].add_many(take)
+            pos += take.size
+
+    def contains_many(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        out = np.zeros(keys.size, dtype=bool)
+        for lvl in self.levels:
+            out |= lvl.contains_many(keys)
+        return out
+
+    def n_added(self) -> int:
+        return sum(l.n_added for l in self.levels)
+
+    def size_in_bytes(self) -> int:
+        return sum(l.size_in_bytes() for l in self.levels)
+
+    def expected_fpp(self) -> float:
+        miss = 1.0
+        for lvl in self.levels:
+            miss *= 1.0 - lvl.expected_fpp()
+        return 1.0 - miss
+
+    def to_bytes(self) -> bytes:
+        parts = [struct.pack("<4sHHQQ", b"GBB1", 1, len(self.levels),
+                             self.seed, self.initial_capacity)]
+        for lvl in self.levels:
+            b = lvl.to_bytes()
+            parts.append(struct.pack("<I", len(b)))
+            parts.append(b)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "GrowBlockedBloomFilter":
+        magic, ver, nlev, seed, cap = struct.unpack_from("<4sHHQQ", blob)
+        if magic != b"GBB1" or ver != 1:
+            raise ValueError("bad growable blocked-bloom blob header")
+        f = cls(cap, seed)
+        off = struct.calcsize("<4sHHQQ")
+        for i in range(nlev):
+            (ln,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            f.levels.append(BlockedBloomFilter.from_bytes(blob[off:off + ln]))
+            f._budgets.append(cap << i)
+            off += ln
+        return f

@@ -455,3 +455,27 @@ def test_tdigest_kernel():
     import pytest
     with pytest.raises(ValueError):
         TDigest.merge(TDigest(100), TDigest(200))
+
+
+def test_growable_blocked_bloom():
+    """GrowSimdBlockFilter semantics: grows by doubling levels, never a
+    false negative, bounded fpp, round-trip."""
+    import numpy as np
+    from cuckoofilter_spark.kernels.blocked_bloom import GrowBlockedBloomFilter
+
+    rng = np.random.default_rng(6)
+    f = GrowBlockedBloomFilter(initial_capacity=1000, seed=3)
+    all_keys = []
+    for wave in range(5):  # 5 waves of 20k -> forces multiple level-opens
+        keys = rng.integers(0, 1 << 60, 20_000, dtype=np.uint64)
+        f.add_many(keys)
+        all_keys.append(keys)
+    keys = np.concatenate(all_keys)
+    assert f.contains_many(keys).all()
+    assert len(f.levels) >= 4  # it actually grew
+    neg = np.setdiff1d(rng.integers(0, 1 << 60, 200_000, dtype=np.uint64), keys)
+    fpp = f.contains_many(neg).mean()
+    assert fpp <= max(3 * f.expected_fpp(), 0.02), fpp
+    g = GrowBlockedBloomFilter.from_bytes(f.to_bytes())
+    assert np.array_equal(g.contains_many(neg[:5000]), f.contains_many(neg[:5000]))
+    assert g.n_added() == f.n_added()
