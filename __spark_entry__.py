@@ -24,7 +24,7 @@ _pp = os.environ.get("PYTHONPATH", "")
 if _REPO not in _pp.split(os.pathsep):
     os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 SEED = 0x5EED
 
@@ -202,9 +202,10 @@ def q_cms_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sk = cms_sketch(li, "l_partkey", eps=0.0005, delta=0.01, seed=SEED)
     bound = int(sk.eps * sk.total)
-    w = Window.orderBy(F.desc("freq"), F.asc("l_partkey"))
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed
+    # per-partition top-k + driver merge) — no single-partition window
     top = (li.groupBy("l_partkey").agg(F.count("*").alias("freq"))
-           .withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 20))
+           .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
     return (top.withColumn("est", cms_lookup_col(spark, sk, "l_partkey"))
             .select("l_partkey", "freq",
                     ((F.col("est") >= F.col("freq"))

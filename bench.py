@@ -31,7 +31,7 @@ if _REPO not in sys.path:
 
 SEED = 0x5EED
 VOCAB = 50_000
-NEG_PROBES = 200_000
+NEG_PROBES = 2_000_000  # large enough that probe throughput is kernel-bound
 
 
 def _sf_of(sf_dir: str) -> float:
