@@ -48,11 +48,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, window: int = 3) -> DataFrame:
-    """(doc, shingles: array<string>) — distinct word-window md5 shingles."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(rolling_fingerprint(text_col, window)).alias("shingles"),
-    )
+    """(doc, shingles: array<string>) — distinct word-window md5 shingles.
+
+    The word array is materialized in a sub-select first: shingling is a
+    per-element lambda, and lambdas re-evaluate captured expressions per
+    element — shingling directly over ``words(text)`` re-splits the text
+    O(n) times per doc (9s -> 1s on 5000 docs at sf0.1)."""
+    from .text import shingles_from_words, words
+
+    return (df.select(F.col(id_col).alias("doc"), words(text_col).alias("W"))
+            .select("doc", F.array_distinct(
+                shingles_from_words("W", window)).alias("shingles")))
 
 
 def jaccard_pairs_exact(df: DataFrame, id_col: str, text_col: str,
@@ -66,6 +72,12 @@ def jaccard_pairs_exact(df: DataFrame, id_col: str, text_col: str,
     sets = shingle_sets(df, id_col, text_col, window)
     sizes = sets.select("doc", F.size("shingles").alias("sz"))
     ex = sets.select("doc", F.explode("shingles").alias("sh"))
+    # pin the join's parallelism: the shingle rows LOOK small to AQE
+    # (it coalesces them to ~1 partition) but the self-join output is
+    # quadratic within shingle groups — an explicit hash repartition on
+    # the join key keeps the blow-up spread across tasks
+    nparts = ex.sparkSession.sparkContext.defaultParallelism
+    ex = ex.repartition(nparts, "sh")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))

