@@ -57,7 +57,9 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
         cuckoo_build, cuckoo_contains_col)
     from cuckoofilter_spark.sources.tokens import tokens_table
 
-    num_docs = num_docs or max(1_000, int(200_000 * sf))
+    # 2M docs/sf -> ~67M tokens at sf0.1: large enough that the headline
+    # tokens/sec is kernel-bound rather than stage-overhead-bound
+    num_docs = num_docs or max(1_000, int(2_000_000 * sf))
     toks = tokens_table(spark, num_docs, seed=42, vocab_size=VOCAB,
                         partitions=partitions).persist()
     total_tokens = toks.agg(F.sum("n_tok")).first()[0]
