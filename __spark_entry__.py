@@ -401,6 +401,54 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("kind"))
 
 
+def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule flagship over the canonical token table
+    (doc_id, tokens:array<int32>, n_tok, source — synthesized
+    deterministically, sources/tokens.py): cuckoo membership with
+    FN/FP accounting, HLL distinct vs exact, CMS point-frequency bound
+    check, KLL n_tok median. Generation is seeded so every engine sees
+    token-array-equal rows; not SQL-expressible (DuckDB cannot run the
+    sketch UDAFs) -> rows-only check; bounds asserted Spark-side and in
+    tests."""
+    from cuckoofilter_spark.sketch.aggregates import cms_sketch, hll_sketch, kll_sketch
+    from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
+    from cuckoofilter_spark.sources.tokens import tokens_table
+
+    vocab = 50_000
+    toks = tokens_table(spark, 2_000, seed=42, vocab_size=vocab).persist()
+    cf = cuckoo_build(toks, "tokens", capacity=vocab, bits=12, seed=SEED,
+                      num_shards=8)
+    flat = toks.select(F.explode("tokens").alias("t")).distinct()
+    fn = flat.where(~cuckoo_contains_col(spark, cf, "t")).count()
+    neg = spark.range(vocab, vocab + 100_000)
+    fp = neg.where(cuckoo_contains_col(spark, cf, "id")).count()
+    exact_distinct = flat.count()
+    hll = hll_sketch(toks, "tokens", p=14, seed=SEED)
+    cms = cms_sketch(toks, "tokens", eps=0.001, delta=0.01, seed=SEED)
+    top = (toks.select(F.explode("tokens").alias("t")).groupBy("t")
+           .agg(F.count("*").alias("freq"))
+           .orderBy(F.desc("freq"), F.asc("t")).limit(1)).first()
+    import numpy as np
+    est = int(cms.query_many(np.array([top["t"]], dtype=np.uint64))[0])
+    kll = kll_sketch(toks, "n_tok", k=200, seed=SEED)
+    med = float(kll.quantile(0.5)[0])
+    n = toks.count()
+    med_rank = toks.where(F.col("n_tok") <= med).count() / n
+    row = (
+        int(exact_distinct), fn, fp / 100_000.0,
+        bool(abs(hll.estimate() - exact_distinct) <= 3 * hll.rel_error() * exact_distinct),
+        bool(top["freq"] <= est <= top["freq"] + cms.eps * cms.total),
+        bool(abs(med_rank - 0.5) <= kll.eps + 1.0 / n),
+        round(cf.load_factor(), 4),
+    )
+    toks.unpersist()
+    return spark.createDataFrame(
+        [row],
+        "exact_distinct long, false_negatives long, observed_fpp double, "
+        "hll_within_bound boolean, cms_within_bound boolean, "
+        "kll_within_bound boolean, cf_load_factor double")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cuckoo-filter membership semi-join on sf0.001."""
     return q_cf_membership(spark, "/root/testdata/sf0.001")
@@ -435,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "token_count_total": q_token_count_total,
         "multimodal_features": q_multimodal_features,
+        "tokens_pipeline": q_tokens_pipeline,
     }
 
 

@@ -89,7 +89,7 @@ ALL_QUERIES = [
     "has_duplicates", "mixin_sample", "text_stats", "exact_dedup",
     "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
     "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "token_count_total",
-    "multimodal_features",
+    "multimodal_features", "tokens_pipeline",
 ]
 
 
@@ -103,4 +103,5 @@ def test_all_queries_have_entries(contract):
     assert set(ALL_QUERIES) == set(qs)
     missing_oracles = set(qs) - set(contract.oracle_sql())
     # only genuinely non-SQL-expressible ops may omit the oracle
-    assert missing_oracles <= {"simhash_pairs", "ann_lsh_topk", "multimodal_features"}
+    assert missing_oracles <= {"simhash_pairs", "ann_lsh_topk", "multimodal_features",
+                               "tokens_pipeline"}
