@@ -140,6 +140,20 @@ def q_xor_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("p_partkey").alias("member_key")))
 
 
+def q_cf_stable_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-sizing cuckoo variant (cuckoofilter_stable.h): non-2^n
+    bucket count via Lemire reduce, ~12.8 bits/item at 0.94 load instead
+    of up-to-2x pow2 rounding waste. Zero FP on this keyspace for SEED."""
+    from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = cuckoo_build(li, "l_partkey", bits=16, seed=SEED, num_shards=8,
+                        stable=True)
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("hit", cuckoo_contains_col(spark, filt, "p_partkey"))
+            .where("hit").select(F.col("p_partkey").alias("member_key")))
+
+
 def q_cf_semisort_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-sorted (PackedTable, bits=13) cuckoo membership: PermEncoding
     codeword blobs (packedtable.h/permencoding.h), ~12.6 bits/item at
@@ -458,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
+        "cf_stable_membership": q_cf_stable_membership,
         "cf_semisort_membership": q_cf_semisort_membership,
         "cf_checkpoint_membership": q_cf_checkpoint_membership,
         "cf_delete_membership": q_cf_delete_membership,
@@ -508,6 +523,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,
         "gcs_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "cf_stable_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,

@@ -85,9 +85,12 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
         out[f"{name}_build_sec"] = round(best, 3)
         return result
 
+    # stable sizing already carries the /0.94 headroom, and an overfull
+    # shard self-sizes via max(shard_cap, keys.size) — so pass the exact
+    # cardinality, not a padded one (padding shows up 1:1 in bits/item)
     cf = timed2("cf", lambda: cuckoo_build(
-        toks, "tokens", capacity=int(distinct_ub * 1.1) + 64,
-        bits=12, seed=SEED, num_shards=32))
+        toks, "tokens", capacity=int(distinct_ub),
+        bits=12, seed=SEED, num_shards=32, stable=True))
     out["tokens_per_sec_cf_build"] = round(total_tokens / out["cf_build_sec"], 1)
     info = cf.info()
     out["cf_load_factor"] = round(info["load_factor"], 4)

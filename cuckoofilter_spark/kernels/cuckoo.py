@@ -56,8 +56,11 @@ MAX_KICKS = 500  # kMaxCuckooCount, cuckoofilter.h:23
 ASSOC = 4  # kTagsPerBucket, singletable.h:25
 
 _MAGIC = b"CKF1"
-_FMT = "<4sHBBBxxxQQQBxxxQI"
-_HDR_SIZE = struct.calcsize(_FMT)  # plain fmt string: struct.Struct instances are not cloudpickle-able  # magic ver bits mode log2nb pad seed nitems cap victim_used pad vindex vtag
+# v2 header stores num_buckets directly (the stable variant uses non-2^n
+# bucket counts, cuckoofilter_stable.h:112-118); plain fmt string because
+# struct.Struct instances are not cloudpickle-able
+_FMT = "<4sHBBQQQQBxxxQI"
+_HDR_SIZE = struct.calcsize(_FMT)  # magic ver bits mode nb seed nitems cap vused pad vindex vtag
 
 
 class CuckooFullError(RuntimeError):
@@ -125,11 +128,16 @@ class CuckooFilter:
     """
 
     def __init__(self, num_buckets: int, bits: int, seed: int, capacity: int,
-                 mode: str = "single"):
-        if num_buckets & (num_buckets - 1):
+                 mode: str = "single", stable: bool = False):
+        if stable:
+            if num_buckets % 2:
+                raise ValueError("stable variant needs an even bucket count "
+                                 "(cuckoofilter_stable.h:113)")
+        elif num_buckets & (num_buckets - 1):
             raise ValueError("num_buckets must be a power of two")
         if mode not in ("single", "semisort"):
             raise ValueError(f"unknown mode {mode!r}")
+        self.stable = bool(stable)
         if mode == "semisort" and bits != 13:
             # the reference ships/tests the 13-bit PackedTable config
             # (example/test1.cc:38, packedtable.h codeword case bits=13)
@@ -149,8 +157,14 @@ class CuckooFilter:
     # -- construction -----------------------------------------------------
     @classmethod
     def create(cls, max_num_keys: int, bits: int = 12, seed: int = 0x5EED,
-               mode: str = "single") -> "CuckooFilter":
-        """Sizing rule of cuckoofilter.h:91-100."""
+               mode: str = "single", stable: bool = False) -> "CuckooFilter":
+        """Sizing: cuckoofilter.h:91-100 (pow2) or the stable rule
+        ``(10 + n/0.94/4) / 2 * 2`` (cuckoofilter_stable.h:112-118),
+        which lands every build at ~0.94 max load instead of wasting up
+        to 2x space on power-of-two rounding."""
+        if stable:
+            nb = int((10 + max_num_keys / 0.94 / ASSOC) // 2 * 2)
+            return cls(nb, bits, seed, max_num_keys, mode=mode, stable=True)
         nb = upperpower2(max(1, max_num_keys // ASSOC))
         frac = max_num_keys / nb / ASSOC
         if frac > 0.94:
@@ -159,17 +173,38 @@ class CuckooFilter:
 
     # -- hashing ----------------------------------------------------------
     def _index_tag(self, keys) -> tuple[np.ndarray, np.ndarray]:
-        """GenerateIndexTagHash (cuckoofilter.h:66-73)."""
+        """GenerateIndexTagHash (cuckoofilter.h:66-73; stable variant
+        cuckoofilter_stable.h:48-65: Lemire reduce of the low word,
+        tag from the high word)."""
         h = simple_mix_split(keys, self.seed)
-        index = ((h >> U64(32)) & U64(self.num_buckets - 1)).astype(np.int64)
-        tag = (h & U64((1 << self.bits) - 1)).astype(np.uint32)
+        if self.stable:
+            from .hashing import lemire_reduce
+            index = lemire_reduce(h & U64(0xFFFFFFFF),
+                                  self.num_buckets).astype(np.int64)
+            tag = ((h >> U64(32)) & U64((1 << self.bits) - 1)).astype(np.uint32)
+        else:
+            index = ((h >> U64(32)) & U64(self.num_buckets - 1)).astype(np.int64)
+            tag = (h & U64((1 << self.bits) - 1)).astype(np.uint32)
         tag = tag + (tag == 0)  # TagHash 0-remap, cuckoofilter.h:59-64
         return index, tag.astype(self.table.dtype)
 
     def alt_index(self, index: np.ndarray, tag: np.ndarray) -> np.ndarray:
-        """AltIndex (cuckoofilter.h:75-81); involution by construction."""
+        """AltIndex (cuckoofilter.h:75-81); involution by construction.
+
+        Stable variant (cuckoofilter_stable.h:67-102): with even
+        bucketCount and odd r derived from the tag,
+        ``b2 = (bucketCount - index - r) mod bucketCount`` — running it
+        twice returns the original bucket and b2 != index always."""
         i = np.asarray(index).astype(np.uint64)
         t = np.asarray(tag).astype(np.uint64)
+        if self.stable:
+            from .hashing import lemire_reduce
+            h = t * U64(0xC4CEB9FE1A85EC53)
+            r = (lemire_reduce(h & U64(0xFFFFFFFF), self.num_buckets >> 1)
+                 << U64(1)) + U64(1)
+            b2 = (U64(self.num_buckets) - i - r).view(np.int64)
+            b2 = np.where(b2 < 0, b2 + self.num_buckets, b2)
+            return b2.astype(np.int64)
         return ((i ^ (t * KICK_CONST)) & U64(self.num_buckets - 1)).astype(np.int64)
 
     # -- insert -----------------------------------------------------------
@@ -380,6 +415,7 @@ class CuckooFilter:
         """Info() (cuckoofilter.h:240-255) as a dict."""
         return {
             "mode": self.mode,
+            "stable": self.stable,
             "bits_per_item_config": self.bits,
             "num_buckets": self.num_buckets,
             "num_items": self.num_items,
@@ -396,9 +432,10 @@ class CuckooFilter:
 
         mode=semisort packs buckets through the PermEncoding codec
         (packedtable.h) — 6 bytes/bucket at bits=13 instead of 8."""
+        mode_byte = (1 if self.mode == "semisort" else 0) | (2 if self.stable else 0)
         hdr = struct.pack(_FMT,
-            _MAGIC, 1, self.bits, 1 if self.mode == "semisort" else 0,
-            int(np.log2(self.num_buckets)),
+            _MAGIC, 2, self.bits, mode_byte,
+            self.num_buckets,
             self.seed, self.num_items, self.capacity,
             int(self.victim_used), self.victim_index, self.victim_tag,
         )
@@ -409,11 +446,12 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
-        magic, ver, bits, mode, log2nb, seed, nitems, cap, vused, vindex, vtag = struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 1:
+        magic, ver, bits, mode, nb, seed, nitems, cap, vused, vindex, vtag = struct.unpack_from(_FMT, blob)
+        if magic != _MAGIC or ver != 2:
             raise ValueError("bad cuckoo blob header")
-        f = cls(1 << log2nb, bits, seed, cap,
-                mode="semisort" if mode == 1 else "single")
+        f = cls(nb, bits, seed, cap,
+                mode="semisort" if (mode & 1) else "single",
+                stable=bool(mode & 2))
         f.num_items = nitems
         f.victim_used = bool(vused)
         f.victim_index = vindex
@@ -439,7 +477,7 @@ class CuckooFilter:
         return canon.astype(np.int64), tags
 
     def _params(self) -> tuple:
-        return (self.num_buckets, self.bits, self.seed, self.mode)
+        return (self.num_buckets, self.bits, self.seed, self.mode, self.stable)
 
     @classmethod
     def merge(cls, a: "CuckooFilter", b: "CuckooFilter") -> "CuckooFilter":
@@ -457,7 +495,7 @@ class CuckooFilter:
         ct = np.concatenate([a.extract_items()[1], b.extract_items()[1]])
         srt = np.lexsort((ct, ci))
         out = cls(a.num_buckets, a.bits, a.seed, max(a.capacity, b.capacity),
-                  mode=a.mode)
+                  mode=a.mode, stable=a.stable)
         out._add_tags(ci[srt], ct[srt].astype(out.table.dtype), raise_on_full=True)
         return out
 
@@ -466,6 +504,6 @@ class CuckooFilter:
         ci, ct = self.extract_items()
         srt = np.lexsort((ct, ci))
         out = type(self)(self.num_buckets, self.bits, self.seed, self.capacity,
-                         mode=self.mode)
+                         mode=self.mode, stable=self.stable)
         out._add_tags(ci[srt], ct[srt].astype(out.table.dtype), raise_on_full=True)
         return out

@@ -128,6 +128,7 @@ def cuckoo_build(
     num_shards: int = 32,
     dedupe: bool = True,
     mode: str = "single",
+    stable: bool = False,
 ) -> ShardedCuckooFilter:
     """Build a sharded cuckoo filter over an integer key column.
 
@@ -182,7 +183,7 @@ def cuckoo_build(
         if dedupe:
             keys = np.unique(keys)
         filt = CuckooFilter.create(max(shard_cap, keys.size), bits=bits, seed=seed,
-                                   mode=mode)
+                                   mode=mode, stable=stable)
         filt.add_many(keys)
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
                              "blob": [filt.to_bytes()]})
@@ -193,7 +194,8 @@ def cuckoo_build(
         .collect()
     )
     blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
-    empty = CuckooFilter.create(shard_cap, bits=bits, seed=seed, mode=mode).to_bytes()
+    empty = CuckooFilter.create(shard_cap, bits=bits, seed=seed, mode=mode,
+                                stable=stable).to_bytes()
     blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
     return ShardedCuckooFilter(blobs, bits=bits, seed=seed)
 

@@ -82,7 +82,7 @@ def _compare(spark, ducks, contract, name):
 
 
 ALL_QUERIES = [
-    "cf_membership", "xor_membership", "cf_semisort_membership",
+    "cf_membership", "xor_membership", "cf_stable_membership", "cf_semisort_membership",
     "cf_checkpoint_membership", "cf_delete_membership", "bloom_membership",
     "blocked_bloom_membership", "gcs_membership", "cf_mixed_probe", "hll_distinct",
     "cms_topk_freq", "kll_quantiles", "tdigest_quantiles", "match_size", "count_distinct",
