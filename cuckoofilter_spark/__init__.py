@@ -21,19 +21,28 @@ Design notes: SURVEY.md. Scale notes: every build shuffles at most once
 and merges are tree-shaped — no driver-side per-row loops anywhere.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from .kernels.blocked_bloom import BlockedBloomFilter, GrowBlockedBloomFilter
 from .kernels.bloom import BloomFilter
 from .kernels.cms import CountMinSketch
 from .kernels.cuckoo import CuckooFilter, CuckooFullError
+from .kernels.gcs import GcsFilter
 from .kernels.hll import HyperLogLog
 from .kernels.kll import KLLSketch
+from .kernels.tdigest import TDigest
+from .kernels.xor import XorFilter
 
 __all__ = [
+    "BlockedBloomFilter",
     "BloomFilter",
     "CountMinSketch",
     "CuckooFilter",
     "CuckooFullError",
+    "GcsFilter",
+    "GrowBlockedBloomFilter",
     "HyperLogLog",
     "KLLSketch",
+    "TDigest",
+    "XorFilter",
 ]
