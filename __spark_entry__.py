@@ -226,6 +226,22 @@ def q_cms_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("est") <= F.col("freq") + bound)).alias("cms_within_bound")))
 
 
+def q_cqf_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQF point counts (gqf.h qf_count_key_value): top-20 part keys with
+    the CQF count equal to the exact frequency (48-bit fingerprints ->
+    no collisions on this keyspace, verified for SEED). Unlike CMS this
+    is the reference's lossless counting capability."""
+    from cuckoofilter_spark.sketch.aggregates import cqf_count_col, cqf_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = cqf_sketch(li, "l_partkey", q=20, r=28, seed=SEED)
+    top = (li.groupBy("l_partkey").agg(F.count("*").alias("freq"))
+           .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
+    return (top.withColumn("cqf_count", cqf_count_col(spark, sk, "l_partkey"))
+            .select("l_partkey", "freq",
+                    (F.col("cqf_count") == F.col("freq")).alias("cqf_exact")))
+
+
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantiles of l_quantity: per-target rank error <= eps,
     rank measured exactly Spark-side."""
@@ -482,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_mixed_probe": q_cf_mixed_probe,
         "hll_distinct": q_hll_distinct,
         "cms_topk_freq": q_cms_topk_freq,
+        "cqf_topk_freq": q_cqf_topk_freq,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "match_size": q_match_size,
@@ -578,6 +595,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_topk_freq": """
             SELECT l_partkey, count(*) AS freq, TRUE AS cms_within_bound
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY freq DESC, l_partkey ASC LIMIT 20
+        """,
+        "cqf_topk_freq": """
+            SELECT l_partkey, count(*) AS freq, TRUE AS cqf_exact
             FROM lineitem GROUP BY l_partkey
             ORDER BY freq DESC, l_partkey ASC LIMIT 20
         """,

@@ -26,6 +26,7 @@ __version__ = "0.2.0"
 from .kernels.blocked_bloom import BlockedBloomFilter, GrowBlockedBloomFilter
 from .kernels.bloom import BloomFilter
 from .kernels.cms import CountMinSketch
+from .kernels.cqf import CountingQuotientFilter
 from .kernels.cuckoo import CuckooFilter, CuckooFullError
 from .kernels.gcs import GcsFilter
 from .kernels.hll import HyperLogLog
@@ -37,6 +38,7 @@ __all__ = [
     "BlockedBloomFilter",
     "BloomFilter",
     "CountMinSketch",
+    "CountingQuotientFilter",
     "CuckooFilter",
     "CuckooFullError",
     "GcsFilter",

@@ -75,6 +75,38 @@ def kll_sketch(df: DataFrame, col: str, k: int = 200, seed: int = 0x5EED,
     )
 
 
+def cqf_sketch(df: DataFrame, col: str, q: int = 20, r: int = 28,
+               seed: int = 0x5EED, fanout: int = 16) -> "CountingQuotientFilter":
+    """Distributed counting-quotient-filter build (gqf.h semantics:
+    exact multiset counts at fingerprint resolution, lossless merge)."""
+    from ..kernels.cqf import CountingQuotientFilter
+
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: CountingQuotientFilter(q=q, r=r, seed=seed),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=CountingQuotientFilter.merge,
+        from_bytes=CountingQuotientFilter.from_bytes,
+        fanout=fanout,
+    )
+
+
+def cqf_count_col(spark: SparkSession, sketch, col) -> Column:
+    """Exact-at-fingerprint-resolution count Column (qf_count_key_value)."""
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.pandas_udf(T.LongType())
+    def cnt(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..kernels.cqf import CountingQuotientFilter
+
+        local = CountingQuotientFilter.from_bytes(bc.value)
+        for s in it:
+            yield pd.Series(local.count_many(keys_to_u64(s)))
+
+    return cnt(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
 def tdigest_sketch(df: DataFrame, col: str, delta: float = 200.0,
                    fanout: int = 16) -> "TDigest":
     """Distributed t-digest over a numeric column (tail-accurate

@@ -479,3 +479,43 @@ def test_growable_blocked_bloom():
     g = GrowBlockedBloomFilter.from_bytes(f.to_bytes())
     assert np.array_equal(g.contains_many(neg[:5000]), f.contains_many(neg[:5000]))
     assert g.n_added() == f.n_added()
+
+
+def test_cqf_kernel():
+    """gqf.h semantics: exact counts at fingerprint resolution, delete
+    with clamping, bit-exact assoc+commut merge == one-shot build."""
+    import collections
+    import numpy as np
+    from cuckoofilter_spark.kernels.cqf import CountingQuotientFilter as CQF
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 20000, 300_000, dtype=np.uint64)
+    cnt = collections.Counter(keys.tolist())
+    f = CQF(q=20, r=28, seed=2)
+    f.add_many(keys)
+    ks = np.array(list(cnt.keys())[:100], dtype=np.uint64)
+    assert np.array_equal(f.count_many(ks), np.array([cnt[int(k)] for k in ks]))
+    assert f.total == keys.size
+    # weighted insert
+    g = CQF(q=20, r=28, seed=2)
+    g.add_many(ks, np.full(ks.size, 7, dtype=np.int64))
+    assert (g.count_many(ks) == 7).all()
+    # delete with clamp
+    g.delete_many(ks[:10], np.full(10, 100, dtype=np.int64))
+    assert (g.count_many(ks[:10]) == 0).all()
+    assert (g.count_many(ks[10:]) == 7).all()
+    # merge == one-shot, assoc + commut bit-exact
+    parts = []
+    for seg in np.array_split(keys, 4):
+        p = CQF(q=20, r=28, seed=2)
+        p.add_many(seg)
+        parts.append(p)
+    m1 = CQF.multi_merge(parts)
+    m2 = CQF.multi_merge(parts[::-1])
+    assert m1.to_bytes() == m2.to_bytes() == f.to_bytes()
+    # roundtrip + param check
+    h = CQF.from_bytes(f.to_bytes())
+    assert np.array_equal(h.fingerprints, f.fingerprints)
+    import pytest
+    with pytest.raises(ValueError):
+        CQF.merge(CQF(q=20, r=28, seed=2), CQF(q=20, r=28, seed=3))
