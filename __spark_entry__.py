@@ -328,6 +328,20 @@ def q_mixin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"))
 
 
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (1-hour windows): the batch
+    form of the Structured Streaming windowed aggregate (F.window is the
+    same operator readStream uses with a watermark). Per (window,
+    event_type): count, distinct users, value sum."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.countDistinct("user_id").alias("users"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                    "event_type", "cnt", "users", "value_sum"))
+
+
 # --------------------------------------------------------------------------
 # text analysis (training-pipeline ops)
 # --------------------------------------------------------------------------
@@ -505,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "has_duplicates": q_has_duplicates,
         "mixin_sample": q_mixin_sample,
+        "windowed_events": q_windowed_events,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
@@ -632,6 +647,14 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT k, FALSE FROM neg WHERE (k * 1000003) % 97 < 72
             ) GROUP BY 1
+        """,
+        "windowed_events": """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type,
+                   count(*) AS cnt,
+                   count(DISTINCT user_id) AS users,
+                   round(sum(value), 4) AS value_sum
+            FROM events GROUP BY 1, 2
         """,
         "text_stats": f"""
             WITH w AS (SELECT doc_id, text, {_WORDS} AS W FROM documents)

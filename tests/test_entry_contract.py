@@ -86,7 +86,7 @@ ALL_QUERIES = [
     "cf_checkpoint_membership", "cf_delete_membership", "bloom_membership",
     "blocked_bloom_membership", "gcs_membership", "cf_mixed_probe", "hll_distinct",
     "cms_topk_freq", "cqf_topk_freq", "kll_quantiles", "tdigest_quantiles", "match_size", "count_distinct",
-    "has_duplicates", "mixin_sample", "text_stats", "exact_dedup",
+    "has_duplicates", "mixin_sample", "windowed_events", "text_stats", "exact_dedup",
     "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
     "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "token_count_total",
     "multimodal_features", "tokens_pipeline",
