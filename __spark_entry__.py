@@ -28,6 +28,43 @@ from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 SEED = 0x5EED
 
+_PKG_READY: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Make ``cuckoofilter_spark`` importable on executors for ANY session.
+
+    The PYTHONPATH export above only helps workers forked after this
+    module was imported; a driver that built its SparkSession first
+    (the realistic harness shape) needs the package shipped at runtime —
+    ``addPyFile`` of a zip is exactly the ``spark-submit --py-files``
+    mechanism, applied late."""
+    sid = id(spark.sparkContext)
+    if sid in _PKG_READY:
+        return
+    import tempfile
+
+    sys.path.insert(0, str(pathlib.Path(_REPO) / "scripts"))
+    from make_pyfiles_zip import main as make_zip
+
+    zip_path = os.path.join(tempfile.gettempdir(), "cuckoofilter_spark_pyfiles.zip")
+    src_mtime = max(q.stat().st_mtime for q in
+                    (pathlib.Path(_REPO) / "cuckoofilter_spark").rglob("*.py"))
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+        make_zip(zip_path, quiet=True)
+    spark.sparkContext.addPyFile(zip_path)
+    _PKG_READY.add(sid)
+
+
+def _with_pkg(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -495,11 +532,12 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cuckoo-filter membership semi-join on sf0.001."""
+    _ensure_pkg(spark)
     return q_cf_membership(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
         "cf_stable_membership": q_cf_stable_membership,
@@ -532,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "tokens_pipeline": q_tokens_pipeline,
     }
+    return {k: _with_pkg(fn) for k, fn in base.items()}
 
 
 # SQL fragments shared by several oracles ------------------------------------

@@ -27,7 +27,7 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 PKG = ROOT / "cuckoofilter_spark"
 
 
-def main(out: str = "cuckoofilter_spark.zip") -> None:
+def main(out: str = "cuckoofilter_spark.zip", quiet: bool = False) -> None:
     out_path = pathlib.Path(out)
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
         for p in sorted(PKG.rglob("*.py")):
@@ -35,7 +35,8 @@ def main(out: str = "cuckoofilter_spark.zip") -> None:
             info = zipfile.ZipInfo(str(rel), date_time=(1980, 1, 1, 0, 0, 0))
             info.external_attr = 0o644 << 16
             z.writestr(info, p.read_bytes())
-    print(f"wrote {out_path} ({out_path.stat().st_size} bytes)")
+    if not quiet:
+        print(f"wrote {out_path} ({out_path.stat().st_size} bytes)")
 
 
 if __name__ == "__main__":
