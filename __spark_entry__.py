@@ -148,6 +148,25 @@ def q_gcs_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("p_partkey").alias("member_key")))
 
 
+def q_cf_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Contain-as-semi-join-prefilter pattern (SURVEY §2.6): filter
+    orders by an approximate customer-key filter FIRST (drops the bulk
+    with no false negatives), then restore exactness with a real join on
+    the survivors. Result equals the plain exact join regardless of the
+    filter's epsilon — the production use of the reference's Contain."""
+    from cuckoofilter_spark.sketch.membership import approx_semi_join, cuckoo_build
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    orders = _t(spark, sf_dir, "orders")
+    filt = cuckoo_build(cust, "c_custkey", bits=12, seed=SEED, num_shards=8)
+    survivors = approx_semi_join(spark, orders, "o_custkey", filt)
+    exact = survivors.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))), "o_custkey")
+    return (exact.groupBy("o_custkey").agg(F.count("*").alias("n_orders"),
+                                           F.round(F.sum("o_totalprice"), 4)
+                                           .alias("total_price")))
+
+
 def q_cf_mixed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's mixed-ratio lookup protocol (50% stratum of
     bulk-insert-and-query.cc:615-618): deterministic probe composition,
@@ -548,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "gcs_membership": q_gcs_membership,
         "cf_mixed_probe": q_cf_mixed_probe,
+        "cf_prefilter_join": q_cf_prefilter_join,
         "hll_distinct": q_hll_distinct,
         "cms_topk_freq": q_cms_topk_freq,
         "cqf_topk_freq": q_cqf_topk_freq,
@@ -627,6 +647,13 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT s_suppkey + 100 FROM supplier)
             SELECT probe AS member_key FROM probes
             WHERE probe IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "cf_prefilter_join": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+            GROUP BY o_custkey
         """,
         "cf_mixed_probe": """
             WITH pos AS (
