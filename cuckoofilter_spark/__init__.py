@@ -33,6 +33,8 @@ from .kernels.hll import HyperLogLog
 from .kernels.kll import KLLSketch
 from .kernels.tdigest import TDigest
 from .kernels.xor import XorFilter
+from .kernels.xorplus import Rank9, XorFilterPlus
+from .kernels.hashing import SimpleTabulation
 
 __all__ = [
     "BlockedBloomFilter",
@@ -47,4 +49,7 @@ __all__ = [
     "KLLSketch",
     "TDigest",
     "XorFilter",
+    "XorFilterPlus",
+    "Rank9",
+    "SimpleTabulation",
 ]

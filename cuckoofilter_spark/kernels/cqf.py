@@ -106,22 +106,34 @@ class CountingQuotientFilter:
             counts = np.ones(keys.size, dtype=np.int64)
         else:
             counts = np.asarray(counts, dtype=np.int64)
+        if keys.size == 0 or self.fingerprints.size == 0:
+            return
         fps = self._fingerprint(keys)
+        # aggregate the request per fingerprint FIRST: duplicate keys in
+        # one batch must clamp against the stored count jointly (row-wise
+        # clamping would let [2, 2] remove 4 of a stored 3)
+        order = np.argsort(fps, kind="stable")
+        f, c = fps[order], counts[order]
+        starts = np.flatnonzero(np.concatenate(([True], f[1:] != f[:-1])))
+        uf = f[starts]
+        uc = np.add.reduceat(c, starts)
         # clamp: cannot remove more than stored
-        pos = np.searchsorted(self.fingerprints, fps)
+        pos = np.searchsorted(self.fingerprints, uf)
         valid = (pos < self.fingerprints.size) & \
-            (self.fingerprints[np.minimum(pos, self.fingerprints.size - 1)] == fps)
-        stored = np.zeros(fps.size, dtype=np.int64)
+            (self.fingerprints[np.minimum(pos, self.fingerprints.size - 1)] == uf)
+        stored = np.zeros(uf.size, dtype=np.int64)
         stored[valid] = self.counts[pos[valid]]
-        dec = np.minimum(counts, stored)
-        self._fold(fps[valid], -dec[valid])
+        dec = np.minimum(uc, stored)
+        self._fold(uf[valid], -dec[valid])
 
     # -- queries ----------------------------------------------------------
     def count_many(self, keys) -> np.ndarray:
         """qf_count_key_value in bulk (gqf.h:197-201)."""
         fps = self._fingerprint(np.asarray(keys, dtype=np.uint64))
-        pos = np.searchsorted(self.fingerprints, fps)
         out = np.zeros(fps.size, dtype=np.int64)
+        if self.fingerprints.size == 0:  # empty filter: everything absent
+            return out
+        pos = np.searchsorted(self.fingerprints, fps)
         valid = (pos < self.fingerprints.size) & \
             (self.fingerprints[np.minimum(pos, self.fingerprints.size - 1)] == fps)
         out[valid] = self.counts[pos[valid]]

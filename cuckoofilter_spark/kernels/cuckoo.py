@@ -142,6 +142,10 @@ class CuckooFilter:
             # the reference ships/tests the 13-bit PackedTable config
             # (example/test1.cc:38, packedtable.h codeword case bits=13)
             raise ValueError("semisort mode supports bits=13 only")
+        if mode == "single" and bits == 13:
+            # reject at construction, not at to_bytes: single-table packing
+            # has no 13-bit layout (pack_tags would raise much later)
+            raise ValueError("bits=13 requires mode='semisort' (PackedTable)")
         self.mode = mode
         self.num_buckets = int(num_buckets)
         self.bits = int(bits)

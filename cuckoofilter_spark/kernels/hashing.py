@@ -136,3 +136,33 @@ def reverse_bits64(x) -> np.ndarray:
 def upperpower2(x: int) -> int:
     """Smallest power of two >= x — bitsutil.h:21-31."""
     return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
+
+
+class SimpleTabulation:
+    """Patrascu-Thorup simple tabulation hashing — hashutil.h:172-217.
+
+    Eight 256-entry uint64 tables, one per key byte; hash = xor of the
+    eight gathered entries (3-independent, excellent for adversarial
+    key orders). The reference fills tables from std::random_device
+    (non-reproducible) and serializes them wholesale
+    (hashutil.h:192-216); we derive them from an explicit seed via
+    splitmix64 so two engines agree, and serialize only the seed.
+
+    Vectorized: a batch hashes with 8 byte-views + 8 table gathers + 7
+    xors — no per-key loop.
+    """
+
+    def __init__(self, seed: int = 0x5EED):
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        # 8 * 256 entries from one deterministic stream
+        base = (self.seed * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
+        idx = np.arange(8 * 256, dtype=np.uint64) + U64(base)
+        self.tables = splitmix64(idx).reshape(8, 256)
+
+    def __call__(self, keys) -> np.ndarray:
+        k = _as_u64(np.ascontiguousarray(keys))
+        b = k.view(np.uint8).reshape(-1, 8)  # little-endian byte lanes
+        out = self.tables[0][b[:, 0]].copy()
+        for i in range(1, 8):
+            out ^= self.tables[i][b[:, i]]
+        return out

@@ -95,6 +95,45 @@ def jaccard_pairs_exact(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def bucket_self_join_pairs(banded: DataFrame, keys: list[str],
+                           doc_col: str = "doc", cap: int = 2048) -> DataFrame:
+    """Distinct unordered pairs (doc_a < doc_b) of rows sharing a bucket
+    (equal values on ``keys``), with a bound on per-task quadratic work.
+
+    A degenerate bucket (e.g. thousands of near-empty docs sharing a
+    shingle) makes the naive self-join quadratic inside ONE task. Here
+    any bucket larger than ``cap`` is salted into G = ceil(n/cap) groups
+    by doc hash, and the join runs per (group_i <= group_j) cell — the
+    blocked form of the same join: identical output, per-task work
+    <= cap^2, replication factor <= G per row for the few big buckets.
+    Buckets <= cap take the G=1 path, which is the plain join.
+    """
+    sizes = banded.groupBy(*keys).agg(F.count("*").alias("_n")).where(
+        F.col("_n") > cap)
+    # NB: Spark column resolution is case-insensitive — group-count and
+    # group-id columns need distinct spellings, not _G/_g
+    b = (banded.join(F.broadcast(sizes), keys, "left")
+         .withColumn("_ngrp", F.coalesce(
+             F.ceil(F.col("_n") / cap).cast("int"), F.lit(1)))
+         .withColumn("_grp",
+                     F.pmod(F.xxhash64(doc_col), F.col("_ngrp")).cast("int")))
+    # left covers cells (g, j >= g); right covers cells (i <= g, g):
+    # each unordered pair lands in exactly one (i, j) cell (twice when
+    # i == j, deduped by distinct below)
+    left = b.select(*keys, F.col(doc_col).alias("_da"),
+                    F.col("_grp").alias("_gi"),
+                    F.explode(F.sequence(F.col("_grp"),
+                                         F.col("_ngrp") - 1)).alias("_gj"))
+    right = b.select(*keys, F.col(doc_col).alias("_db"),
+                     F.explode(F.sequence(F.lit(0), F.col("_grp"))).alias("_gi"),
+                     F.col("_grp").alias("_gj"))
+    return (left.join(right, [*keys, "_gi", "_gj"])
+            .where(F.col("_da") != F.col("_db"))
+            .select(F.least("_da", "_db").alias("doc_a"),
+                    F.greatest("_da", "_db").alias("doc_b"))
+            .distinct())
+
+
 def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     h = splitmix64(np.arange(2 * num_hashes, dtype=np.uint64) + U64(seed))
     a = (h[:num_hashes] % U64(_MERSENNE - 1) + U64(1)).astype(np.uint64)
@@ -161,15 +200,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
 
-    cand = (
-        banded.alias("x").join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc") < F.col("y.doc")))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct()
-    )
+    cand = bucket_self_join_pairs(banded, ["band", "bucket"])
 
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
@@ -185,11 +216,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        seed: int = 0x5EED) -> DataFrame:
-    """(doc, simhash: long) — 64-bit SimHash over word xxhash64 values."""
-    tokens = df.select(
+    """(doc, simhash: long) — 64-bit SimHash over word hashes.
+
+    The word hash is the cross-engine md5-LE64 (ops.text.md5hex_to_le64,
+    == DuckDB md5_number_upper), salted with the seed, so a SQL oracle
+    can reproduce the signatures bit-exactly. The md5 hex array is
+    materialized in a sub-select BEFORE the per-element u64 conversion
+    (lambda-captured expressions re-evaluate per element)."""
+    from .text import md5hex_to_le64
+
+    salt = f"#sim{seed}"
+    hexes = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(words(text_col), lambda w: F.xxhash64(w, F.lit(seed))).alias("wh"),
-    )
+        F.transform(words(text_col),
+                    lambda w: F.md5(F.concat(w, F.lit(salt)))).alias("hx"))
+    tokens = hexes.select(
+        "doc", F.transform("hx", md5hex_to_le64).alias("wh"))
 
     @F.pandas_udf(T.LongType())
     def sim_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -228,16 +270,16 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                  .bitwiseAND(F.lit(mask)).alias("block"))
         for b in range(nbands)
     ])
-    banded = (sigs.select("doc", "simhash", F.explode(bands_arr).alias("bb"))
-              .select("doc", "simhash", "bb.band", "bb.block"))
+    banded = (sigs.select("doc", F.explode(bands_arr).alias("bb"))
+              .select("doc", "bb.band", "bb.block"))
+    # candidate ids via the capped bucket join, then rejoin signatures by
+    # id for the hamming verify (ids-only through the quadratic exchange)
+    cand = bucket_self_join_pairs(banded, ["band", "block"])
+    xa = sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    xb = sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"))
     return (
-        banded.alias("x").join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.block") == F.col("y.block"))
-            & (F.col("x.doc") < F.col("y.doc")))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"),
-                F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"))
-        .distinct()
+        cand.join(xa, "doc_a").join(xb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
         .where(F.col("hamming") <= max_distance)
     )

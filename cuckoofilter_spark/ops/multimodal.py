@@ -82,27 +82,39 @@ def decode_payload(payload: bytes) -> tuple[dict, np.ndarray]:
              "sample_rate": sr, "duration_ms": dur}, body)
 
 
+def _md5_le64_py(s: str) -> int:
+    """Python twin of ops.text.md5_le64 / DuckDB md5_number_upper."""
+    import hashlib
+    import struct as _struct
+
+    return _struct.unpack("<Q", hashlib.md5(s.encode()).digest()[:8])[0]
+
+
 def media_table(spark: SparkSession, num_media: int, seed: int = 42,
                 partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic media table (schema above), distributed
-    generation via mapInPandas — same shape as sources/tokens.py."""
+    generation via mapInPandas — same shape as sources/tokens.py.
+
+    kind/dimensions derive from the cross-engine md5-LE64 hash of the
+    media id (== DuckDB ``md5_number_upper``), so payload byte counts
+    are restatable in a SQL oracle; payload CONTENT stays a splitmix64
+    stream (only its length is oracled)."""
     rng = spark.range(0, num_media, numPartitions=partitions) if partitions \
         else spark.range(num_media)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            idx = pdf["id"].to_numpy()
-            h = splitmix64(idx.astype(np.uint64) + U64(seed))
-            kinds = (h % U64(3)).astype(np.int64)
             rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
-            for i, k in zip(idx, kinds):
-                hh = int(splitmix64(np.array([i + seed + 7], dtype=np.uint64))[0])
+            for i in pdf["id"].to_numpy():
+                mid = f"media{int(i):010d}"
+                k = _md5_le64_py(f"{mid}#kind{seed}") % 3
+                hh = _md5_le64_py(f"{mid}#dim{seed}")
                 w = 16 + (hh & 0x1F)
                 ht = 16 + ((hh >> 5) & 0x1F)
                 c = 3
                 sr = 8000
                 dur = 250 + ((hh >> 10) & 0x3FF)
-                rows["media_id"].append(f"media{int(i):010d}")
+                rows["media_id"].append(mid)
                 rows["kind"].append(_KINDS[int(k)])
                 rows["payload"].append(encode_fake(int(k), int(i), w, ht, c, sr, dur))
                 rows["meta"].append({"width": w, "height": ht, "channels": c,

@@ -106,6 +106,27 @@ def shingles_from_words(w_col, window: int = 3) -> Column:
     )).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
 
 
+def md5hex_to_le64(hx) -> Column:
+    """int64 whose BITS are the little-endian read of the first 8 md5
+    digest bytes (hex chars 1-16 as byte pairs, least-significant
+    first). Bit-identical to DuckDB's ``md5_number_upper(s)`` and to
+    Python's ``struct.unpack('<Q', md5(s).digest()[:8])`` — the shared
+    cross-engine 64-bit string hash used wherever an oracle must
+    reproduce our hashing exactly (simhash words, derived token ids)."""
+    out = None
+    for i in range(8):
+        p = F.shiftleft(
+            F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long"), 8 * i)
+        out = p if out is None else out.bitwiseOR(p)
+    return out
+
+
+def md5_le64(col, salt: str = "") -> Column:
+    """``md5hex_to_le64(md5(col || salt))`` as one Column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return md5hex_to_le64(F.md5(F.concat(c, F.lit(salt)) if salt else c))
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per doc with the full per-document feature set.
 

@@ -76,6 +76,33 @@ def _read_manifest(ckpt_dir: str) -> dict | None:
         return None
 
 
+def source_fingerprint(df: DataFrame) -> str:
+    """Cheap content fingerprint of a DataFrame's source for the resume
+    guard: sha256 over the sorted input-file list plus per-file (size,
+    mtime) when the files are locally stat-able. Non-file sources (e.g.
+    synthesized ranges) fingerprint as "nonfile:<n_files>" — resuming
+    after a non-file source changed is NOT detected; pin such sources by
+    their generation parameters instead (they are part of the manifest).
+    """
+    import hashlib
+
+    files = sorted(df.inputFiles())
+    if not files:
+        return "nonfile:0"
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        p = f[7:] if f.startswith("file:///") else f
+        p = "/" + p.lstrip("/") if not p.startswith("/") else p
+        try:
+            st = os.stat(p)
+            h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            pass
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def cuckoo_build_checkpointed(
     spark: SparkSession,
     df: DataFrame,
@@ -99,6 +126,9 @@ def cuckoo_build_checkpointed(
         "bits": int(bits),
         "seed": int(seed),
         "num_shards": int(num_shards),
+        # refuses resume when the file-backed source changed underneath
+        # the checkpoint (see source_fingerprint for the non-file caveat)
+        "source": source_fingerprint(df),
     }
     manifest = _read_manifest(ckpt_dir)
     partials = _partials_path(ckpt_dir)

@@ -42,10 +42,86 @@ from ..kernels.hashing import U64, splitmix64
 from .udaf import keys_to_u64
 
 _SHARD_SALT = U64(0xC0FFEE12D00D5EED)
+_CHUNK = 1 << 18  # all kernels chunked: sandbox DRAM bandwidth saturates fast
 
 
 def shard_of(keys_u64: np.ndarray, num_shards: int) -> np.ndarray:
     return (splitmix64(keys_u64 ^ _SHARD_SALT) & U64(num_shards - 1)).astype(np.int64)
+
+
+class _FlatProbe:
+    """One-pass probe across all shards of a sharded cuckoo filter.
+
+    The shard tables are concatenated into one array with per-shard row
+    offsets, so a probe batch costs ONE hash pass + two gathers total —
+    not two gathers *per shard* behind boolean masks (the round-1 path
+    paid 32 masked sub-batches per Arrow batch and ran 4.5x slower than
+    an unsharded probe). This is the distributed analogue of the
+    reference's batched Contain64 (cuckoo-batch-prefetch.h:109-139):
+    amortize per-call overhead by keeping the whole batch in flight.
+    """
+
+    def __init__(self, blobs: list[bytes]):
+        filters = [CuckooFilter.from_bytes(b) for b in blobs]
+        f0 = filters[0]
+        if any(f._params()[1:] != f0._params()[1:] for f in filters):
+            raise ValueError("shards disagree on (bits, seed, mode, stable)")
+        self.bits, self.seed = f0.bits, f0.seed
+        self.stable = f0.stable
+        self.num_shards = len(filters)
+        self.nb = np.array([f.num_buckets for f in filters], dtype=np.uint64)
+        self.offsets = np.zeros(self.num_shards, dtype=np.int64)
+        np.cumsum([f.num_buckets for f in filters[:-1]], out=self.offsets[1:])
+        self.table = np.vstack([f.table for f in filters])
+        self.vict_used = np.array([f.victim_used for f in filters], dtype=bool)
+        self.vict_index = np.array([f.victim_index for f in filters], dtype=np.int64)
+        self.vict_tag = np.array([f.victim_tag for f in filters],
+                                 dtype=self.table.dtype)
+        self.any_victim = bool(self.vict_used.any())
+        self.tag_mask = U64((1 << self.bits) - 1)
+
+    def _contains_chunk(self, keys: np.ndarray) -> np.ndarray:
+        from ..kernels.hashing import simple_mix_split
+        from ..kernels.cuckoo import KICK_CONST
+
+        sh = shard_of(keys, self.num_shards)
+        nb = self.nb[sh]
+        h = simple_mix_split(keys, self.seed)
+        if self.stable:
+            # cuckoofilter_stable.h:48-102 with per-key bucket counts
+            i1 = ((h & U64(0xFFFFFFFF)) * nb) >> U64(32)
+            tag = (h >> U64(32)) & self.tag_mask
+            tag += (tag == 0)
+            th = tag * U64(0xC4CEB9FE1A85EC53)
+            r = ((((th & U64(0xFFFFFFFF)) * (nb >> U64(1))) >> U64(32))
+                 << U64(1)) + U64(1)
+            i2 = (nb - i1 - r).view(np.int64)
+            neg = i2 < 0
+            i2[neg] += nb[neg].view(np.int64)
+            i1 = i1.view(np.int64)
+        else:
+            i1 = ((h >> U64(32)) & (nb - U64(1))).astype(np.int64)
+            tag = h & self.tag_mask
+            tag += (tag == 0)
+            i2 = ((i1.view(np.uint64) ^ (tag * KICK_CONST))
+                  & (nb - U64(1))).astype(np.int64)
+        t = tag.astype(self.table.dtype)[:, None]
+        off = self.offsets[sh]
+        found = ((self.table[off + i1] == t).any(axis=1)
+                 | (self.table[off + i2] == t).any(axis=1))
+        if self.any_victim:
+            vu = self.vict_used[sh]
+            found |= (vu & (t[:, 0] == self.vict_tag[sh])
+                      & ((i1 == self.vict_index[sh]) | (i2 == self.vict_index[sh])))
+        return found
+
+    def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        if keys.size <= _CHUNK:
+            return self._contains_chunk(keys)
+        out = np.empty(keys.size, dtype=bool)
+        for lo in range(0, keys.size, _CHUNK):
+            out[lo:lo + _CHUNK] = self._contains_chunk(keys[lo:lo + _CHUNK])
+        return out
 
 
 class ShardedCuckooFilter:
@@ -59,6 +135,7 @@ class ShardedCuckooFilter:
         self.seed = seed
         self.blobs = blobs
         self._filters: list[CuckooFilter | None] = [None] * self.num_shards
+        self._flat: _FlatProbe | None = None
 
     def _filter(self, s: int) -> CuckooFilter:
         if self._filters[s] is None:
@@ -66,12 +143,9 @@ class ShardedCuckooFilter:
         return self._filters[s]
 
     def contains_u64(self, keys: np.ndarray) -> np.ndarray:
-        sh = shard_of(keys, self.num_shards)
-        out = np.zeros(keys.size, dtype=bool)
-        for s in np.unique(sh):
-            m = sh == s
-            out[m] = self._filter(int(s)).contains_many(keys[m])
-        return out
+        if self._flat is None:
+            self._flat = _FlatProbe(self.blobs)
+        return self._flat.contains_u64(keys)
 
     def delete_u64(self, keys: np.ndarray) -> np.ndarray:
         """Bulk Delete (cuckoofilter.h:206-238) across shards.
@@ -89,6 +163,7 @@ class ShardedCuckooFilter:
             f = self._filter(int(s))
             out[m] = f.delete_many(keys[m])
             self.blobs[int(s)] = f.to_bytes()
+        self._flat = None  # probe structure is stale after a delete
         return out
 
     def num_items(self) -> int:
@@ -200,18 +275,38 @@ def cuckoo_build(
     return ShardedCuckooFilter(blobs, bits=bits, seed=seed)
 
 
+# Worker-process cache of deserialized probe structures, keyed by the
+# broadcast id: Python workers are reused across tasks, so the flat
+# table is built once per (worker, filter) instead of once per task.
+_PROBE_CACHE: dict[int, object] = {}
+_PROBE_CACHE_MAX = 8
+
+
+def _cached_probe(bc, build):
+    # executor-side Broadcast carries its spill path; unique per broadcast
+    key = getattr(bc, "_path", None) or id(bc)
+    obj = _PROBE_CACHE.get(key)
+    if obj is None:
+        obj = build(bc.value)
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        _PROBE_CACHE[key] = obj
+    return obj
+
+
 def cuckoo_contains_col(spark: SparkSession, filt: ShardedCuckooFilter, col) -> Column:
     """Boolean Column: approximate membership of ``col`` in the filter.
 
-    Broadcasts the blobs once; deserializes lazily per executor; each
-    Arrow batch is answered by numpy gathers (no per-row Python).
+    Broadcasts the blobs once; each worker deserializes them into ONE
+    flat probe structure cached across tasks; each Arrow batch is
+    answered by a single hash pass + two table gathers (no per-row
+    Python, no per-shard sub-batches).
     """
-    bc = spark.sparkContext.broadcast((filt.blobs, filt.bits, filt.seed))
+    bc = spark.sparkContext.broadcast(filt.blobs)
 
     @F.pandas_udf(T.BooleanType())
     def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        blobs, bits, seed = bc.value
-        local = ShardedCuckooFilter(list(blobs), bits, seed)
+        local = _cached_probe(bc, _FlatProbe)
         for s in it:
             yield pd.Series(local.contains_u64(keys_to_u64(s)))
 
@@ -242,31 +337,51 @@ def cuckoo_delete(filt: ShardedCuckooFilter, df: DataFrame, col: str) -> int:
     return int(filt.delete_u64(keys).sum())
 
 
-def distinct_keys_u64(df: DataFrame, col: str) -> np.ndarray:
+def distinct_keys_u64(df: DataFrame, col: str, num_shards: int = 64) -> np.ndarray:
     """Distributed distinct of an integer or array<int> column -> driver.
 
-    Per-partition flatten + np.unique inside the Arrow pass, one packed
-    binary row per partition, global unique on the driver. This is the
-    build side of a broadcast structure: the driver only ever holds the
-    DISTINCT key set (bounded by the key universe, e.g. vocab), never
-    row data — the same contract as a broadcast-join build side.
+    Two stages so driver memory is bounded by the KEY UNIVERSE (vocab),
+    not partitions x vocab: (1) per-partition flatten + np.unique inside
+    the Arrow pass, split by key shard, one packed binary row per
+    (partition, shard); (2) groupBy(shard) dedupes each shard to one
+    packed row. Shards are disjoint by construction, so the driver
+    receives exactly the distinct key set — the same contract as a
+    broadcast-join build side. Returned sorted.
     """
     from .udaf import require_key_col, tokens_to_u64
 
     is_array = require_key_col(df, col)
     base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
 
-    def part_unique(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def part_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
                  for pdf in batches]
-        uniq = (np.unique(np.concatenate(parts)) if parts
+        keys = (np.unique(np.concatenate(parts)) if parts
                 else np.empty(0, dtype=np.uint64))
-        yield pd.DataFrame({"keys": [uniq.tobytes()]})
+        sh = shard_of(keys, num_shards)
+        order = np.argsort(sh, kind="stable")
+        keys, sh = keys[order], sh[order]
+        bounds = np.searchsorted(sh, np.arange(num_shards + 1))
+        shards, blobs = [], []
+        for s in range(num_shards):
+            seg = keys[bounds[s]:bounds[s + 1]]
+            if seg.size:
+                shards.append(s)
+                blobs.append(seg.tobytes())
+        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
+                            "keys": blobs})
 
-    rows = base.mapInPandas(part_unique, schema="keys binary").collect()
+    def uniq_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        uniq = np.unique(np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]]))
+        return pd.DataFrame({"keys": [uniq.tobytes()]})
+
+    rows = (base.mapInPandas(part_shards, schema="shard int, keys binary")
+            .groupBy("shard").applyInPandas(uniq_shard, "keys binary")
+            .collect())
     if not rows:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(np.concatenate(
+    return np.sort(np.concatenate(
         [np.frombuffer(bytes(r["keys"]), dtype=np.uint64) for r in rows]))
 
 
@@ -276,25 +391,50 @@ def xor_build(df: DataFrame, col: str, fp_bits: int = 8, seed: int = 0x5EED):
     The peel (xorfilter.h:122-279) is inherently sequential, so it runs
     driver-side over the distinct key set — executor->driver control
     crosses exactly once, by design (SURVEY §3.3). Returns a XorFilter.
+    fp_bits 8/16 are the xorfilter.h configs; 10/14 the XorFilter2
+    storage-generic ones (xorfilter_2.h).
     """
     from ..kernels.xor import XorFilter
 
     return XorFilter.build(distinct_keys_u64(df, col), fp_bits=fp_bits, seed=seed)
 
 
-def xor_contains_col(spark: SparkSession, filt, col) -> Column:
-    """Boolean membership Column against a broadcast xor-filter blob."""
+def xorplus_build(df: DataFrame, col: str, fp_bits: int = 8, seed: int = 0x5EED):
+    """XorFilterPlus build (xorfilter_plus.h): same distributed dedupe +
+    driver peel as ``xor_build``, with the rank9-compressed third block
+    — the space-optimal static AMQ of the reference family."""
+    from ..kernels.xorplus import XorFilterPlus
+
+    return XorFilterPlus.build(distinct_keys_u64(df, col), fp_bits=fp_bits,
+                               seed=seed)
+
+
+def _blob_contains_col(spark: SparkSession, filt, col, cls) -> Column:
+    """Membership Column for any single-blob kernel with from_bytes +
+    contains_many; blob deserialization cached per worker."""
     bc = spark.sparkContext.broadcast(filt.to_bytes())
 
     @F.pandas_udf(T.BooleanType())
     def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from ..kernels.xor import XorFilter
-
-        local = XorFilter.from_bytes(bc.value)
+        local = _cached_probe(bc, cls.from_bytes)
         for s in it:
             yield pd.Series(local.contains_many(keys_to_u64(s)))
 
     return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
+def xor_contains_col(spark: SparkSession, filt, col) -> Column:
+    """Boolean membership Column against a broadcast xor-filter blob."""
+    from ..kernels.xor import XorFilter
+
+    return _blob_contains_col(spark, filt, col, XorFilter)
+
+
+def xorplus_contains_col(spark: SparkSession, filt, col) -> Column:
+    """Boolean membership Column against a broadcast xor+ blob."""
+    from ..kernels.xorplus import XorFilterPlus
+
+    return _blob_contains_col(spark, filt, col, XorFilterPlus)
 
 
 def approx_anti_join(

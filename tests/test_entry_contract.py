@@ -82,7 +82,8 @@ def _compare(spark, ducks, contract, name):
 
 
 ALL_QUERIES = [
-    "cf_membership", "xor_membership", "cf_stable_membership", "cf_semisort_membership",
+    "cf_membership", "xor_membership", "xorplus_membership", "cf_stable_membership",
+    "cf_semisort_membership",
     "cf_checkpoint_membership", "cf_delete_membership", "bloom_membership",
     "blocked_bloom_membership", "gcs_membership", "cf_mixed_probe", "cf_prefilter_join", "hll_distinct",
     "cms_topk_freq", "cqf_topk_freq", "kll_quantiles", "tdigest_quantiles", "match_size", "count_distinct",
@@ -101,7 +102,7 @@ def test_query_vs_oracle(spark, ducks, contract, name):
 def test_all_queries_have_entries(contract):
     qs = contract.queries()
     assert set(ALL_QUERIES) == set(qs)
-    missing_oracles = set(qs) - set(contract.oracle_sql())
-    # only genuinely non-SQL-expressible ops may omit the oracle
-    assert missing_oracles <= {"simhash_pairs", "ann_lsh_topk", "multimodal_features",
-                               "tokens_pipeline"}
+    # round 2: every query has a DuckDB oracle (the former no_oracle
+    # queries were re-expressed as exact facts + Spark-verified bound
+    # flags via the cross-engine md5-LE64 hash)
+    assert set(qs) - set(contract.oracle_sql()) == set()

@@ -51,8 +51,12 @@ def test_semisort_filter_end_to_end():
     # space: 6-byte buckets -> 12.x bits/item at this load, < unpacked 16
     assert g.size_in_bytes() == g.num_buckets * 6
     packed_bpi = 8.0 * g.size_in_bytes() / g.num_items
-    unpacked = CuckooFilter.create(24000, bits=13, seed=11)
+    # unpacked 13-bit tags would occupy 16-bit slots (ntags * 2 bytes, the
+    # same layout bits=16 uses); bits=13 single-mode is rejected outright
+    unpacked = CuckooFilter.create(24000, bits=16, seed=11)
     assert packed_bpi < 8.0 * unpacked.size_in_bytes() / max(1, g.num_items)
+    with pytest.raises(ValueError):
+        CuckooFilter.create(24000, bits=13, seed=11)  # needs semisort
 
 
 def test_semisort_merge_associative():
