@@ -70,7 +70,7 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
 
     out: dict = {"num_docs": num_docs, "total_tokens": int(total_tokens)}
 
-    def timed2(name: str, fn):
+    def timed2(name: str, fn, runs: int = 2):
         """Cold + steady-state timing. Each distinct stage shape pays a
         one-time per-worker page-fault cost in this sandbox (fresh pages
         arrive at ~50 MB/s); the second run is what a long-lived cluster
@@ -79,7 +79,7 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
         fn()
         out[f"{name}_cold_sec"] = round(time.time() - t0, 3)
         best = None
-        for _ in range(2):  # min-of-2: the host has noisy-neighbor steal
+        for _ in range(runs):  # min-of-N: the host has noisy-neighbor steal
             t0 = time.time()
             result = fn()
             dt = time.time() - t0
@@ -98,25 +98,36 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
     out["cf_load_factor"] = round(info["load_factor"], 4)
     out["cf_bits_per_item"] = round(info["bits_per_item"], 2)
 
-    # FPR: probe keys >= VOCAB are guaranteed negatives (tokens are % VOCAB).
-    # Probe rows are 8 B each, so a 64k-row Arrow batch is ~0.5 MB — the
-    # build-side 8192-row cap exists for ~1.4 kB token rows and would make
-    # the probe stage batch-overhead-bound.
+    hll = timed2("hll", lambda: hll_sketch(toks, "tokens", p=14, seed=SEED))
+    out["hll_estimate"] = round(hll.estimate(), 1)
+    timed2("cms", lambda: cms_sketch(toks, "tokens", eps=0.0005, delta=0.01, seed=SEED))
+    timed2("kll", lambda: kll_sketch(toks, "n_tok", k=200, seed=SEED))
+
+    # FPR + lookup throughput, measured AFTER the sketch builds: the
+    # 20M-probe stage churns worker memory (freed pages return to the
+    # host and re-fault at ~50 MB/s), which taxes whatever stage runs
+    # next — keep that out of the build timings. Probe rows are 8 B each, so a 64k-row Arrow
+    # batch is ~0.5 MB — the build-side 8192-row cap exists for ~1.4 kB
+    # token rows and would make the probe stage batch-overhead-bound.
     probes = spark.range(VOCAB, VOCAB + NEG_PROBES)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     try:
         fp = timed2("cf_probe", lambda: probes.where(
-            cuckoo_contains_col(spark, cf, "id")).count())
+            cuckoo_contains_col(spark, cf, "id")).count(), runs=3)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
     out["cf_probes_per_sec"] = round(NEG_PROBES / max(out["cf_probe_build_sec"], 1e-9), 1)
     out["cf_observed_fpp"] = fp / NEG_PROBES
     out["cf_fpp_bound"] = 2.0 * 4 / (1 << 12)  # 2b/2^f, cuckoofilter.h analysis
 
-    hll = timed2("hll", lambda: hll_sketch(toks, "tokens", p=14, seed=SEED))
-    out["hll_estimate"] = round(hll.estimate(), 1)
-    timed2("cms", lambda: cms_sketch(toks, "tokens", eps=0.0005, delta=0.01, seed=SEED))
-    timed2("kll", lambda: kll_sketch(toks, "n_tok", k=200, seed=SEED))
+    # sort baseline (bulk-insert-and-query.cc:891-896, the harness's
+    # "Sort" context row): full distributed sort of the token stream,
+    # discarded via the noop sink so only the sort is timed
+    flat = toks.select(F.explode("tokens").alias("t"))
+    timed2("sort", lambda: flat.orderBy("t")
+           .write.format("noop").mode("overwrite").save())
+    out["sort_keys_per_sec"] = round(total_tokens / out["sort_build_sec"], 1)
+
 
     toks.unpersist()
     total = (out["cf_build_sec"] + out["hll_build_sec"]

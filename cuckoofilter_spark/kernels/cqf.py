@@ -147,6 +147,22 @@ class CountingQuotientFilter:
         in sorted order — the lossless content enumeration qf_merge uses."""
         return self.fingerprints.copy(), self.counts.copy()
 
+    def resize(self, new_q: int) -> None:
+        """qf_resize (gqf.h:103-127): grow the slot space by moving bits
+        from remainder to quotient. The reference physically re-shards
+        its rank/select slot layout; our storage keeps FULL
+        (q+r)-bit fingerprints, so the total fingerprint width — and
+        therefore the content and collision rate — is unchanged and the
+        resize is a relabeling of the quotient split (it changes only
+        the quotiented space accounting). Mirrors the reference's
+        invariant that resize preserves every (fingerprint, count)."""
+        if new_q < self.q:
+            raise ValueError("qf_resize only grows (gqf.h:103-127)")
+        total = self.q + self.r
+        if new_q >= total:
+            raise ValueError("new_q must leave at least one remainder bit")
+        self.q, self.r = int(new_q), int(total - new_q)
+
     # -- merge ------------------------------------------------------------
     def _params(self) -> tuple:
         return (self.q, self.r, self.seed)

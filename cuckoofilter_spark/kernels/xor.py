@@ -38,11 +38,13 @@ import struct
 
 import numpy as np
 
-from .hashing import U64, lemire_reduce, rotl64, simple_mix_split, splitmix64
+from .hashing import (U64, lemire_reduce, rotl64, simple_mix_split,
+                      splitmix64, upperpower2)
 
 _MAGIC = b"XOR1"
-_FMT = "<4sHBBIQQ"
-_HDR_SIZE = struct.calcsize(_FMT)  # magic ver fpbits pad blocklen seed size
+# v2 header: trailing flags byte (bit0 = pow2 block length, xorfilter_2n.h)
+_FMT = "<4sHBBIQQB"
+_HDR_SIZE = struct.calcsize(_FMT)  # magic ver fpbits attempt blocklen seed size flags
 
 _MAX_ATTEMPTS = 32
 
@@ -89,30 +91,52 @@ class XorFilter:
     serialized blob (nbit_array.h:85-124), with size_in_bytes reporting
     the packed footprint like the reference does."""
 
-    def __init__(self, block_length: int, fp_bits: int, seed: int):
+    def __init__(self, block_length: int, fp_bits: int, seed: int,
+                 pow2_blocks: bool = False):
         if not 4 <= fp_bits <= 32:
             raise ValueError("fp_bits must be in [4, 32]")
+        if pow2_blocks and block_length & (block_length - 1):
+            raise ValueError("pow2_blocks needs a power-of-two block length")
         self.block_length = int(block_length)
         self.fp_bits = int(fp_bits)
+        self.pow2_blocks = bool(pow2_blocks)
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         self.fingerprints = np.zeros(3 * self.block_length,
                                      dtype=_fp_dtype(fp_bits))
         self.size = 0
 
+    def _cells_of(self, h: np.ndarray):
+        """Cell mapping: Lemire reduce per third (xorfilter.h:37-53) or,
+        in the 2n variant, mask-based (xorfilter_2n.h:119-121 — the
+        rounding to a power of two buys a mask instead of a multiply at
+        ~2x space rounding worst case)."""
+        if not self.pow2_blocks:
+            return _cells(h, self.block_length)
+        bl = self.block_length
+        mask = U64(bl - 1)
+        c0 = (h & mask).astype(np.int64)
+        c1 = (rotl64(h, 21) & mask).astype(np.int64) + bl
+        c2 = (rotl64(h, 42) & mask).astype(np.int64) + 2 * bl
+        return c0, c1, c2
+
     # -- build ------------------------------------------------------------
     @classmethod
-    def build(cls, keys: np.ndarray, fp_bits: int = 8, seed: int = 0x5EED) -> "XorFilter":
+    def build(cls, keys: np.ndarray, fp_bits: int = 8, seed: int = 0x5EED,
+              pow2_blocks: bool = False) -> "XorFilter":
         """AddAll (xorfilter.h:120-279): peel + reverse assignment.
 
         ``keys`` must be duplicate-free (the reference requires the same,
-        xorfilter.h docs); np.unique them if unsure.
+        xorfilter.h docs); np.unique them if unsure. ``pow2_blocks``
+        selects the XorFilter2n sizing (xorfilter_2n.h:70-78).
         """
         keys = np.asarray(keys, dtype=np.uint64)
         n = keys.size
         block_length = max(4, int(32 + 1.23 * n) // 3)
+        if pow2_blocks:
+            block_length = upperpower2(block_length)
         for attempt in range(_MAX_ATTEMPTS):
             s = int(splitmix64(np.array([seed + attempt], dtype=np.uint64))[0])
-            f = cls(block_length, fp_bits, seed)
+            f = cls(block_length, fp_bits, seed, pow2_blocks=pow2_blocks)
             if f._try_build(keys, s, attempt):
                 return f
         raise RuntimeError(f"xor filter peel failed after {_MAX_ATTEMPTS} attempts")
@@ -127,7 +151,7 @@ class XorFilter:
         h = simple_mix_split(keys, mix_seed)
         if np.unique(h).size != n:  # hash collision: retry with new seed
             return False
-        c0, c1, c2 = _cells(h, self.block_length)
+        c0, c1, c2 = self._cells_of(h)
         m = 3 * self.block_length
         cells = np.concatenate([c0, c1, c2])
         owners = np.concatenate([h, h, h])
@@ -167,7 +191,7 @@ class XorFilter:
             rounds_cells.append(sel_cells)
             rounds_hashes.append(sel_h)
             # remove those keys from all their cells
-            k0, k1, k2 = _cells(sel_h, self.block_length)
+            k0, k1, k2 = self._cells_of(sel_h)
             for kc in (k0, k1, k2):
                 if sel_h.size * 64 < m:
                     # tail rounds are tiny: scalar scatter beats an
@@ -186,7 +210,7 @@ class XorFilter:
         # reverse assignment (xorfilter.h:254-274), round-batched
         fp_mask = np.uint64((1 << self.fp_bits) - 1)
         for sel_cells, sel_h in zip(reversed(rounds_cells), reversed(rounds_hashes)):
-            k0, k1, k2 = _cells(sel_h, self.block_length)
+            k0, k1, k2 = self._cells_of(sel_h)
             fp = (simple_mix_split(sel_h, 0xF00D) & fp_mask).astype(self.fingerprints.dtype)
             val = (fp
                    ^ self.fingerprints[k0] ^ self.fingerprints[k1]
@@ -201,7 +225,7 @@ class XorFilter:
     def contains_many(self, keys) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
         h = simple_mix_split(keys, self._mix_seed)
-        c0, c1, c2 = _cells(h, self.block_length)
+        c0, c1, c2 = self._cells_of(h)
         fp_mask = np.uint64((1 << self.fp_bits) - 1)
         fp = (simple_mix_split(h, 0xF00D) & fp_mask).astype(self.fingerprints.dtype)
         return (self.fingerprints[c0] ^ self.fingerprints[c1]
@@ -220,8 +244,9 @@ class XorFilter:
 
     # -- serialization ----------------------------------------------------
     def to_bytes(self) -> bytes:
-        hdr = struct.pack(_FMT, _MAGIC, 1, self.fp_bits, self._attempt,
-                          self.block_length, self.seed, self.size)
+        hdr = struct.pack(_FMT, _MAGIC, 2, self.fp_bits, self._attempt,
+                          self.block_length, self.seed, self.size,
+                          1 if self.pow2_blocks else 0)
         if self.fp_bits in (8, 16, 32):
             return hdr + self.fingerprints.astype(
                 f"<u{self.fp_bits // 8}").tobytes()
@@ -229,10 +254,11 @@ class XorFilter:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "XorFilter":
-        magic, ver, fp_bits, attempt, bl, seed, size = struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 1:
+        magic, ver, fp_bits, attempt, bl, seed, size, flags = \
+            struct.unpack_from(_FMT, blob)
+        if magic != _MAGIC or ver != 2:
             raise ValueError("bad xor blob header")
-        f = cls(bl, fp_bits, seed)
+        f = cls(bl, fp_bits, seed, pow2_blocks=bool(flags & 1))
         f._attempt = attempt
         f._mix_seed = int(splitmix64(np.array([seed + attempt], dtype=np.uint64))[0])
         f.size = size

@@ -268,3 +268,35 @@ def test_embedding_neardup_planted_pairs(spark):
     found = sum(1 for p in planted if p in got)
     # 8x6-bit banding: miss probability ~0.25%/pair at cos .95 — demand all
     assert found == len(planted), (found, len(planted))
+
+def test_xor_pow2_blocks_variant():
+    # XorFilter2n (xorfilter_2n.h): pow2 block length, mask-based cells
+    rng = np.random.default_rng(12)
+    keys = np.unique(rng.integers(0, 1 << 62, size=30_000, dtype=np.uint64))
+    neg = rng.integers(1 << 62, 1 << 63, size=100_000, dtype=np.uint64)
+    f = XorFilter.build(keys, fp_bits=8, seed=0x5EED, pow2_blocks=True)
+    assert f.block_length & (f.block_length - 1) == 0
+    assert f.contains_many(keys).all()
+    assert f.contains_many(neg).mean() <= 3 * f.expected_fpp() + 1e-4
+    g = XorFilter.from_bytes(f.to_bytes())
+    assert g.pow2_blocks and (g.fingerprints == f.fingerprints).all()
+    # rounding trade-off: more space than the Lemire-reduce sizing
+    plain = XorFilter.build(keys, fp_bits=8, seed=0x5EED)
+    assert f.bits_per_item() >= plain.bits_per_item()
+
+
+def test_cqf_resize_preserves_contents():
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 1 << 40, size=5000, dtype=np.uint64)
+    f = CountingQuotientFilter(q=16, r=32, seed=5)
+    f.add_many(keys)
+    before = f.count_many(keys[:500]).copy()
+    fsz = f.size_in_bytes()
+    f.resize(20)  # grow quotient space (gqf.h qf_resize)
+    assert f.q == 20 and f.r == 28
+    assert (f.count_many(keys[:500]) == before).all()  # contents preserved
+    assert f.size_in_bytes() != 0 and fsz > 0
+    with pytest.raises(ValueError):
+        f.resize(16)  # only grows
+    with pytest.raises(ValueError):
+        f.resize(48)  # must keep a remainder
