@@ -295,14 +295,17 @@ def q_cms_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sk = cms_sketch(li, "l_partkey", eps=0.0005, delta=0.01, seed=SEED)
     bound = int(sk.eps * sk.total)
-    # orderBy+limit compiles to TakeOrderedAndProject (distributed
-    # per-partition top-k + driver merge) — no single-partition window
-    top = (li.groupBy("l_partkey").agg(F.count("*").alias("freq"))
-           .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
-    return (top.withColumn("est", cms_lookup_col(spark, sk, "l_partkey"))
+    # probe BEFORE the top-k so orderBy+limit stays terminal and compiles
+    # to TakeOrderedAndProject (per-partition top-k + driver merge); a UDF
+    # after limit() degrades the plan to a full global sort, which is the
+    # wrong trade at scale (probing every distinct key is a cheap
+    # vectorized pass; sorting every distinct key is a shuffle)
+    return (li.groupBy("l_partkey").agg(F.count("*").alias("freq"))
+            .withColumn("est", cms_lookup_col(spark, sk, "l_partkey"))
             .select("l_partkey", "freq",
                     ((F.col("est") >= F.col("freq"))
-                     & (F.col("est") <= F.col("freq") + bound)).alias("cms_within_bound")))
+                     & (F.col("est") <= F.col("freq") + bound)).alias("cms_within_bound"))
+            .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
 
 
 def q_cqf_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,11 +317,12 @@ def q_cqf_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     sk = cqf_sketch(li, "l_partkey", q=20, r=28, seed=SEED)
-    top = (li.groupBy("l_partkey").agg(F.count("*").alias("freq"))
-           .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
-    return (top.withColumn("cqf_count", cqf_count_col(spark, sk, "l_partkey"))
+    # probe before the terminal top-k (see q_cms_topk_freq)
+    return (li.groupBy("l_partkey").agg(F.count("*").alias("freq"))
+            .withColumn("cqf_count", cqf_count_col(spark, sk, "l_partkey"))
             .select("l_partkey", "freq",
-                    (F.col("cqf_count") == F.col("freq")).alias("cqf_exact")))
+                    (F.col("cqf_count") == F.col("freq")).alias("cqf_exact"))
+            .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
 
 
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,6 +511,36 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (k-means coarse quantizer + nprobe cell
+    probe + exact re-score) — the inverted-list ANN scale path
+    complementary to SRP-LSH. Verified like ann_lsh_topk: the top-1 hit
+    must be the query vector itself (a corpus vector's own cell is its
+    nearest centroid, probed first — guaranteed, not probabilistic) plus
+    a recall@5-vs-bruteforce floor; planted-structure recall is
+    asserted in tests/test_similarity.py."""
+    from cuckoofilter_spark.ops.similarity import (
+        cosine_topk_bruteforce, ivf_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ivf = ivf_topk(spark, emb, queries, k=5, n_cells=64, nprobe=8, seed=SEED)
+    bf = cosine_topk_bruteforce(spark, emb, queries, k=5)
+    top1 = (ivf.where(F.col("rnk") == 1)
+            .select("q_id", F.col("vec_id").alias("top1_vec_id")))
+    hits = (bf.select("q_id", "vec_id")
+            .join(ivf.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count("*").alias("found")))
+    ks = bf.groupBy("q_id").agg(F.count("*").alias("k"))
+    return (top1.join(ks, "q_id").join(hits, "q_id", "left")
+            .na.fill(0, ["found"])
+            .select("q_id", "top1_vec_id",
+                    (F.col("top1_vec_id") == F.col("q_id")).alias("top1_is_self"),
+                    (F.col("found") / F.col("k") >= 0.2).alias("recall_ok"))
+            )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at 0.95, banded SRP-LSH blocking
     with exact verification. Precision is exact by construction; recall
@@ -657,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_count_total": q_token_count_total,
         "multimodal_features": q_multimodal_features,
@@ -900,6 +935,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
         "ann_lsh_topk": """
+            SELECT vec_id AS q_id, vec_id AS top1_vec_id,
+                   TRUE AS top1_is_self, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ann_ivf_topk": """
             SELECT vec_id AS q_id, vec_id AS top1_vec_id,
                    TRUE AS top1_is_self, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10

@@ -163,6 +163,119 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    seed: int = 0x5EED,
+    sample: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded spherical k-means coarse quantizer for IVF.
+
+    Trains driver-side on a DETERMINISTIC sample (the ``sample`` vectors
+    with smallest xxhash64(id) — order-independent, one
+    TakeOrderedAndProject), so two runs and two cluster sizes produce
+    identical centroids. Returns (k, dim) L2-normalized centroids.
+
+    Scale shape: the training sample is O(sample x dim) driver bytes; k
+    and sample are knobs independent of corpus size (IVF training on a
+    sample is the standard construction).
+    """
+    rows = (emb.select(vec_col)
+            .orderBy(F.xxhash64(id_col, F.lit(seed)))
+            .limit(sample).collect())
+    x = _normalize(np.array([np.asarray(r[0], dtype=np.float64) for r in rows]))
+    k = min(k, x.shape[0])
+    cent = x[:k].copy()  # deterministic init: first k by hash order
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+            else:  # reseed empty cluster deterministically
+                cent[c] = x[(c * 2654435761) % x.shape[0]]
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign_col(spark: SparkSession, centroids: np.ndarray, vec_col):
+    """int Column: index of the nearest (max-dot) centroid — the IVF
+    cell id. Centroids ride a broadcast; assignment is one numpy matmul
+    per Arrow batch."""
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cent = bc.value
+        for s in it:
+            if not len(s):
+                yield pd.Series([], dtype="int32")
+                continue
+            mat = _normalize(np.vstack([np.asarray(v, dtype=np.float64)
+                                        for v in s]))
+            yield pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return cell(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    nprobe: int = 4,
+    dim: int | None = None,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """IVF approximate cosine top-k: coarse k-means quantizer, probe the
+    ``nprobe`` nearest cells per query, exact re-score inside them.
+
+    The scale path complementary to ``lsh_topk``: candidates per query
+    ~ nprobe/n_cells of the corpus regardless of dimension, and the
+    inverted lists are just a partitioning column — at rest they map to
+    a partitioned/bucketed table so a query touches only its cells'
+    files (partition pruning). A query vector present in the corpus is
+    always found (its own cell is its nearest centroid, which is probed
+    first) — the guarantee the entry-contract oracle checks.
+    """
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+    cent = kmeans_centroids(emb, n_cells, dim, seed=seed)
+    cells = emb.withColumn("cell", ivf_assign_col(spark, cent, "embedding"))
+
+    qrows = queries.collect()
+    q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
+    q_mat = _normalize(np.vstack([np.asarray(r["q_vec"], dtype=np.float64)
+                                  for r in qrows]))
+    sims = q_mat @ cent.T
+    probe_cells = np.argsort(-sims, axis=1)[:, :nprobe]  # nearest first
+    probe = spark.createDataFrame(
+        [(int(q), int(c), [float(x) for x in q_mat[i]])
+         for i, q in enumerate(q_ids) for c in probe_cells[i]],
+        "q_id long, cell int, q_norm array<double>")
+
+    cand = cells.join(F.broadcast(probe), "cell")
+    cos = (
+        F.aggregate(F.zip_with("embedding", "q_norm", lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        / F.greatest(F.sqrt(F.aggregate(F.transform("embedding", lambda a: a * a),
+                                        F.lit(0.0), lambda acc, x: acc + x)),
+                     F.lit(1e-12))
+    )
+    scored = cand.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rnk")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -89,7 +89,8 @@ ALL_QUERIES = [
     "cms_topk_freq", "cqf_topk_freq", "kll_quantiles", "tdigest_quantiles", "match_size", "count_distinct",
     "has_duplicates", "mixin_sample", "windowed_events", "text_stats", "exact_dedup",
     "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
-    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "token_count_total",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_neardup",
+    "token_count_total",
     "multimodal_features", "tokens_pipeline",
 ]
 

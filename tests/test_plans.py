@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the plans we designed are the plans Spark
+actually runs. Each check pins a scale property the engine depends on
+(pushdown/pruning at the scan, broadcast joins for small sides,
+TakeOrderedAndProject instead of global sorts, id-only quadratic
+exchanges) so a regression shows up as a plan diff, not a 100x
+slowdown at the next scale tier."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_build_scan_pushdown_and_pruning(spark):
+    """The sketch-build scan shape: predicate reaches the parquet reader
+    and only the key column is read (cuckoo_build projects before its
+    mapInPandas, so Catalyst prunes through it)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    base = (li.where(F.col("l_partkey") < 1000)
+            .select(F.col("l_partkey").alias("k")))
+
+    def noop(it):
+        for pdf in it:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    staged = base.mapInPandas(noop, "n long")
+    plan = _plan(staged)
+    assert "PushedFilters" in plan and "LessThan(l_partkey,1000)" in plan, plan
+    # column pruning: the scan reads ONLY l_partkey
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" in read
+    for other in ("l_orderkey", "l_quantity", "l_comment"):
+        assert other not in read, read
+
+
+def test_prefilter_join_broadcasts_exact_side(spark, entry):
+    """cf_prefilter_join restores exactness with a broadcast join — the
+    dim side must not trigger a shuffle join."""
+    plan = _plan(entry.queries()["cf_prefilter_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark, entry):
+    """Top-k compiles to TakeOrderedAndProject (per-partition top-k +
+    driver merge), never a single-partition global sort/window."""
+    for q in ("cms_topk_freq", "cqf_topk_freq"):
+        plan = _plan(entry.queries()[q](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, (q, plan)
+
+
+def test_embedding_neardup_exchanges_are_id_only(spark, entry):
+    """The quadratic candidate exchange carries ids, not vectors: no
+    aggregate drags embedding arrays through the pair dedup (round 1
+    shuffled full arrays via dropDuplicates + first(ea))."""
+    plan = _plan(entry.queries()["embedding_neardup"](spark, SF_DIR))
+    assert "first(ea" not in plan and "first(eb" not in plan, plan
+
+
+def test_text_stats_is_whole_stage_codegen(spark, entry):
+    """Text analysis stays JVM-side: the feature projection participates
+    in whole-stage codegen with no Python evaluation nodes."""
+    plan = _plan(entry.queries()["text_stats"](spark, SF_DIR))
+    assert "codegen id" in plan  # formatted mode's codegen marker
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in plan, (py_node, plan)
+
+
+def test_exact_dedup_single_shuffle(spark, entry):
+    """Exact dedup = one hash-aggregate shuffle on the fingerprint (a
+    partial_ aggregate before the exchange proves map-side combine)."""
+    plan = _plan(entry.queries()["exact_dedup"](spark, SF_DIR))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "partial_" in plan  # map-side combine before the exchange
+
+
+def test_probe_filter_stays_in_scan_pipeline(spark):
+    """A membership probe is a filter column over the scan — no exchange
+    is introduced by probing (the filter blobs ride a broadcast, not a
+    join)."""
+    from cuckoofilter_spark.sketch.membership import (
+        cuckoo_build, cuckoo_contains_col)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").where(
+        F.col("l_partkey") < 1000)
+    filt = cuckoo_build(li, "l_partkey", capacity=1000, bits=12, seed=7,
+                        num_shards=8)
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    probed = part.where(cuckoo_contains_col(spark, filt, "p_partkey"))
+    plan = _plan(probed)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan  # the vectorized probe UDF

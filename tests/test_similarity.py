@@ -61,3 +61,45 @@ def test_neardup_pairs_found_on_clusters(spark, clustered):
              .count())
     assert exact > 100  # the planted structure is real
     assert n >= 0.95 * exact, (n, exact)
+
+
+def test_kmeans_centroids_deterministic(spark):
+    from cuckoofilter_spark.ops.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    c1 = kmeans_centroids(emb, 16, dim, seed=3, sample=512, iters=4)
+    c2 = kmeans_centroids(emb, 16, dim, seed=3, sample=512, iters=4)
+    assert np.array_equal(c1, c2)  # bit-exact across runs
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.allclose(norms, 1.0)
+
+
+def test_ivf_topk_planted_recall(spark):
+    """IVF finds planted near neighbors: clusters of similar vectors
+    must land in the same (probed) cells."""
+    from cuckoofilter_spark.ops.similarity import cosine_topk_bruteforce, ivf_topk
+
+    rng = np.random.default_rng(21)
+    dim, n_clusters, per = 24, 12, 30
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per):
+            v = center + rng.normal(scale=0.15, size=dim)
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") % per == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ivf = ivf_topk(spark, emb, queries, k=5, n_cells=16, nprobe=3, seed=7)
+    bf = cosine_topk_bruteforce(spark, emb, queries, k=5)
+    got = {(r["q_id"], r["vec_id"]) for r in ivf.collect()}
+    want = {(r["q_id"], r["vec_id"]) for r in bf.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, recall  # clustered structure: cells align with truth
+    # a corpus query always finds itself at rank 1
+    top1 = {r["q_id"]: r["vec_id"] for r in ivf.collect() if r["rnk"] == 1}
+    assert all(q == v for q, v in top1.items())

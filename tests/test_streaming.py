@@ -57,3 +57,35 @@ def test_real_stream_file_source(spark, tmp_path):
     whole = hll_sketch(toks, "tokens", p=13, seed=5)
     assert np.array_equal(streamed.registers, whole.registers)
     assert st.last_batch_id() >= 0
+
+
+def test_stateful_per_key_distinct(spark, tmp_path):
+    """applyInPandasWithState: per-source HLL over a multi-batch stream
+    equals the one-shot batch build per key (merge is batch-boundary
+    independent)."""
+    from cuckoofilter_spark.streaming.stateful import streaming_distinct_by_key
+
+    toks = tokens_table(spark, 400, seed=42)
+    src = str(tmp_path / "src")
+    # several files so maxFilesPerTrigger yields multiple micro-batches
+    toks.repartition(6).write.parquet(src)
+    stream = (spark.readStream.schema(toks.schema)
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    out = streaming_distinct_by_key(stream, "source", "tokens", p=12, seed=9)
+    q = (out.writeStream.format("memory").queryName("perkey")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert not q.isActive
+    rows = spark.sql(
+        "SELECT key, estimate FROM (SELECT key, estimate, row_number() OVER "
+        "(PARTITION BY key ORDER BY estimate DESC) rn FROM perkey) WHERE rn=1"
+    ).collect()
+    got = {r["key"]: r["estimate"] for r in rows}
+    # exact one-shot per-key build for comparison
+    for key in got:
+        sub = toks.where(F.col("source") == key)
+        one = hll_sketch(sub, "tokens", p=12, seed=9)
+        assert abs(got[key] - one.estimate()) < 1e-9, key  # bit-exact merge
+    assert len(got) >= 2  # several sources actually streamed
