@@ -457,6 +457,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.8, num_hashes=64, bands=16, seed=SEED)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    MinHash-LSH pair graph (min-label propagation), assigning every doc
+    the MIN doc_id of its component — the canonical keeper a dedup
+    pipeline retains. The oracle recomputes components with a recursive
+    CTE over the exact Jaccard pair graph (LSH pairs equal the exact
+    set at this tau for SEED)."""
+    from cuckoofilter_spark.ops.dedup import (
+        connected_components, minhash_lsh_pairs)
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8,
+                              num_hashes=64, bands=16, seed=SEED)
+    ids = d.select(F.col("doc_id").alias("doc"))
+    return connected_components(pairs, ids)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3), pigeonhole-banded (exact
     blocking: distance-d pairs share one of d+1 bands). Word hashes are
@@ -570,6 +587,22 @@ def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("docs"))
             .withColumn("avg_tokens",
                         (F.col("total_tokens") / F.col("docs"))
+                        .cast("decimal(18,6)")))
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-token counting per source (letter runs / single
+    digits / single marks — the subword-budget estimate), alongside the
+    whitespace word counts of token_count_total. ASCII regex classes so
+    Java regex (Spark) and RE2 (DuckDB) tokenize identically."""
+    from cuckoofilter_spark.ops.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+                 F.count("*").alias("docs"))
+            .withColumn("avg_bpe_tokens",
+                        (F.col("bpe_tokens") / F.col("docs"))
                         .cast("decimal(18,6)")))
 
 
@@ -688,12 +721,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_count_total": q_token_count_total,
+        "bpe_token_count": q_bpe_token_count,
         "multimodal_features": q_multimodal_features,
         "tokens_pipeline": q_tokens_pipeline,
     }
@@ -911,6 +946,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, sum(len(W)) AS total_tokens, count(*) AS docs,
                    CAST(sum(len(W)) * 1.0 / count(*) AS DECIMAL(18,6)) AS avg_tokens
             FROM w GROUP BY source
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+            ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+            sz AS (SELECT doc_id, len(ss) AS sz FROM sh),
+            pair AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            jp AS (
+                SELECT doc_a, doc_b FROM pair
+                JOIN sz x ON pair.doc_a = x.doc_id
+                JOIN sz y ON pair.doc_b = y.doc_id
+                WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8),
+            edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM jp
+                UNION SELECT doc_b, doc_a FROM jp),
+            reach(v, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v)
+            SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+        """,
+        "bpe_token_count": r"""
+            SELECT source,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+                   count(*) AS docs,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) * 1.0 / count(*)
+                        AS DECIMAL(18,6)) AS avg_bpe_tokens
+            FROM documents GROUP BY source
         """,
         # md5_number_upper(s) == ops.text.md5_le64(s): little-endian read
         # of the first 8 md5 digest bytes (verified bit-identical)

@@ -214,6 +214,51 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def connected_components(pairs: DataFrame, ids: DataFrame,
+                         id_col: str = "doc",
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iters: int = 12) -> DataFrame:
+    """Cluster resolution over a near-dup pair graph: every id gets
+    ``cluster_id`` = the MIN id of its connected component (the
+    canonical keeper a dedup pipeline retains).
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup components from banded LSH
+    are clique-ish (diameter ~2), so 2-4 rounds settle real data;
+    ``max_iters`` bounds adversarial chains. Each round is one
+    join + one groupBy-min (two shuffles) over the EDGE list — linear in
+    pairs, never materializing components in one task — with an eager
+    localCheckpoint per round so the plan does not deepen.
+
+    The fixpoint is verified per round with one count; iteration stops
+    as soon as no label changes (so the result is the true component
+    minimum whenever convergence happens within ``max_iters``, which a
+    final changed==0 assertion guarantees).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = ids.select(F.col(id_col).alias("v"),
+                        F.col(id_col).alias("label")).distinct() \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        via = (edges.join(labels, edges["src"] == labels["v"])
+               .select(F.col("dst").alias("v"), "label"))
+        new = (labels.union(via).groupBy("v")
+               .agg(F.min("label").alias("label"))).localCheckpoint(eager=True)
+        changed = (new.alias("n").join(labels.alias("o"), "v")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iters} rounds")
+    return labels.select(F.col("v").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        seed: int = 0x5EED) -> DataFrame:
     """(doc, simhash: long) — 64-bit SimHash over word hashes.

@@ -27,6 +27,19 @@ def token_count(col) -> Column:
     return F.size(words(col))
 
 
+# BPE-style pre-tokenization rule (GPT-2-ish, ASCII classes so Java
+# regex and DuckDB's RE2 agree): letter runs, single digits, single
+# non-alnum-non-space marks. Keep in sync with the SQL oracle.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col) -> Column:
+    """Count of BPE-ish pre-tokens (the subword-budget estimate a
+    training pipeline uses next to the whitespace word count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def char_count(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

@@ -300,3 +300,20 @@ def test_cqf_resize_preserves_contents():
         f.resize(16)  # only grows
     with pytest.raises(ValueError):
         f.resize(48)  # must keep a remainder
+
+
+def test_connected_components_planted(spark):
+    """Min-label propagation equals brute-force union-find on planted
+    components (chain, triangle, singletons)."""
+    from cuckoofilter_spark.ops.dedup import connected_components
+
+    # components: {1,2,3,4 chain}, {10,11,12 triangle}, {20-21}, {30}, {31}
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    all_ids = [1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ids = spark.createDataFrame([(i,) for i in all_ids], "doc long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, ids).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20, 30: 30, 31: 31}
+    assert got == want
