@@ -488,6 +488,27 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
+def _ann_recall_gate(approx: DataFrame, bf: DataFrame) -> DataFrame:
+    """Shared verification scaffold for approximate-ANN queries: per
+    query, the top-1 hit must be the query itself (guaranteed for both
+    LSH — hamming-0 bucket always probed — and IVF — own cell probed
+    first) and recall@k vs brute force must clear a floor the self-hit
+    alone already guarantees (1/k = 0.2); real recall is asserted on
+    planted structure in tests/test_similarity.py."""
+    top1 = (approx.where(F.col("rnk") == 1)
+            .select("q_id", F.col("vec_id").alias("top1_vec_id")))
+    hits = (bf.select("q_id", "vec_id")
+            .join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count("*").alias("found")))
+    ks = bf.groupBy("q_id").agg(F.count("*").alias("k"))
+    return (top1.join(ks, "q_id").join(hits, "q_id", "left")
+            .na.fill(0, ["found"])
+            .select("q_id", "top1_vec_id",
+                    (F.col("top1_vec_id") == F.col("q_id")).alias("top1_is_self"),
+                    (F.col("found") / F.col("k") >= 0.2).alias("recall_ok"))
+            )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 10 vectors."""
     from cuckoofilter_spark.ops.similarity import cosine_topk_bruteforce
@@ -514,18 +535,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     lsh = lsh_topk(spark, emb, queries, k=5, nbits=12, max_hamming=2, seed=SEED)
     bf = cosine_topk_bruteforce(spark, emb, queries, k=5)
-    top1 = (lsh.where(F.col("rnk") == 1)
-            .select("q_id", F.col("vec_id").alias("top1_vec_id")))
-    hits = (bf.select("q_id", "vec_id")
-            .join(lsh.select("q_id", "vec_id"), ["q_id", "vec_id"])
-            .groupBy("q_id").agg(F.count("*").alias("found")))
-    ks = bf.groupBy("q_id").agg(F.count("*").alias("k"))
-    return (top1.join(ks, "q_id").join(hits, "q_id", "left")
-            .na.fill(0, ["found"])
-            .select("q_id", "top1_vec_id",
-                    (F.col("top1_vec_id") == F.col("q_id")).alias("top1_is_self"),
-                    (F.col("found") / F.col("k") >= 0.2).alias("recall_ok"))
-            )
+    return _ann_recall_gate(lsh, bf)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,18 +554,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     ivf = ivf_topk(spark, emb, queries, k=5, n_cells=64, nprobe=8, seed=SEED)
     bf = cosine_topk_bruteforce(spark, emb, queries, k=5)
-    top1 = (ivf.where(F.col("rnk") == 1)
-            .select("q_id", F.col("vec_id").alias("top1_vec_id")))
-    hits = (bf.select("q_id", "vec_id")
-            .join(ivf.select("q_id", "vec_id"), ["q_id", "vec_id"])
-            .groupBy("q_id").agg(F.count("*").alias("found")))
-    ks = bf.groupBy("q_id").agg(F.count("*").alias("k"))
-    return (top1.join(ks, "q_id").join(hits, "q_id", "left")
-            .na.fill(0, ["found"])
-            .select("q_id", "top1_vec_id",
-                    (F.col("top1_vec_id") == F.col("q_id")).alias("top1_is_self"),
-                    (F.col("found") / F.col("k") >= 0.2).alias("recall_ok"))
-            )
+    return _ann_recall_gate(ivf, bf)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,17 +576,16 @@ def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.ops.text import token_count
 
     d = _t(spark, sf_dir, "documents")
-    # avg_tokens as DECIMAL(18,6): both engines compute the identical IEEE
-    # double (sum/count) then round it to a fixed-scale decimal, so the
-    # value is bit-reproducible across Spark and DuckDB (F.round's
-    # BigDecimal.valueOf shortest-repr path and DuckDB's round() can differ
-    # in the last ULP, which the driver's strict normalization catches).
+    # avg as an integer micro-average (floor(total*1e6/docs), pure 64-bit
+    # integer arithmetic): bit-exact across engines BY CONSTRUCTION. Any
+    # float/decimal derivation (round(), cast to DECIMAL) leaves a
+    # last-digit ambiguity between Spark's shortest-repr BigDecimal path
+    # and DuckDB's binary-double rounding — the round-1 red row.
     return (d.groupBy("source")
             .agg(F.sum(token_count("text")).alias("total_tokens"),
                  F.count("*").alias("docs"))
-            .withColumn("avg_tokens",
-                        (F.col("total_tokens") / F.col("docs"))
-                        .cast("decimal(18,6)")))
+            .withColumn("avg_tokens_e6",
+                        F.expr("total_tokens * 1000000 DIV docs")))
 
 
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,9 +599,8 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.groupBy("source")
             .agg(F.sum(bpe_token_count("text")).alias("bpe_tokens"),
                  F.count("*").alias("docs"))
-            .withColumn("avg_bpe_tokens",
-                        (F.col("bpe_tokens") / F.col("docs"))
-                        .cast("decimal(18,6)")))
+            .withColumn("avg_bpe_tokens_e6",
+                        F.expr("bpe_tokens * 1000000 DIV docs")))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,7 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_total": f"""
             WITH w AS (SELECT source, {_WORDS} AS W FROM documents)
             SELECT source, sum(len(W)) AS total_tokens, count(*) AS docs,
-                   CAST(sum(len(W)) * 1.0 / count(*) AS DECIMAL(18,6)) AS avg_tokens
+                   (sum(len(W)) * 1000000) // count(*) AS avg_tokens_e6
             FROM w GROUP BY source
         """,
         "dedup_clusters": f"""
@@ -975,9 +972,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS bpe_tokens,
                    count(*) AS docs,
-                   CAST(sum(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) * 1.0 / count(*)
-                        AS DECIMAL(18,6)) AS avg_bpe_tokens
+                   (sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) * 1000000)
+                       // count(*) AS avg_bpe_tokens_e6
             FROM documents GROUP BY source
         """,
         # md5_number_upper(s) == ops.text.md5_le64(s): little-endian read

@@ -49,20 +49,38 @@ _HDR_SIZE = struct.calcsize(_FMT)  # magic ver fpbits attempt blocklen seed size
 _MAX_ATTEMPTS = 32
 
 
+_NBIT_CHUNK = 1 << 18  # values per pass: the (chunk, bits) bit matrix
+# stays a few MB instead of 32-128x the packed output for a full array
+
+
 def pack_nbits(vals: np.ndarray, bits: int) -> bytes:
     """Little-endian n-bit packing for arbitrary widths <= 32
     (nbit_array.h:85-124 capability: the reference's XorFilter2 stores
-    10- and 14-bit fingerprints through an NBitArray)."""
-    lsb = ((vals[:, None].astype(np.uint32)
-            >> np.arange(bits, dtype=np.uint32)) & 1).astype(np.uint8)
-    return np.packbits(lsb.reshape(-1), bitorder="little").tobytes()
+    10- and 14-bit fingerprints through an NBitArray). Chunked so the
+    intermediate bit matrix stays cache-resident; chunk size is a
+    multiple of 8 values, so every chunk's bit count is byte-aligned
+    and chunks concatenate exactly."""
+    shifts = np.arange(bits, dtype=np.uint32)
+    parts = []
+    for lo in range(0, vals.size, _NBIT_CHUNK):
+        v = vals[lo:lo + _NBIT_CHUNK]
+        lsb = ((v[:, None].astype(np.uint32) >> shifts) & 1).astype(np.uint8)
+        parts.append(np.packbits(lsb.reshape(-1), bitorder="little"))
+    return b"".join(p.tobytes() for p in parts)
 
 
 def unpack_nbits(buf: bytes, bits: int, n: int) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8, count=(n * bits + 7) // 8)
-    lsb = np.unpackbits(raw, bitorder="little")[: n * bits].reshape(n, bits)
-    return (lsb.astype(np.uint32)
-            << np.arange(bits, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
+    shifts = np.arange(bits, dtype=np.uint32)
+    out = np.empty(n, dtype=np.uint32)
+    for lo in range(0, n, _NBIT_CHUNK):
+        hi = min(lo + _NBIT_CHUNK, n)
+        # chunk bit range is byte-aligned because _NBIT_CHUNK % 8 == 0
+        rb = raw[lo * bits // 8: (hi * bits + 7) // 8]
+        lsb = np.unpackbits(rb, bitorder="little")[: (hi - lo) * bits]
+        out[lo:hi] = (lsb.reshape(hi - lo, bits).astype(np.uint32)
+                      << shifts).sum(axis=1, dtype=np.uint32)
+    return out
 
 
 def _fp_dtype(bits: int):

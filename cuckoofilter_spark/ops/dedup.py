@@ -250,6 +250,9 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                .agg(F.min("label").alias("label"))).localCheckpoint(eager=True)
         changed = (new.alias("n").join(labels.alias("o"), "v")
                    .where(F.col("n.label") != F.col("o.label")).count())
+        # superseded rounds' checkpoint blocks are reclaimed by the
+        # ContextCleaner once this reference drops (localCheckpoint blocks
+        # are RDD-level; DataFrame.unpersist would not touch them)
         labels = new
         if changed == 0:
             break

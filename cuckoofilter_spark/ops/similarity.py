@@ -147,7 +147,6 @@ def lsh_topk(
         "q_id long, sig long, q_norm array<double>")
 
     cand = emb_s.join(F.broadcast(probe), "sig")
-    dim_lit = F.lit(dim)
     cos = (
         F.aggregate(F.zip_with("embedding", "q_norm", lambda a, b: a * b),
                     F.lit(0.0), lambda acc, x: acc + x)
@@ -166,7 +165,6 @@ def lsh_topk(
 def kmeans_centroids(
     emb: DataFrame,
     k: int,
-    dim: int,
     seed: int = 0x5EED,
     sample: int = 4096,
     iters: int = 8,
@@ -229,7 +227,6 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 64,
     nprobe: int = 4,
-    dim: int | None = None,
     seed: int = 0x5EED,
 ) -> DataFrame:
     """IVF approximate cosine top-k: coarse k-means quantizer, probe the
@@ -243,9 +240,7 @@ def ivf_topk(
     always found (its own cell is its nearest centroid, which is probed
     first) — the guarantee the entry-contract oracle checks.
     """
-    if dim is None:
-        dim = len(emb.select("embedding").first()[0])
-    cent = kmeans_centroids(emb, n_cells, dim, seed=seed)
+    cent = kmeans_centroids(emb, n_cells, seed=seed)
     cells = emb.withColumn("cell", ivf_assign_col(spark, cent, "embedding"))
 
     qrows = queries.collect()

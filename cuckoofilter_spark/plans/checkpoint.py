@@ -85,6 +85,7 @@ def source_fingerprint(df: DataFrame) -> str:
     their generation parameters instead (they are part of the manifest).
     """
     import hashlib
+    from urllib.parse import unquote, urlparse
 
     files = sorted(df.inputFiles())
     if not files:
@@ -92,13 +93,21 @@ def source_fingerprint(df: DataFrame) -> str:
     h = hashlib.sha256()
     for f in files:
         h.update(f.encode())
-        p = f[7:] if f.startswith("file:///") else f
-        p = "/" + p.lstrip("/") if not p.startswith("/") else p
-        try:
-            st = os.stat(p)
-            h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
-        except OSError:
-            pass
+        u = urlparse(f)
+        # handles file:///p, file:/p and bare paths alike
+        p = unquote(u.path) if u.scheme in ("file", "") else None
+        stamped = False
+        if p:
+            try:
+                st = os.stat(p)
+                h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
+                stamped = True
+            except OSError:
+                pass
+        if not stamped:
+            # mark un-stat-able entries so the fingerprint records the
+            # weaker evidence instead of silently equaling the strong one
+            h.update(b":nostat")
         h.update(b"\n")
     return h.hexdigest()
 

@@ -124,6 +124,22 @@ class _FlatProbe:
         return out
 
 
+def _pack_shards(keys: np.ndarray, num_shards: int):
+    """Split a sorted-unique key array by shard: (shard_ids, packed_bytes)
+    — the shared map-side packing stage of every sharded build/dedupe."""
+    sh = shard_of(keys, num_shards)
+    order = np.argsort(sh, kind="stable")
+    keys, sh = keys[order], sh[order]
+    bounds = np.searchsorted(sh, np.arange(num_shards + 1))
+    shards, blobs = [], []
+    for s in range(num_shards):
+        seg = keys[bounds[s]:bounds[s + 1]]
+        if seg.size:
+            shards.append(s)
+            blobs.append(seg.tobytes())
+    return shards, blobs
+
+
 class ShardedCuckooFilter:
     """num_shards independent cuckoo filters addressed by a key hash."""
 
@@ -228,16 +244,7 @@ def cuckoo_build(
         keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
         if dedupe:
             keys = np.unique(keys)
-        sh = shard_of(keys, num_shards)
-        order = np.argsort(sh, kind="stable")
-        keys, sh = keys[order], sh[order]
-        bounds = np.searchsorted(sh, np.arange(num_shards + 1))
-        shards, blobs = [], []
-        for s in range(num_shards):
-            seg = keys[bounds[s]:bounds[s + 1]]
-            if seg.size:
-                shards.append(s)
-                blobs.append(seg.tobytes())
+        shards, blobs = _pack_shards(keys, num_shards)
         yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
                             "keys": blobs})
 
@@ -283,8 +290,13 @@ _PROBE_CACHE_MAX = 8
 
 
 def _cached_probe(bc, build):
-    # executor-side Broadcast carries its spill path; unique per broadcast
-    key = getattr(bc, "_path", None) or id(bc)
+    # executor-side Broadcast carries its spill path — a stable identity.
+    # Without it (e.g. spark.io.encryption delivers broadcasts over a
+    # socket) there is no safe cheap key: id() is reused after GC and
+    # could silently serve another filter's table, so skip caching.
+    key = getattr(bc, "_path", None)
+    if key is None:
+        return build(bc.value)
     obj = _PROBE_CACHE.get(key)
     if obj is None:
         obj = build(bc.value)
@@ -358,16 +370,7 @@ def distinct_keys_u64(df: DataFrame, col: str, num_shards: int = 64) -> np.ndarr
                  for pdf in batches]
         keys = (np.unique(np.concatenate(parts)) if parts
                 else np.empty(0, dtype=np.uint64))
-        sh = shard_of(keys, num_shards)
-        order = np.argsort(sh, kind="stable")
-        keys, sh = keys[order], sh[order]
-        bounds = np.searchsorted(sh, np.arange(num_shards + 1))
-        shards, blobs = [], []
-        for s in range(num_shards):
-            seg = keys[bounds[s]:bounds[s + 1]]
-            if seg.size:
-                shards.append(s)
-                blobs.append(seg.tobytes())
+        shards, blobs = _pack_shards(keys, num_shards)
         yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
                             "keys": blobs})
 

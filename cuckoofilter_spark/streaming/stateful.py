@@ -27,17 +27,23 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+from pyspark.sql.types import (BinaryType, DoubleType, LongType,
                                StructField, StructType)
 
 from ..kernels.hll import HyperLogLog
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
-_OUT_SCHEMA = StructType([
-    StructField("key", StringType()),
-    StructField("estimate", DoubleType()),
-    StructField("n_rows", LongType()),
-])
+
+
+def _out_schema(key_type) -> StructType:
+    # the output key column mirrors the grouping column's type (a
+    # hard-coded StringType would make integer keys fail Arrow
+    # conversion at runtime)
+    return StructType([
+        StructField("key", key_type),
+        StructField("estimate", DoubleType()),
+        StructField("n_rows", LongType()),
+    ])
 
 
 def streaming_distinct_by_key(
@@ -93,6 +99,7 @@ def streaming_distinct_by_key(
         yield pd.DataFrame({"key": [key[0]], "estimate": [sk.estimate()],
                             "n_rows": [n]})
 
+    out_schema = _out_schema(stream_df.schema[key_col].dataType)
     return (stream_df.groupBy(key_col)
-            .applyInPandasWithState(update, _OUT_SCHEMA, _STATE_SCHEMA,
+            .applyInPandasWithState(update, out_schema, _STATE_SCHEMA,
                                     "update", timeout))

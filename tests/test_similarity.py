@@ -67,9 +67,8 @@ def test_kmeans_centroids_deterministic(spark):
     from cuckoofilter_spark.ops.similarity import kmeans_centroids
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
-    c1 = kmeans_centroids(emb, 16, dim, seed=3, sample=512, iters=4)
-    c2 = kmeans_centroids(emb, 16, dim, seed=3, sample=512, iters=4)
+    c1 = kmeans_centroids(emb, 16, seed=3, sample=512, iters=4)
+    c2 = kmeans_centroids(emb, 16, seed=3, sample=512, iters=4)
     assert np.array_equal(c1, c2)  # bit-exact across runs
     norms = np.linalg.norm(c1, axis=1)
     assert np.allclose(norms, 1.0)
