@@ -149,6 +149,69 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
     return out
 
 
+def filter_family_suite(spark) -> dict:
+    """Per-structure build + lookup rows over one shared key set — the
+    shape of the reference's bulk-insert-and-query stats table
+    (bulk-insert-and-query.cc:146-169: one row per filter family with
+    adds/sec, finds/sec, eps, bits/item). Context rows: single cold +
+    single steady pass each (the cuckoo rows above are the headline)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.sketch.aggregates import (
+        blocked_bloom_contains_col, blocked_bloom_sketch, bloom_contains_col,
+        bloom_sketch)
+    from cuckoofilter_spark.sketch.membership import (
+        xor_build, xor_contains_col, xorplus_build, xorplus_contains_col)
+
+    n = 2_000_000
+    probes_n = 10_000_000
+    keys = spark.range(n)
+    probes = spark.range(n, n + probes_n)  # guaranteed negatives
+    out: dict = {"note": (
+        "end-to-end DISTRIBUTED build incl. scan/shuffle (and the driver "
+        "peel for the static xor family) at small n — adds/sec is "
+        "stage-overhead-bound here, unlike the reference's in-memory "
+        "single-core adds; finds/sec, eps and bits/item are the "
+        "comparable columns")}
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    try:
+        rows = [
+            ("bloom12", lambda: bloom_sketch(keys, "id", capacity=n,
+                                             bits_per_item=12, seed=SEED),
+             bloom_contains_col),
+            ("blocked_bloom", lambda: blocked_bloom_sketch(keys, "id",
+                                                           capacity=n, seed=SEED),
+             blocked_bloom_contains_col),
+            ("xor8", lambda: xor_build(keys, "id", fp_bits=8, seed=SEED),
+             xor_contains_col),
+            ("xor16", lambda: xor_build(keys, "id", fp_bits=16, seed=SEED),
+             xor_contains_col),
+            ("xorplus8", lambda: xorplus_build(keys, "id", fp_bits=8, seed=SEED),
+             xorplus_contains_col),
+        ]
+        for name, build, contains in rows:
+            build()  # cold
+            t0 = _t.time()
+            filt = build()
+            t_build = _t.time() - t0
+            fn = lambda: probes.where(contains(spark, filt, "id")).count()  # noqa: E731
+            fp = fn()  # cold
+            t0 = _t.time()
+            fn()
+            t_probe = _t.time() - t0
+            out[name] = {
+                "adds_per_sec": round(n / t_build, 1),
+                "finds_per_sec": round(probes_n / t_probe, 1),
+                "eps_pct": round(100.0 * fp / probes_n, 4),
+                "bits_per_item": round(8.0 * filt.size_in_bytes() / n, 2),
+            }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+    return out
+
+
 def query_suite(spark, sf_dir: str) -> dict:
     import pandas as pd
     from pyspark.sql import functions as F
@@ -202,6 +265,8 @@ def run_bench(build_only: bool) -> dict:
     build = token_build_suite(
         spark, sf, num_docs=int(scaling_docs) if scaling_docs else None,
         partitions=int(scaling_parts) if scaling_parts else None)
+    if not (build_only or os.environ.get("SPARK_GRAFT_SKIP_PROBE_SORT")):
+        build["filter_families"] = filter_family_suite(spark)
     queries = {} if build_only else query_suite(spark, sf_dir)
     total = round(time.time() - t_all, 3)
 

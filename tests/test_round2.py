@@ -317,3 +317,64 @@ def test_connected_components_planted(spark):
     want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
             20: 20, 21: 20, 30: 30, 31: 31}
     assert got == want
+
+
+# -- hypothesis property tests for round-2 kernels -------------------------
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(4, 32),
+       st.lists(st.integers(0, 2**32 - 1), min_size=0, max_size=500))
+def test_pack_nbits_roundtrip_property(bits, vals):
+    v = (np.array(vals, dtype=np.uint64) & ((1 << bits) - 1)).astype(np.uint32)
+    assert (unpack_nbits(pack_nbits(v, bits), bits, v.size) == v).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 2000), st.integers(0, 2**32 - 1))
+def test_rank9_property(bitcount, seed):
+    rng = np.random.default_rng(seed)
+    words = (bitcount + 63) // 64
+    bits = rng.integers(0, 1 << 63, size=words, dtype=np.uint64)
+    tail = bitcount & 63
+    if tail:
+        bits[-1] &= (np.uint64(1) << np.uint64(tail)) - np.uint64(1)
+    r = Rank9(bits, bitcount)
+    pos = np.arange(bitcount)
+    flat = ((bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            ).astype(bool)
+    brute = np.concatenate(([0], np.cumsum(flat)))[:-1]
+    assert (r.rank(pos) == brute).all()
+    assert (r.get(pos) == flat).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 5000), st.integers(0, 2**31 - 1), st.sampled_from([8, 16]))
+def test_xorplus_never_false_negative_property(n, seed, fp_bits):
+    rng = np.random.default_rng(seed)
+    keys = np.unique(rng.integers(0, 1 << 62, size=n, dtype=np.uint64))
+    f = XorFilterPlus.build(keys, fp_bits=fp_bits, seed=seed)
+    if keys.size:
+        assert f.contains_many(keys).all()
+    g = XorFilterPlus.from_bytes(f.to_bytes())
+    assert g.to_bytes() == f.to_bytes()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2**40), st.integers(1, 50)),
+                min_size=0, max_size=200),
+       st.lists(st.tuples(st.integers(0, 2**40), st.integers(1, 50)),
+                min_size=0, max_size=200))
+def test_cqf_delete_never_negative_property(adds, dels):
+    f = CountingQuotientFilter(q=16, r=30, seed=1)
+    if adds:
+        k = np.array([a[0] for a in adds], dtype=np.uint64)
+        c = np.array([a[1] for a in adds], dtype=np.int64)
+        f.add_many(k, c)
+    if dels:
+        k = np.array([d[0] for d in dels], dtype=np.uint64)
+        c = np.array([d[1] for d in dels], dtype=np.int64)
+        f.delete_many(k, c)
+    assert f.total >= 0
+    assert (f.counts > 0).all()  # zero-count entries are dropped, never negative
