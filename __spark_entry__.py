@@ -440,6 +440,30 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus filter a pipeline actually runs:
+    keep documents that (a) pass the quality floor, (b) classify as
+    English, and (c) are the canonical keeper of their exact-duplicate
+    group (min doc_id per content fingerprint). One aggregation on the
+    fingerprint + one broadcast-sized semi-join back — the standard
+    pre-training cleanup chain, end to end."""
+    from cuckoofilter_spark.ops.text import (
+        doc_fingerprint, lang_id, quality_score)
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lang"))
+    keepers = (scored.groupBy("fp")
+               .agg(F.min("doc_id").alias("doc_id")))
+    return (scored.join(keepers, ["fp", "doc_id"])  # canonical per content
+            .where((F.col("q") >= 0.7) & (F.col("lang") == "en"))
+            .select("doc_id", F.round("q", 6).alias("quality"))
+            )
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram shingle Jaccard near-dup pairs at tau=0.8."""
     from cuckoofilter_spark.ops.dedup import jaccard_pairs_exact
@@ -716,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
+        "corpus_filter": q_corpus_filter,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -890,6 +915,28 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents)
             SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
             FROM w GROUP BY md5(array_to_string(W, ' '))
+        """,
+        "corpus_filter": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            feat AS (
+                SELECT doc_id,
+                       md5(array_to_string(W, ' ')) AS fp,
+                       CAST(
+                         CASE WHEN len(W) BETWEEN 20 AND 4000 THEN 0.4 ELSE 0.0 END
+                       + CASE WHEN list_sum(list_transform(W, x -> length(x))) * 1.0
+                                   / greatest(len(W), 1) BETWEEN 2.0 AND 12.0
+                              THEN 0.3 ELSE 0.0 END
+                       + CASE WHEN len(list_filter(W, x -> lower(x) IN {_STOP[1:-1].join(["(", ")"])} )) * 1.0
+                                   / greatest(len(W), 1) >= 0.02
+                              THEN 0.3 ELSE 0.0 END AS DOUBLE) AS q,
+                       CASE WHEN len(list_filter(W, x -> lower(x) IN {_STOP[1:-1].join(["(", ")"])} )) * 1.0
+                                 / greatest(len(W), 1) >= 0.05
+                            THEN 'en' ELSE 'unknown' END AS lang
+                FROM w),
+            keepers AS (SELECT fp, min(doc_id) AS doc_id FROM feat GROUP BY fp)
+            SELECT f.doc_id, round(f.q, 6) AS quality
+            FROM feat f JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.doc_id
+            WHERE f.q >= 0.7 AND f.lang = 'en'
         """,
         "jaccard_pairs": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),

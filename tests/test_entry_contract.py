@@ -88,6 +88,7 @@ ALL_QUERIES = [
     "blocked_bloom_membership", "gcs_membership", "cf_mixed_probe", "cf_prefilter_join", "hll_distinct",
     "cms_topk_freq", "cqf_topk_freq", "kll_quantiles", "tdigest_quantiles", "match_size", "count_distinct",
     "has_duplicates", "mixin_sample", "windowed_events", "text_stats", "exact_dedup",
+    "corpus_filter",
     "jaccard_pairs", "minhash_lsh_pairs", "dedup_clusters", "simhash_pairs",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_neardup",
     "token_count_total", "bpe_token_count",
