@@ -133,11 +133,17 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
 
     # sort baseline (bulk-insert-and-query.cc:891-896, the harness's
     # "Sort" context row): full distributed sort of the token stream,
-    # discarded via the noop sink so only the sort is timed
-    flat = toks.select(F.explode("tokens").alias("t"))
-    timed2("sort", lambda: flat.orderBy("t")
-           .write.format("noop").mode("overwrite").save())
-    out["sort_keys_per_sec"] = round(total_tokens / out["sort_build_sec"], 1)
+    # discarded via the noop sink so only the sort is timed. Skipped when
+    # the sketch builds already ran ~3x slow (sustained host steal) — a
+    # context row is not worth risking the whole bench's wall clock.
+    if (out["cf_build_sec"] + out["hll_build_sec"]
+            + out["cms_build_sec"] + out["kll_build_sec"]) <= 20.0:
+        flat = toks.select(F.explode("tokens").alias("t"))
+        timed2("sort", lambda: flat.orderBy("t")
+               .write.format("noop").mode("overwrite").save(), runs=1)
+        out["sort_keys_per_sec"] = round(total_tokens / out["sort_build_sec"], 1)
+    else:
+        out["sort_skipped"] = "host stalling (build suite >20s)"
 
 
     toks.unpersist()
@@ -165,7 +171,7 @@ def filter_family_suite(spark) -> dict:
     from cuckoofilter_spark.sketch.membership import (
         xor_build, xor_contains_col, xorplus_build, xorplus_contains_col)
 
-    n = 2_000_000
+    n = 1_000_000
     probes_n = 10_000_000
     keys = spark.range(n)
     probes = spark.range(n, n + probes_n)  # guaranteed negatives
@@ -191,13 +197,15 @@ def filter_family_suite(spark) -> dict:
             ("xorplus8", lambda: xorplus_build(keys, "id", fp_bits=8, seed=SEED),
              xorplus_contains_col),
         ]
+        # context rows: ONE build and ONE warm probe each — a cold+steady
+        # protocol here doubles ~10 Spark jobs and, under host steal, can
+        # add minutes of wall for rows that are not the headline metric
         for name, build, contains in rows:
-            build()  # cold
             t0 = _t.time()
             filt = build()
             t_build = _t.time() - t0
             fn = lambda: probes.where(contains(spark, filt, "id")).count()  # noqa: E731
-            fp = fn()  # cold
+            fp = fn()  # cold pass warms the probe stage shape
             t0 = _t.time()
             fn()
             t_probe = _t.time() - t0
@@ -266,7 +274,11 @@ def run_bench(build_only: bool) -> dict:
         spark, sf, num_docs=int(scaling_docs) if scaling_docs else None,
         partitions=int(scaling_parts) if scaling_parts else None)
     if not (build_only or os.environ.get("SPARK_GRAFT_SKIP_PROBE_SORT")):
-        build["filter_families"] = filter_family_suite(spark)
+        if time.time() - t_all <= 240.0:
+            build["filter_families"] = filter_family_suite(spark)
+        else:
+            build["filter_families"] = {"skipped": "host stalling "
+                                        "(build phase exceeded 240s)"}
     queries = {} if build_only else query_suite(spark, sf_dir)
     total = round(time.time() - t_all, 3)
 
