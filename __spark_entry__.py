@@ -987,8 +987,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_total": f"""
             WITH w AS (SELECT source, {_WORDS} AS W FROM documents)
-            SELECT source, sum(len(W)) AS total_tokens, count(*) AS docs,
-                   (sum(len(W)) * 1000000) // count(*) AS avg_tokens_e6
+            -- CAST: DuckDB sum() yields HUGEINT; the driver's pandas/Arrow
+            -- fetch coerces HUGEINT to float64 (no int128 in pandas), which
+            -- hash-mismatches Spark's int64 even when values are equal
+            SELECT source, CAST(sum(len(W)) AS BIGINT) AS total_tokens,
+                   count(*) AS docs,
+                   CAST((sum(len(W)) * 1000000) // count(*) AS BIGINT)
+                       AS avg_tokens_e6
             FROM w GROUP BY source
         """,
         "dedup_clusters": f"""
@@ -1016,12 +1021,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_token_count": r"""
             SELECT source,
-                   sum(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+                       AS bpe_tokens,
                    count(*) AS docs,
-                   (sum(len(regexp_extract_all(text,
+                   CAST((sum(len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) * 1000000)
-                       // count(*) AS avg_bpe_tokens_e6
+                       // count(*) AS BIGINT) AS avg_bpe_tokens_e6
             FROM documents GROUP BY source
         """,
         # md5_number_upper(s) == ops.text.md5_le64(s): little-endian read
@@ -1069,10 +1075,11 @@ def oracle_sql() -> dict[str, str]:
                          CAST(250 + ((hh >> 10) & 1023) AS BIGINT) AS dur
                   FROM h)
             SELECT kind, count(*) AS n,
-                   sum(20 + CASE kind
+                   CAST(sum(20 + CASE kind
                        WHEN 'image' THEN w * ht * 3
                        WHEN 'audio' THEN 8000 * dur // 1000
-                       ELSE w * ht * 3 * ((dur * 4) // 1000) END) AS total_bytes
+                       ELSE w * ht * 3 * ((dur * 4) // 1000) END) AS BIGINT)
+                       AS total_bytes
             FROM d GROUP BY kind ORDER BY kind
         """,
         "tokens_pipeline": f"""

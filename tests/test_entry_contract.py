@@ -1,12 +1,22 @@
 """Replicates the driver's CORRECTNESS gate locally: every queries()
 entry at sf0.01 must match its oracle_sql() via DuckDB on row count,
 schema width, and order-insensitive value hash (columns sorted by
-name, rows sorted, values stringified with float rounding)."""
+name, rows sorted, values stringified with float rounding).
+
+The oracle is fetched through pandas (``.df()``), NOT ``fetchall()``,
+to mirror the driver's fetch path: DuckDB ``sum()`` over integers is
+HUGEINT, and the pandas/Arrow conversion coerces HUGEINT to float64
+(pandas has no int128) — a type drift ``fetchall()``'s Python ints
+never show (the round-2 red rows hid behind exactly that gap). The
+hash is also TYPE-TAGGED (int vs float vs bool) so an engine-side
+float where Spark emits int64 mismatches even when the values print
+identically."""
 
 import hashlib
 import math
 
 import duckdb
+import numpy as np
 import pytest
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -15,15 +25,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm_cell(v):
+    if isinstance(v, np.generic):
+        v = v.item()  # AFTER the pandas fetch, so HUGEINT->float64 shows
     if v is None:
         return "NULL"
     if isinstance(v, bool):
-        return str(bool(v)).lower()
+        return "b:" + str(bool(v)).lower()
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
-    return str(v)
+            return "f:nan"
+        return f"f:{v:.6g}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    return "s:" + str(v)
 
 
 def _hash_rows(cols, rows):
@@ -67,8 +81,9 @@ def _compare(spark, ducks, contract, name):
     if sql is None:
         assert len(srows) >= 0  # rows-only check
         return
-    ores = ducks.execute(sql).fetchall()
-    ocols = [d[0] for d in ducks.description]
+    odf = ducks.execute(sql).df()  # pandas fetch = the driver's path
+    ocols = list(odf.columns)
+    ores = [tuple(r) for r in odf.itertuples(index=False, name=None)]
     assert sorted(scols) == sorted(ocols), f"{name}: columns {scols} vs {ocols}"
     assert len(srows) == len(ores), f"{name}: rows {len(srows)} vs {len(ores)}"
     hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, ores)
