@@ -584,14 +584,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at 0.95, banded SRP-LSH blocking
     with exact verification. Precision is exact by construction; recall
-    is probabilistic (~99.75% per qualifying pair at 8x6 bits) but
-    deterministic for a given (data, seed) — verified equal to the
-    exact all-pairs answer on the gate data; planted-pair recall is
-    asserted in tests/test_similarity.py."""
+    is probabilistic (~99.5% per qualifying pair at 16 bands x 12 bits;
+    background candidate rate ~n^2/512 vs n^2/8 at the round-2 6-bit
+    bands) but deterministic for a given (data, seed) — verified equal
+    to the exact all-pairs answer on the gate data; planted-pair recall
+    and sub-quadratic candidate volume are asserted in
+    tests/test_similarity.py."""
     from cuckoofilter_spark.ops.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.95, nbits=6, bands=8, seed=SEED)
+    return embedding_neardup_pairs(emb, threshold=0.95, nbits=12, bands=16,
+                                   seed=SEED)
 
 
 def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:

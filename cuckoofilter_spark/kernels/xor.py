@@ -272,10 +272,18 @@ class XorFilter:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "XorFilter":
+        magic, ver = struct.unpack_from("<4sH", blob)
+        if magic != _MAGIC or ver not in (1, 2):
+            raise ValueError("bad xor blob header")
+        if ver == 1:  # pre-pow2_blocks layout: no flags byte, never pow2
+            fp_bits, attempt, bl, seed, size = \
+                struct.unpack_from("<BBIQQ", blob, 6)
+            flags = 0
+            blob = blob[struct.calcsize("<4sHBBIQQ"):]
+            blob = struct.pack(_FMT, _MAGIC, 2, fp_bits, attempt, bl,
+                               seed, size, flags) + blob
         magic, ver, fp_bits, attempt, bl, seed, size, flags = \
             struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 2:
-            raise ValueError("bad xor blob header")
         f = cls(bl, fp_bits, seed, pow2_blocks=bool(flags & 1))
         f._attempt = attempt
         f._mix_seed = int(splitmix64(np.array([seed + attempt], dtype=np.uint64))[0])

@@ -107,9 +107,27 @@ def bucket_self_join_pairs(banded: DataFrame, keys: list[str],
     blocked form of the same join: identical output, per-task work
     <= cap^2, replication factor <= G per row for the few big buckets.
     Buckets <= cap take the G=1 path, which is the plain join.
+
+    Well-behaved data (no bucket over ``cap`` — the common case for
+    16-bit simhash bands and banded MinHash buckets) short-circuits to
+    the plain equi-self-join: the oversized-bucket check is one eager
+    aggregation pass, and skipping the salting machinery saves a
+    broadcast join plus two explode(sequence) projections per side
+    (round 2 ran them unconditionally; simhash_pairs paid 4.2s -> 23.6s
+    for buckets that were never oversized). Callers with an expensive
+    ``banded`` derivation should persist it first — both paths scan it
+    more than once.
     """
     sizes = banded.groupBy(*keys).agg(F.count("*").alias("_n")).where(
         F.col("_n") > cap)
+    if not sizes.take(1):  # eager probe; empty -> no degenerate buckets
+        a = banded.select(*keys, F.col(doc_col).alias("_da"))
+        b = banded.select(*keys, F.col(doc_col).alias("_db"))
+        return (a.join(b, keys)
+                .where(F.col("_da") < F.col("_db"))
+                .select(F.col("_da").alias("doc_a"),
+                        F.col("_db").alias("doc_b"))
+                .distinct())
     # NB: Spark column resolution is case-insensitive — group-count and
     # group-id columns need distinct spellings, not _G/_g
     b = (banded.join(F.broadcast(sizes), keys, "left")
@@ -310,7 +328,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     nbands = max_distance + 1
     width = 64 // nbands
     mask = (1 << width) - 1
-    sigs = simhash_signatures(df, id_col, text_col, seed)
+    # persisted: the signature UDF pass feeds the bucket-size probe, both
+    # self-join sides, and the hamming verify rejoin — 4 scans otherwise
+    sigs = simhash_signatures(df, id_col, text_col, seed).cache()
     # static unroll: nbands is a python int, so each band's shift is a literal
     bands_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),

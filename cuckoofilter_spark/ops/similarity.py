@@ -103,6 +103,37 @@ def srp_signature_col(vec_col, dim: int, nbits: int = 16, seed: int = 0x5EED):
     return sig, planes
 
 
+def srp_band_signatures(vec_col, dim: int, nbits: int, bands: int,
+                        seed: int = 0x5EED):
+    """Per-band SRP signatures as an ``array<long>`` pandas-UDF factory.
+
+    Unlike ``srp_signature_col`` (one packed long, so nbits*bands <= 64),
+    this emits ``bands`` independent ``nbits``-bit signatures, so band
+    width and band count scale independently — the band-OR LSH
+    construction needs wide bands (low collision rate) AND many bands
+    (recall), which together exceed 64 bits. One numpy matmul + bit-pack
+    per Arrow batch.
+    """
+    h = splitmix64(np.arange(bands * nbits * dim, dtype=np.uint64) + U64(seed))
+    planes = ((h.astype(np.float64) / 2.0**64) * 2.0 - 1.0).reshape(
+        bands * nbits, dim)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bitpos = np.arange(nbits, dtype=np.uint64)
+        for s in it:
+            if not len(s):
+                yield pd.Series([], dtype=object)
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+            proj = (mat @ planes.T > 0).reshape(len(s), bands, nbits)
+            vals = ((proj.astype(np.uint64) << bitpos[None, None, :])
+                    .sum(axis=2).astype(np.int64))
+            yield pd.Series(list(vals))
+
+    return sig
+
+
 def lsh_topk(
     spark: SparkSession,
     emb: DataFrame,
@@ -248,7 +279,10 @@ def ivf_topk(
     q_mat = _normalize(np.vstack([np.asarray(r["q_vec"], dtype=np.float64)
                                   for r in qrows]))
     sims = q_mat @ cent.T
-    probe_cells = np.argsort(-sims, axis=1)[:, :nprobe]  # nearest first
+    # stable sort: on exact float ties probe_cells[:, 0] must equal the
+    # assignment argmax (lowest index wins in both), or the self-hit
+    # guarantee the oracle encodes breaks data-dependently
+    probe_cells = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     probe = spark.createDataFrame(
         [(int(q), int(c), [float(x) for x in q_mat[i]])
          for i, q in enumerate(q_ids) for c in probe_cells[i]],
@@ -271,11 +305,31 @@ def ivf_topk(
     )
 
 
+def neardup_band_rows(
+    emb: DataFrame,
+    nbits: int,
+    bands: int,
+    seed: int = 0x5EED,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, band, sig) rows for the band-OR LSH blocking — the
+    exploded per-band signature table ``embedding_neardup_pairs`` joins
+    on. Exposed so tests can measure candidate volume directly."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    sig_udf = srp_band_signatures(vec_col, dim, nbits, bands, seed)
+    return (emb.select(F.col(id_col).alias("vec_id"),
+                       sig_udf(vec_col).alias("bs"))
+            .select("vec_id", F.posexplode("bs").alias("band", "sig")))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    nbits: int = 6,
-    bands: int = 8,
+    nbits: int = 12,
+    bands: int = 16,
     seed: int = 0x5EED,
     dim: int | None = None,
 ) -> DataFrame:
@@ -286,11 +340,16 @@ def embedding_neardup_pairs(
     collides, then candidates are exact-verified (so precision is exact;
     RECALL is probabilistic). Miss probability for a pair at angle theta
     is ``(1 - p^nbits)^bands`` with ``p = 1 - theta/pi``: at the default
-    8x6 bits, ~0.25% at cos 0.95 and ~2e-5 at cos 0.99 (the round-1
-    4x8-bit default missed ~10% at 0.95). The output is deterministic
-    for a given (data, seed) — tests verify recall on planted near-dup
-    pairs, and at higher recall demands raise ``bands`` (cost is linear
-    in bands).
+    16 bands x 12 bits, ~0.5% at cos 0.95 and ~1e-6 at cos 0.99. Raise
+    ``bands`` for higher recall (cost linear in bands, candidate rate
+    unchanged per band).
+
+    Band width is the SCALE knob: a random pair collides with
+    probability ~2^-nbits per band, so expected background candidates
+    are ~bands * 2^-nbits * n^2/2 — at 12-bit bands that is n^2/512,
+    vs n^2/8 at the round-2 6-bit default, whose candidate volume was
+    only a constant factor off the all-pairs join (60s at sf0.1).
+    Never narrow the bands to buy recall; add bands instead.
 
     Scale shape: only (vec_id, band, sig) rows enter the quadratic
     self-join; candidate id pairs are deduped FIRST and embeddings are
@@ -298,25 +357,11 @@ def embedding_neardup_pairs(
     candidate exchange (round-1 shuffled full arrays through
     dropDuplicates).
     """
-    if dim is None:
-        dim = len(emb.select("embedding").first()[0])
-    sig_udf, _ = srp_signature_col("embedding", dim, nbits * bands, seed)
-    mask = (1 << nbits) - 1
-
-    s = emb.select("vec_id", "embedding").withColumn("allsig", sig_udf("embedding"))
-    # split the (bands*nbits)-bit signature into per-band keys, explode
-    band_cols = F.array(*[
-        ((F.col("allsig").bitwiseAND(F.lit(mask << (b * nbits))))
-         .cast("long")).alias(f"b{b}")
-        for b in range(bands)])
-    exploded = (s.withColumn("band_sig", F.explode(
-        F.arrays_zip(F.array(*[F.lit(b) for b in range(bands)]).alias("band"),
-                     band_cols.alias("sig"))))
-        .select("vec_id",
-                F.col("band_sig.band").alias("band"),
-                F.col("band_sig.sig").alias("sig")))
     from .dedup import bucket_self_join_pairs
 
+    # persisted: one signature-UDF pass feeds the oversized-bucket probe
+    # and both self-join sides (3 scans); rows are 3 ints each
+    exploded = neardup_band_rows(emb, nbits, bands, seed, dim).persist()
     cand = (bucket_self_join_pairs(exploded, ["band", "sig"], doc_col="vec_id")
             .select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")))
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))

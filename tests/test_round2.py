@@ -89,6 +89,26 @@ def test_xor_odd_widths():
         assert g.to_bytes() == f.to_bytes()
 
 
+def test_xor_v1_blob_still_readable():
+    """Blobs serialized before the pow2_blocks flag byte (ver=1, layout
+    <4sHBBIQQ) must still deserialize — persisted filters outlive code."""
+    import struct
+
+    from cuckoofilter_spark.kernels import xor as xmod
+
+    rng = np.random.default_rng(6)
+    keys = np.unique(rng.integers(0, 1 << 62, size=10_000, dtype=np.uint64))
+    f = XorFilter.build(keys, fp_bits=8, seed=0x5EED)  # non-pow2 layout
+    v2 = f.to_bytes()
+    payload = v2[struct.calcsize(xmod._FMT):]
+    v1 = struct.pack("<4sHBBIQQ", b"XOR1", 1, f.fp_bits, f._attempt,
+                     f.block_length, f.seed, f.size) + payload
+    g = XorFilter.from_bytes(v1)
+    assert not g.pow2_blocks
+    assert (g.fingerprints == f.fingerprints).all()
+    assert g.contains_many(keys).all()
+
+
 # -- SimpleTabulation ------------------------------------------------------
 def test_simple_tabulation_golden_loop():
     t = SimpleTabulation(seed=42)

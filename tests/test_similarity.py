@@ -43,7 +43,8 @@ def test_lsh_recall_on_clusters(spark, clustered):
 def test_neardup_pairs_found_on_clusters(spark, clustered):
     from cuckoofilter_spark.ops.similarity import embedding_neardup_pairs
 
-    got = embedding_neardup_pairs(clustered, threshold=0.95, nbits=8, bands=4, seed=7)
+    got = embedding_neardup_pairs(clustered, threshold=0.95, nbits=12,
+                                  bands=16, seed=7)
     n = got.count()
     # each 20-member cluster contributes up to C(20,2)=190 pairs at .95;
     # LSH blocking must recover the bulk of them
@@ -61,6 +62,28 @@ def test_neardup_pairs_found_on_clusters(spark, clustered):
              .count())
     assert exact > 100  # the planted structure is real
     assert n >= 0.95 * exact, (n, exact)
+
+
+def test_neardup_candidate_volume_subquadratic(spark):
+    """The LSH blocking must be a real reduction, not a constant shave:
+    at 12-bit bands a random pair collides ~bands/2^12 per band, so on a
+    10k uniform-random fixture (no true near-dups) candidates must be
+    far under all-pairs. The round-2 6-bit default admitted ~n^2/8."""
+    from cuckoofilter_spark.ops.dedup import bucket_self_join_pairs
+    from cuckoofilter_spark.ops.similarity import neardup_band_rows
+
+    rng = np.random.default_rng(5)
+    n, dim = 10_000, 64  # dim matches the embeddings table
+    m = rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    banded = neardup_band_rows(emb, nbits=12, bands=16, seed=7).persist()
+    cand = bucket_self_join_pairs(banded, ["band", "sig"],
+                                  doc_col="vec_id").count()
+    banded.unpersist()
+    allpairs = n * (n - 1) // 2
+    assert cand < allpairs / 100, (cand, allpairs)
 
 
 def test_kmeans_centroids_deterministic(spark):
