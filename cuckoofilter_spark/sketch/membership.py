@@ -449,3 +449,180 @@ def approx_anti_join(
     believed present) — standard Bloom-anti-join semantics.
     """
     return fact.where(~cuckoo_contains_col(spark, filt, fact_col))
+
+
+# -- Shingle (overlapping-bucket cuckoo, shingle.h) -------------------------
+class _ShingleFlatProbe:
+    """One-pass probe across shingle shards: per-shard A|B tables are
+    concatenated into one flat array with per-shard offsets (same trick
+    as _FlatProbe), so an Arrow batch costs one hash pass + four
+    gathers."""
+
+    def __init__(self, blobs: list[bytes]):
+        from ..kernels.shingle import _PAD, ShingleFilter
+
+        filters = [ShingleFilter.from_bytes(b) for b in blobs]
+        f0 = filters[0]
+        if any(f._params()[1:] != f0._params()[1:] for f in filters):
+            raise ValueError("shards disagree on (slot_bits, seed)")
+        self.num_shards = len(filters)
+        self.fp_bits = f0.fp_bits
+        self.seed = f0.seed
+        self.fp_hash = f0.fp_hash
+        self.m = np.array([f.m for f in filters], dtype=np.uint64)
+        span = np.array([2 * (f.m + _PAD) for f in filters], dtype=np.int64)
+        self.half = np.array([f.m + _PAD for f in filters], dtype=np.int64)
+        self.offsets = np.zeros(self.num_shards, dtype=np.int64)
+        np.cumsum(span[:-1], out=self.offsets[1:])
+        self.flat = np.concatenate([f.tables.reshape(-1) for f in filters])
+
+    def _contains_chunk(self, keys: np.ndarray) -> np.ndarray:
+        from ..kernels.hashing import simple_mix_split
+
+        sh = shard_of(keys, self.num_shards)
+        m = self.m[sh]
+        h = simple_mix_split(keys, self.seed)
+        idx = ((h >> U64(self.fp_bits)) & (m - U64(1))).astype(np.int64)
+        fp = (h & U64((1 << self.fp_bits) - 1)).astype(np.uint16)
+        fp = fp + (fp == 0)
+        idx2 = ((idx.astype(np.uint64)
+                 ^ ((self.fp_hash * fp.astype(np.uint64)) >> U64(self.fp_bits)))
+                & (m - U64(1))).astype(np.int64)
+        a = self.offsets[sh] + idx
+        b = self.offsets[sh] + self.half[sh] + idx2
+        v0 = (fp.astype(np.uint16) << 1)
+        v1 = v0 | 1
+        return ((self.flat[a] == v0) | (self.flat[a + 1] == v1)
+                | (self.flat[b] == v0) | (self.flat[b + 1] == v1))
+
+    def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        if keys.size <= _CHUNK:
+            return self._contains_chunk(keys)
+        out = np.empty(keys.size, dtype=bool)
+        for lo in range(0, keys.size, _CHUNK):
+            out[lo:lo + _CHUNK] = self._contains_chunk(keys[lo:lo + _CHUNK])
+        return out
+
+
+class ShardedShingleFilter:
+    """num_shards independent shingle filters addressed by a key hash —
+    the same shard-by-key distribution as ShardedCuckooFilter (both of
+    a key's overlapping buckets live in one shard's private tables, so
+    kick chains never cross shards)."""
+
+    def __init__(self, blobs: list[bytes], slot_bits: int, seed: int):
+        self.num_shards = len(blobs)
+        if self.num_shards & (self.num_shards - 1):
+            raise ValueError("num_shards must be a power of two")
+        self.slot_bits = slot_bits
+        self.seed = seed
+        self.blobs = blobs
+        self._flat: _ShingleFlatProbe | None = None
+
+    def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        if self._flat is None:
+            self._flat = _ShingleFlatProbe(self.blobs)
+        return self._flat.contains_u64(keys)
+
+    def delete_u64(self, keys: np.ndarray) -> np.ndarray:
+        """Bulk Delete (shingle.h:201-207) across shards; caller
+        guarantees presence. Refreshes blobs for later broadcasts."""
+        from ..kernels.shingle import ShingleFilter
+
+        sh = shard_of(keys, self.num_shards)
+        out = np.zeros(keys.size, dtype=bool)
+        for s in np.unique(sh):
+            m = sh == s
+            f = ShingleFilter.from_bytes(self.blobs[int(s)])
+            out[m] = f.delete_many(keys[m])
+            self.blobs[int(s)] = f.to_bytes()
+        self._flat = None
+        return out
+
+    def num_items(self) -> int:
+        from ..kernels.shingle import ShingleFilter
+
+        return sum(ShingleFilter.from_bytes(b).filled for b in self.blobs)
+
+    def size_in_bytes(self) -> int:
+        return sum(len(b) for b in self.blobs)
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.num_items())
+
+    def expected_fpp(self) -> float:
+        return 4.0 / (1 << self.slot_bits)
+
+
+def shingle_build(
+    df: DataFrame,
+    col: str,
+    capacity: int | None = None,
+    slot_bits: int = 12,
+    seed: int = 0x5EED,
+    num_shards: int = 8,
+    dedupe: bool = True,
+) -> ShardedShingleFilter:
+    """Build a sharded shingle filter over an integer key column — one
+    groupBy(shard) shuffle of packed key blobs, the cuckoo_build plan
+    shape applied to the overlapping-bucket structure."""
+    from ..kernels.shingle import ShingleFilter
+    from .udaf import require_key_col, tokens_to_u64
+
+    is_array = require_key_col(df, col)
+    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
+
+    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
+                 for pdf in batches]
+        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
+        if dedupe:
+            keys = np.unique(keys)
+        shards, blobs = _pack_shards(keys, num_shards)
+        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
+                            "keys": blobs})
+
+    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
+
+    if capacity is None:
+        if is_array:
+            flat = base.select(F.explode("k").alias("t"))
+            capacity = flat.select(F.approx_count_distinct("t")).first()[0]
+        else:
+            capacity = base.select(F.approx_count_distinct("k")).first()[0]
+        capacity = int(capacity * 1.15) + 64
+    shard_cap = max(64, capacity // num_shards)
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
+        if dedupe:
+            keys = np.unique(keys)
+        filt = ShingleFilter.create(max(shard_cap, keys.size),
+                                    slot_bits=slot_bits, seed=seed)
+        filt.add_many(keys)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "blob": [filt.to_bytes()]})
+
+    rows = (packed.groupBy("shard")
+            .applyInPandas(build_shard, "shard int, blob binary")
+            .collect())
+    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
+    empty = ShingleFilter.create(shard_cap, slot_bits=slot_bits,
+                                 seed=seed).to_bytes()
+    blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
+    return ShardedShingleFilter(blobs, slot_bits=slot_bits, seed=seed)
+
+
+def shingle_contains_col(spark: SparkSession, filt: ShardedShingleFilter,
+                         col) -> Column:
+    """Boolean membership Column against broadcast shingle shards."""
+    bc = spark.sparkContext.broadcast(filt.blobs)
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = _cached_probe(bc, _ShingleFlatProbe)
+        for s in it:
+            yield pd.Series(local.contains_u64(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)

@@ -98,10 +98,11 @@ def _compare(spark, ducks, contract, name):
 
 ALL_QUERIES = [
     "cf_membership", "xor_membership", "xorplus_membership", "cf_stable_membership",
-    "cf_semisort_membership",
+    "cf_semisort_membership", "shingle_membership",
     "cf_checkpoint_membership", "cf_delete_membership", "bloom_membership",
     "blocked_bloom_membership", "gcs_membership", "cf_mixed_probe", "cf_prefilter_join", "hll_distinct",
-    "cms_topk_freq", "cqf_topk_freq", "kll_quantiles", "tdigest_quantiles", "match_size", "count_distinct",
+    "cms_topk_freq", "cqf_topk_freq", "cqf_enumerate", "kll_quantiles",
+    "tdigest_quantiles", "match_size", "count_distinct",
     "has_duplicates", "mixin_sample", "windowed_events", "text_stats", "exact_dedup",
     "corpus_filter",
     "jaccard_pairs", "minhash_lsh_pairs", "dedup_clusters", "simhash_pairs",
