@@ -174,16 +174,45 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingle_hashes"),
     )
 
+    k = num_hashes
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # flattened offsets formulation: ONE (k x shingles) broadcast pass
+        # per chunk + minimum.reduceat at doc boundaries, instead of a
+        # Python loop dispatching numpy per document — short-doc corpora
+        # were per-doc-dispatch-bound. Chunked so the permuted-hash
+        # matrix stays ~16 MB (k=64 x 32k shingles x 8 B).
         for s in it:
-            out = []
-            for arr in s:
-                x = np.asarray(arr, dtype=np.int64).view(np.uint64) % U64(_MERSENNE)
-                # (k, n) permuted hashes -> row min; numpy broadcast
-                perm = (a_params[:, None] * x[None, :] + b_params[:, None]) % U64(_MERSENNE)
-                out.append(perm.min(axis=1).astype(np.int64))
-            yield pd.Series(out)
+            n = len(s)
+            if not n:
+                yield pd.Series([], dtype=object)
+                continue
+            lens = np.fromiter((len(a) for a in s), dtype=np.int64, count=n)
+            flat = (np.concatenate([np.asarray(a, dtype=np.int64) for a in s])
+                    if int(lens.sum()) else np.empty(0, dtype=np.int64))
+            x = flat.view(np.uint64) % U64(_MERSENNE)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            out = np.full((n, k), _MERSENNE, dtype=np.int64)
+            lo_doc = 0
+            while lo_doc < n:
+                hi_doc = lo_doc
+                while (hi_doc < n
+                       and bounds[hi_doc + 1] - bounds[lo_doc] <= (1 << 15)):
+                    hi_doc += 1
+                hi_doc = max(hi_doc, lo_doc + 1)  # one huge doc: take it whole
+                seg = x[bounds[lo_doc]:bounds[hi_doc]]
+                perm = (a_params[:, None] * seg[None, :]
+                        + b_params[:, None]) % U64(_MERSENNE)
+                starts = (bounds[lo_doc:hi_doc] - bounds[lo_doc])
+                nonempty = lens[lo_doc:hi_doc] > 0
+                if seg.size:
+                    mins = np.minimum.reduceat(
+                        perm, np.minimum(starts, seg.size - 1), axis=1).T
+                    out[lo_doc:hi_doc][nonempty] = \
+                        mins.astype(np.int64)[nonempty]
+                lo_doc = hi_doc
+            yield pd.Series(list(out))
 
     return sets.withColumn("sig", sig_udf("shingle_hashes"))
 
@@ -301,17 +330,43 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     @F.pandas_udf(T.LongType())
     def sim_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # flattened offsets formulation: one (shingles x 64) bit matrix
+        # per chunk + add.reduceat at doc boundaries (votes), instead of
+        # per-doc numpy dispatch; chunked at 256k word hashes (~16 MB of
+        # int8 bits)
         bitpos = np.arange(64, dtype=np.uint64)
         for s in it:
-            out = np.zeros(len(s), dtype=np.int64)
-            for j, arr in enumerate(s):
-                x = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                if x.size == 0:
-                    continue
-                bits = ((x[:, None] >> bitpos[None, :]) & U64(1)).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                out[j] = np.int64(
-                    np.bitwise_or.reduce((votes > 0).astype(np.uint64) << bitpos).view(np.int64))
+            n = len(s)
+            out = np.zeros(n, dtype=np.int64)
+            if not n:
+                yield pd.Series(out)
+                continue
+            lens = np.fromiter((len(a) for a in s), dtype=np.int64, count=n)
+            flat = (np.concatenate([np.asarray(a, dtype=np.int64) for a in s])
+                    if int(lens.sum()) else np.empty(0, dtype=np.int64))
+            x = flat.view(np.uint64)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            lo_doc = 0
+            while lo_doc < n:
+                hi_doc = lo_doc
+                while (hi_doc < n
+                       and bounds[hi_doc + 1] - bounds[lo_doc] <= (1 << 18)):
+                    hi_doc += 1
+                hi_doc = max(hi_doc, lo_doc + 1)
+                seg = x[bounds[lo_doc]:bounds[hi_doc]]
+                if seg.size:
+                    bits = ((seg[:, None] >> bitpos[None, :]) & U64(1)) \
+                        .astype(np.int8)
+                    signed = (2 * bits - 1).astype(np.int32)
+                    starts = bounds[lo_doc:hi_doc] - bounds[lo_doc]
+                    votes = np.add.reduceat(
+                        signed, np.minimum(starts, seg.size - 1), axis=0)
+                    sims = np.bitwise_or.reduce(
+                        (votes > 0).astype(np.uint64) << bitpos[None, :],
+                        axis=1).view(np.int64)
+                    nonempty = lens[lo_doc:hi_doc] > 0
+                    out[lo_doc:hi_doc][nonempty] = sims[nonempty]
+                lo_doc = hi_doc
             yield pd.Series(out)
 
     return tokens.withColumn("simhash", sim_udf("wh")).select("doc", "simhash")
