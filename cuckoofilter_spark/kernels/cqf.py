@@ -194,15 +194,18 @@ class CountingQuotientFilter:
 
     # -- stats ------------------------------------------------------------
     def size_in_bytes(self) -> int:
-        """Quotiented layout: r bits per remainder + 8-byte count + the
-        occupied-quotient index (distinct quotients * (q/8 + 4))."""
+        """Quotiented layout: r bits per remainder + escaped small counts
+        (1 byte each, 8 extra per count >= 255 — the slot-embedded-count
+        analogue, gqf.h:49-66) + the occupied-quotient index (distinct
+        quotients * (q/8 + 4))."""
         n = self.fingerprints.size
         if n == 0:
             return _HDR_SIZE
         quot = (self.fingerprints >> np.uint64(self.r))
         distinct_q = int(np.count_nonzero(np.concatenate(
             ([True], quot[1:] != quot[:-1]))))
-        return (_HDR_SIZE + (n * self.r + 7) // 8 + n * 8
+        big = int(np.count_nonzero(self.counts >= 0xFF))
+        return (_HDR_SIZE + (n * self.r + 7) // 8 + n + big * 8
                 + distinct_q * ((self.q + 7) // 8 + 4))
 
     def expected_collision_rate(self) -> float:
@@ -211,22 +214,41 @@ class CountingQuotientFilter:
 
     # -- io ---------------------------------------------------------------
     def to_bytes(self) -> bytes:
-        hdr = struct.pack(_FMT, _MAGIC, 1, self.q, self.r, self.seed,
+        """v2 blob: counts are stored as uint8 with a 0xFF escape to a
+        side table of full int64s — the serialized analogue of the
+        reference's slot-embedded small counts (gqf.h:49-66: counts
+        below the escape threshold live inside slots, big ones spill).
+        Token-frequency counts are overwhelmingly small, so the counts
+        section shrinks ~8x; escapes cost 8 extra bytes each."""
+        small = self.counts < 0xFF
+        packed = np.where(small, self.counts, 0xFF).astype(np.uint8)
+        big = self.counts[~small].astype("<i8")
+        hdr = struct.pack(_FMT, _MAGIC, 2, self.q, self.r, self.seed,
                           self.fingerprints.size, self.total)
         return (hdr + self.fingerprints.astype("<u8").tobytes()
-                + self.counts.astype("<i8").tobytes())
+                + packed.tobytes() + big.tobytes())
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CountingQuotientFilter":
         magic, ver, q, r, seed, n, total = struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 1:
+        if magic != _MAGIC or ver not in (1, 2):
             raise ValueError("bad cqf blob header")
         f = cls(q, r, seed)
         off = _HDR_SIZE
         f.fingerprints = np.frombuffer(blob, dtype="<u8", offset=off,
                                        count=n).astype(np.uint64)
         off += n * 8
-        f.counts = np.frombuffer(blob, dtype="<i8", offset=off,
-                                 count=n).astype(np.int64)
+        if ver == 1:  # plain int64 counts (pre-escape blobs still read)
+            f.counts = np.frombuffer(blob, dtype="<i8", offset=off,
+                                     count=n).astype(np.int64)
+        else:
+            packed = np.frombuffer(blob, dtype=np.uint8, offset=off, count=n)
+            counts = packed.astype(np.int64)
+            esc = np.flatnonzero(packed == 0xFF)
+            if esc.size:
+                big = np.frombuffer(blob, dtype="<i8", offset=off + n,
+                                    count=esc.size)
+                counts[esc] = big
+            f.counts = counts
         f.total = total
         return f

@@ -135,6 +135,31 @@ def test_shingle_sharded_build_spark(spark):
     assert got2 == ((want - set(some.tolist())) & present)
 
 
+# -- canonical sequence-table reader ----------------------------------------
+def test_read_sequences_parquet_and_projection(spark, tmp_path):
+    from cuckoofilter_spark.sources.catalog import read_sequences
+    from cuckoofilter_spark.sources.tokens import tokens_table
+
+    p = str(tmp_path / "seq.parquet")
+    tokens_table(spark, 200, seed=42).write.parquet(p)
+    df = read_sequences(spark, p)
+    assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+    assert df.count() == 200
+    # projection reaches the scan (column pruning at the source)
+    narrow = read_sequences(spark, p, columns=("n_tok",))
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<n_tok:int>" in plan, plan
+    with pytest.raises(ValueError):
+        read_sequences(spark, p, columns=("nope",))
+
+
+def test_read_sequences_iceberg_gate(spark):
+    from cuckoofilter_spark.sources.catalog import read_sequences
+
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        read_sequences(spark, "catalog.db.sequences")
+
+
 # -- CQF enumeration (gqf.h:243-291 qf_iterator surface) -------------------
 def test_cqf_items_enumeration():
     f = CountingQuotientFilter(q=20, r=28, seed=0x5EED)
@@ -153,3 +178,35 @@ def test_cqf_items_enumeration():
     f.delete_many(np.array([4], dtype=np.uint64))
     _, counts2 = f.items()
     assert sorted(counts2.tolist()) == [1, 2, 3, 3]
+
+
+def test_cqf_escaped_count_blob():
+    """v2 blobs store counts as uint8 with a 0xFF escape to int64 (the
+    slot-embedded small-count analogue, gqf.h:49-66); v1 plain-int64
+    blobs must still read."""
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 50, size=50_000, dtype=np.uint64)
+    counts = np.where(rng.random(50_000) < 0.01,
+                      rng.integers(255, 100_000, 50_000),
+                      rng.integers(1, 254, 50_000)).astype(np.int64)
+    f = CountingQuotientFilter(q=20, r=28, seed=1)
+    f.add_many(keys, counts)
+    g = CountingQuotientFilter.from_bytes(f.to_bytes())
+    assert (g.fingerprints == f.fingerprints).all()
+    assert (g.counts == f.counts).all() and g.total == f.total
+    # boundary: 254 packs, 255 escapes
+    f2 = CountingQuotientFilter(q=10, r=20, seed=1)
+    f2.add_many(np.array([1, 2, 3], dtype=np.uint64),
+                np.array([254, 255, 300], dtype=np.int64))
+    g2 = CountingQuotientFilter.from_bytes(f2.to_bytes())
+    assert sorted(g2.counts.tolist()) == [254, 255, 300]
+    # v1 compat
+    from cuckoofilter_spark.kernels.cqf import _FMT as CFMT, _MAGIC as CMAGIC
+    hdr = struct.pack(CFMT, CMAGIC, 1, f.q, f.r, f.seed,
+                      f.fingerprints.size, f.total)
+    v1 = (hdr + f.fingerprints.astype("<u8").tobytes()
+          + f.counts.astype("<i8").tobytes())
+    h = CountingQuotientFilter.from_bytes(v1)
+    assert (h.counts == f.counts).all()
+    # serialized footprint beats plain int64 counts
+    assert len(f.to_bytes()) < len(v1)
