@@ -124,6 +124,62 @@ def q_shingle_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("p_partkey").alias("member_key")))
 
 
+def q_crate_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crate / pocket-dictionary probe protocol (crate.h:397-527, arXiv:
+    1911.05060): sharded build, 64-byte Elias-Fano PD blocks
+    bit-compatible with the reference layout, exact spare for bucket
+    overflow. The PD's (quot, rem) space is fixed at 50*256 per bucket,
+    so its FPR floor (~fill/12800) cannot be parameterized to zero like
+    the widenable-fingerprint families — the oracle therefore checks
+    the exact true-member count (no false negatives) plus a
+    Spark-verified FP-bound flag, the cf_mixed_probe protocol."""
+    from cuckoofilter_spark.sketch.membership import (
+        crate_build, crate_contains_col)
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = crate_build(li, "l_partkey", capacity=1000, seed=SEED,
+                       num_shards=8)
+    part = _t(spark, sf_dir, "part")
+    members = li.select(F.col("l_partkey").alias("p_partkey")).distinct()
+    probed = (part.withColumn("hit", crate_contains_col(spark, filt, "p_partkey"))
+              .join(F.broadcast(members.withColumn("is_member", F.lit(True))),
+                    "p_partkey", "left")
+              .withColumn("is_member", F.coalesce("is_member", F.lit(False))))
+    agg = probed.agg(
+        F.sum(F.when(F.col("is_member") & F.col("hit"), 1).otherwise(0)
+              ).alias("tp"),
+        F.sum(F.when(F.col("is_member") & ~F.col("hit"), 1).otherwise(0)
+              ).alias("fn"),
+        F.sum(F.when(~F.col("is_member") & F.col("hit"), 1).otherwise(0)
+              ).alias("fp"),
+        F.count("*").alias("n")).first()
+    assert agg["fn"] == 0, "crate false negative"
+    # generous 8x slack over the structure-derived expectation
+    bound = max(8.0, 8.0 * filt.expected_fpp() * agg["n"])
+    return spark.createDataFrame(
+        [(int(agg["tp"]), bool(agg["fp"] <= bound))],
+        "n_members long, fp_within_bound boolean")
+
+
+def q_tail_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-filter semi-join (tail-filter.hpp:7-134 — the adaptive AMQ:
+    no capacity parameter; each shard upsizes itself as its
+    distinct-insert count crosses powers of two, donating tail bits to
+    keys). lgm=5 forces several upsizes on this keyspace so the growth
+    path actually runs in the gate; tb=20 tail bits keep the
+    structure-derived FPR ~3e-6, zero FP on this keyspace (verified
+    deterministic for SEED at sf0.01/sf0.1)."""
+    from cuckoofilter_spark.sketch.membership import (
+        tail_build, tail_contains_col)
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = tail_build(li, "l_partkey", epsilon=2.0 ** -20, lgm=5,
+                      seed=SEED, num_shards=8)
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("hit", tail_contains_col(spark, filt, "p_partkey"))
+            .where("hit").select(F.col("p_partkey").alias("member_key")))
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join over l_suppkey with present+absent probes.
     bloom.h semantics; bits sized so FP=0 on this keyspace (verified
@@ -773,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_checkpoint_membership": q_cf_checkpoint_membership,
         "cf_delete_membership": q_cf_delete_membership,
         "shingle_membership": q_shingle_membership,
+        "tail_membership": q_tail_membership,
+        "crate_membership": q_crate_membership,
         "bloom_membership": q_bloom_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "gcs_membership": q_gcs_membership,
@@ -834,6 +892,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shingle_membership": """
             SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "tail_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "crate_membership": """
+            SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_members,
+                   TRUE AS fp_within_bound
+            FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,
         "gcs_membership": """

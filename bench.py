@@ -194,8 +194,9 @@ def filter_family_suite(spark) -> dict:
         bloom_sketch)
     from cuckoofilter_spark.sketch.gcsfilter import gcs_build, gcs_contains_col
     from cuckoofilter_spark.sketch.membership import (
-        shingle_build, shingle_contains_col, xor_build, xor_contains_col,
-        xorplus_build, xorplus_contains_col)
+        crate_build, crate_contains_col, shingle_build,
+        shingle_contains_col, tail_build, tail_contains_col, xor_build,
+        xor_contains_col, xorplus_build, xorplus_contains_col)
 
     n = 1_000_000
     probes_n = 10_000_000
@@ -239,6 +240,21 @@ def filter_family_suite(spark) -> dict:
                 keys_shingle, "id", capacity=n_shingle, slot_bits=12,
                 seed=SEED, num_shards=8),
              shingle_contains_col))
+        # adaptive tier (tail-filter.hpp): the one build with NO capacity
+        # parameter — shards upsize themselves; eps here is structure-
+        # derived (grows ~2^-(tb+1) per upsize past 2^lgm), bits/item is
+        # the quotiented blob (tails + succinct offsets, keys implied)
+        # pocket-dictionary row (crate.h fill target 44/51: 64B blocks
+        # + ~1.3% exact spare ~= 12.4 bits/item)
+        rows.append(
+            ("crate", lambda: crate_build(
+                keys, "id", capacity=n, seed=SEED, num_shards=8),
+             crate_contains_col))
+        rows.append(
+            ("tail12", lambda: tail_build(
+                keys, "id", epsilon=2.0 ** -12, lgm=10, seed=SEED,
+                num_shards=8),
+             tail_contains_col))
         # context rows: ONE build and ONE warm probe each — a cold+steady
         # protocol here doubles ~10 Spark jobs and, under host steal, can
         # add minutes of wall for rows that are not the headline metric

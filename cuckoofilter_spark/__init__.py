@@ -27,9 +27,12 @@ from .kernels.blocked_bloom import BlockedBloomFilter, GrowBlockedBloomFilter
 from .kernels.bloom import BloomFilter
 from .kernels.cms import CountMinSketch
 from .kernels.cqf import CountingQuotientFilter
+from .kernels.crate import CrateFilter
 from .kernels.cuckoo import CuckooFilter, CuckooFullError
 from .kernels.gcs import GcsFilter
 from .kernels.hll import HyperLogLog
+from .kernels.shingle import ShingleFilter
+from .kernels.tail import TailFilter
 from .kernels.kll import KLLSketch
 from .kernels.tdigest import TDigest
 from .kernels.xor import XorFilter
@@ -41,11 +44,14 @@ __all__ = [
     "BloomFilter",
     "CountMinSketch",
     "CountingQuotientFilter",
+    "CrateFilter",
     "CuckooFilter",
     "CuckooFullError",
     "GcsFilter",
     "GrowBlockedBloomFilter",
     "HyperLogLog",
+    "ShingleFilter",
+    "TailFilter",
     "KLLSketch",
     "TDigest",
     "XorFilter",

@@ -83,6 +83,32 @@ def unpack_nbits(buf: bytes, bits: int, n: int) -> np.ndarray:
     return out
 
 
+def pack_nbits64(vals: np.ndarray, bits: int) -> bytes:
+    """pack_nbits for widths <= 64 (uint64 values — tail-filter pairs
+    carry key+tail encodings past 32 bits once the filter upsizes)."""
+    shifts = np.arange(bits, dtype=np.uint64)
+    parts = []
+    for lo in range(0, vals.size, _NBIT_CHUNK):
+        v = vals[lo:lo + _NBIT_CHUNK]
+        lsb = ((v[:, None].astype(np.uint64) >> shifts)
+               & np.uint64(1)).astype(np.uint8)
+        parts.append(np.packbits(lsb.reshape(-1), bitorder="little"))
+    return b"".join(p.tobytes() for p in parts)
+
+
+def unpack_nbits64(buf: bytes, bits: int, n: int) -> np.ndarray:
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(n * bits + 7) // 8)
+    shifts = np.arange(bits, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    for lo in range(0, n, _NBIT_CHUNK):
+        hi = min(lo + _NBIT_CHUNK, n)
+        rb = raw[lo * bits // 8: (hi * bits + 7) // 8]
+        lsb = np.unpackbits(rb, bitorder="little")[: (hi - lo) * bits]
+        out[lo:hi] = (lsb.reshape(hi - lo, bits).astype(np.uint64)
+                      << shifts).sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def _fp_dtype(bits: int):
     if bits <= 8:
         return np.uint8

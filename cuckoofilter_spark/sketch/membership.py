@@ -626,3 +626,266 @@ def shingle_contains_col(spark: SparkSession, filt: ShardedShingleFilter,
             yield pd.Series(local.contains_u64(keys_to_u64(s)))
 
     return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
+# -- Tail filter (adaptive-epsilon growing AMQ, tail-filter.hpp) ------------
+class ShardedTailFilter:
+    """num_shards independent tail filters addressed by a key hash.
+
+    Unlike every other sharded structure here the tail filter needs NO
+    capacity estimate (tail-filter.hpp:119-124 upsizes itself as ndv
+    crosses powers of two), so the build skips the
+    approx_count_distinct pre-pass entirely — each shard just grows.
+    Shards upsize independently; the probe keeps per-shard filters
+    (epochs differ, so a flat one-pass table is not applicable)."""
+
+    def __init__(self, blobs: list[bytes], seed: int):
+        from ..kernels.tail import TailFilter
+
+        self.num_shards = len(blobs)
+        if self.num_shards & (self.num_shards - 1):
+            raise ValueError("num_shards must be a power of two")
+        self.seed = seed
+        self.blobs = blobs
+        self._filters: list | None = None
+        self._cls = TailFilter
+
+    def _load(self):
+        if self._filters is None:
+            self._filters = [self._cls.from_bytes(b) for b in self.blobs]
+        return self._filters
+
+    def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        from ..kernels.hashing import simple_mix_split
+
+        filters = self._load()
+        h = simple_mix_split(keys, self.seed)
+        sh = shard_of(keys, self.num_shards)
+        out = np.zeros(keys.size, dtype=bool)
+        for s in np.unique(sh):
+            m = sh == s
+            out[m] = filters[int(s)].contains_many(h[m])
+        return out
+
+    def num_items(self) -> int:
+        return sum(f.ndv for f in self._load())
+
+    def size_in_bytes(self) -> int:
+        return sum(len(b) for b in self.blobs)
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.num_items())
+
+    def expected_fpp(self) -> float:
+        """Structure-derived bound: sum over pairs of 2^-(key_bits +
+        significant tail bits) plus the graduated-key mass — exact for
+        the stored content, unlike the design epsilon (FPR grows one
+        ~2^-(tb+1) term per upsize past 2^lgm)."""
+        total = 0.0
+        for f in self._load():
+            if f.pairs.size:
+                w = np.uint64(f.tb + 1)
+                t = f.pairs & np.uint64((1 << (f.tb + 1)) - 1)
+                lb = t & (~t + np.uint64(1))
+                sent = np.log2(lb.astype(np.float64))
+                sig = f.tb - sent
+                total += float((2.0 ** -(f.key_bits + sig)).sum())
+            if f.bitset is not None and f.bitset.size:
+                total += float(f.bitset.sum()) / f.bitset.size
+        return total / max(1, self.num_shards)
+
+
+def tail_build(
+    df: DataFrame,
+    col: str,
+    epsilon: float = 2.0 ** -16,
+    lgm: int = 10,
+    seed: int = 0x5EED,
+    num_shards: int = 8,
+) -> ShardedTailFilter:
+    """Build a sharded tail filter over an integer key column — the one
+    build in the suite with no capacity parameter: shards grow
+    adaptively (tail-filter.hpp:88-124), so the plan is a single
+    groupBy(shard) shuffle of packed hash blobs with no
+    approx_count_distinct pre-pass."""
+    from ..kernels.hashing import simple_mix_split
+    from ..kernels.tail import TailFilter
+    from .udaf import require_key_col, tokens_to_u64
+
+    is_array = require_key_col(df, col)
+    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
+
+    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
+                 for pdf in batches]
+        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
+        keys = np.unique(keys)
+        shards, blobs = [], []
+        sh = shard_of(keys, num_shards)
+        order = np.argsort(sh, kind="stable")
+        keys, sh = keys[order], sh[order]
+        bounds = np.searchsorted(sh, np.arange(num_shards + 1))
+        for s in range(num_shards):
+            seg = keys[bounds[s]:bounds[s + 1]]
+            if seg.size:
+                shards.append(s)
+                # ship the HASH (the filter's input domain,
+                # tail-filter.hpp:119 takes a pre-hashed uint64)
+                blobs.append(simple_mix_split(seg, seed).tobytes())
+        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
+                            "keys": blobs})
+
+    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
+        filt = TailFilter(lgm=lgm, epsilon=epsilon)
+        filt.add_many(hashes)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "blob": [filt.to_bytes()]})
+
+    rows = (packed.groupBy("shard")
+            .applyInPandas(build_shard, "shard int, blob binary")
+            .collect())
+    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
+    empty = TailFilter(lgm=lgm, epsilon=epsilon).to_bytes()
+    blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
+    return ShardedTailFilter(blobs, seed=seed)
+
+
+def tail_contains_col(spark: SparkSession, filt: ShardedTailFilter,
+                      col) -> Column:
+    """Boolean membership Column against broadcast tail-filter shards."""
+    bc = spark.sparkContext.broadcast((filt.blobs, filt.seed))
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = _cached_probe(bc, lambda v: ShardedTailFilter(v[0], v[1]))
+        for s in it:
+            yield pd.Series(local.contains_u64(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
+# -- Crate / pocket dictionaries (crate.h, arXiv:1911.05060) ----------------
+class ShardedCrateFilter:
+    """num_shards independent crate filters addressed by a key hash;
+    each shard's spare dict stays private to its bucket range."""
+
+    def __init__(self, blobs: list[bytes], seed: int):
+        from ..kernels.crate import CrateFilter
+
+        self.num_shards = len(blobs)
+        if self.num_shards & (self.num_shards - 1):
+            raise ValueError("num_shards must be a power of two")
+        self.seed = seed
+        self.blobs = blobs
+        self._filters: list | None = None
+        self._cls = CrateFilter
+
+    def _load(self):
+        if self._filters is None:
+            self._filters = [self._cls.from_bytes(b) for b in self.blobs]
+        return self._filters
+
+    def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        from ..kernels.hashing import simple_mix_split
+
+        filters = self._load()
+        h = simple_mix_split(keys, self.seed)
+        sh = shard_of(keys, self.num_shards)
+        out = np.zeros(keys.size, dtype=bool)
+        for s in np.unique(sh):
+            m = sh == s
+            out[m] = filters[int(s)].contains_many(h[m])
+        return out
+
+    def num_items(self) -> int:
+        return sum(f.ndv for f in self._load())
+
+    def size_in_bytes(self) -> int:
+        return sum(len(b) for b in self.blobs)
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.num_items())
+
+    def expected_fpp(self) -> float:
+        fs = self._load()
+        return sum(f.expected_fpp() for f in fs) / max(1, len(fs))
+
+
+def crate_build(
+    df: DataFrame,
+    col: str,
+    capacity: int | None = None,
+    seed: int = 0x5EED,
+    num_shards: int = 8,
+) -> ShardedCrateFilter:
+    """Build sharded pocket-dictionary filters over an integer key
+    column — one groupBy(shard) shuffle of packed hash blobs
+    (crate.h:429-436 sizing: buckets = capacity/44, spare ~1.3%)."""
+    from ..kernels.crate import CrateFilter
+    from ..kernels.hashing import simple_mix_split
+    from .udaf import require_key_col, tokens_to_u64
+
+    is_array = require_key_col(df, col)
+    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
+
+    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
+                 for pdf in batches]
+        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
+        keys = np.unique(keys)
+        sh = shard_of(keys, num_shards)
+        order = np.argsort(sh, kind="stable")
+        keys, sh = keys[order], sh[order]
+        bounds = np.searchsorted(sh, np.arange(num_shards + 1))
+        shards, blobs = [], []
+        for s in range(num_shards):
+            seg = keys[bounds[s]:bounds[s + 1]]
+            if seg.size:
+                shards.append(s)
+                blobs.append(simple_mix_split(seg, seed).tobytes())
+        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
+                            "keys": blobs})
+
+    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
+
+    if capacity is None:
+        if is_array:
+            flat = base.select(F.explode("k").alias("t"))
+            capacity = flat.select(F.approx_count_distinct("t")).first()[0]
+        else:
+            capacity = base.select(F.approx_count_distinct("k")).first()[0]
+    shard_cap = max(64, int(capacity) // num_shards)
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
+        filt = CrateFilter(add_count=max(shard_cap, hashes.size))
+        filt.add_many(hashes)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "blob": [filt.to_bytes()]})
+
+    rows = (packed.groupBy("shard")
+            .applyInPandas(build_shard, "shard int, blob binary")
+            .collect())
+    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
+    empty = CrateFilter(shard_cap).to_bytes()
+    blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
+    return ShardedCrateFilter(blobs, seed=seed)
+
+
+def crate_contains_col(spark: SparkSession, filt: ShardedCrateFilter,
+                       col) -> Column:
+    """Boolean membership Column against broadcast crate shards."""
+    bc = spark.sparkContext.broadcast((filt.blobs, filt.seed))
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = _cached_probe(bc, lambda v: ShardedCrateFilter(v[0], v[1]))
+        for s in it:
+            yield pd.Series(local.contains_u64(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)

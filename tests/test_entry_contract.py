@@ -99,6 +99,7 @@ def _compare(spark, ducks, contract, name):
 ALL_QUERIES = [
     "cf_membership", "xor_membership", "xorplus_membership", "cf_stable_membership",
     "cf_semisort_membership", "shingle_membership",
+    "tail_membership", "crate_membership",
     "cf_checkpoint_membership", "cf_delete_membership", "bloom_membership",
     "blocked_bloom_membership", "gcs_membership", "cf_mixed_probe", "cf_prefilter_join", "hll_distinct",
     "cms_topk_freq", "cqf_topk_freq", "cqf_enumerate", "kll_quantiles",

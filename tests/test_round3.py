@@ -210,3 +210,264 @@ def test_cqf_escaped_count_blob():
     assert (h.counts == f.counts).all()
     # serialized footprint beats plain int64 counts
     assert len(f.to_bytes()) < len(v1)
+
+
+# -- Tail filter (tail-filter.hpp) ------------------------------------------
+class _SeqTail:
+    """Sequential spec of tail-filter.hpp:52-133 — insert-at-a-time,
+    dict-of-tail-lists instead of the QuotientDysect — used ONLY as the
+    parity oracle for the vectorized kernel."""
+
+    def __init__(self, lgm, eps):
+        import math
+        self.lgm = max(lgm, 5)
+        self.tb = max(1, int(math.floor(math.log2(1.0 / eps))))
+        self.epoch = 0
+        self.ndv = 0
+        self.pairs = {}
+        self.bits = None  # (set of keys, capacity bits)
+
+    def _split(self, h):
+        kw = self.lgm + self.epoch
+        key = h >> (64 - kw)
+        val = (h >> (64 - kw - self.tb)) & ((1 << self.tb) - 1)
+        return key, 2 * val + 1
+
+    def lookup(self, h):
+        if self.bits is not None:
+            keys, c = self.bits
+            if (h >> (64 - c)) in keys:
+                return True
+        key, qt = self._split(h)
+        for t in self.pairs.get(key, ()):
+            tz = (t & -t).bit_length()  # 1 + count_trailing_zeros
+            if (t >> tz) == (qt >> tz):
+                return True
+        return False
+
+    def upsize(self):
+        if self.bits is not None:
+            keys, c = self.bits
+            self.bits = ({2 * k for k in keys} | {2 * k + 1 for k in keys},
+                         c + 1)
+        newpairs = {}
+        for key, ts in self.pairs.items():
+            for t in ts:
+                if t == 1 << self.tb:
+                    if self.bits is None:
+                        self.bits = (set(), self.lgm + self.epoch)
+                    self.bits[0].add(key)
+                else:
+                    nk = 2 * key + (t >> self.tb)
+                    nt = (2 * t) & ((1 << (self.tb + 1)) - 1)
+                    newpairs.setdefault(nk, []).append(nt)
+        self.pairs = newpairs
+        self.epoch += 1
+
+    def insert(self, h):
+        if self.lookup(h):
+            return False
+        if self.ndv > (1 << self.lgm) and self.ndv & (self.ndv - 1) == 0:
+            self.upsize()
+        key, t = self._split(h)
+        self.pairs.setdefault(key, []).append(t)
+        self.ndv += 1
+        return True
+
+
+def test_tail_parity_with_sequential_spec():
+    """The batch kernel must build the SAME structure the sequential
+    reference algorithm builds (pairs, epoch, ndv, lookups) on a run
+    with no coverage-skips (tb=16 keeps accidental covers at ~0)."""
+    from cuckoofilter_spark.kernels.hashing import splitmix64
+    from cuckoofilter_spark.kernels.tail import TailFilter
+
+    hashes = splitmix64(np.arange(1, 20_001, dtype=np.uint64))
+    seq = _SeqTail(8, 2.0 ** -16)
+    # the batch API canonicalizes to sorted-unique insertion order (so
+    # two cluster runs build identical blobs); the parity claim is
+    # against the sequential algorithm applied in that same order
+    for h in np.sort(np.unique(hashes)).tolist():
+        seq.insert(h)
+    bat = TailFilter(lgm=8, epsilon=2.0 ** -16)
+    bat.add_many(hashes)
+    assert bat.epoch == seq.epoch and bat.ndv == seq.ndv
+    w = seq.tb + 1
+    seq_pairs = sorted((k << w) | t for k, ts in seq.pairs.items() for t in ts)
+    assert bat.pairs.tolist() == seq_pairs
+    assert seq.bits is None and bat.bitset is None
+    probes = splitmix64(np.arange(10 ** 9, 10 ** 9 + 5000, dtype=np.uint64))
+    got = bat.contains_many(probes)
+    want = np.array([seq.lookup(int(h)) for h in probes], dtype=bool)
+    assert (got == want).all()
+
+
+def test_tail_graduation_and_blob():
+    """Drive epoch past tb so tails graduate into the bitset
+    (tail-filter.hpp:99-105): membership must survive graduation, the
+    blob must round-trip the bitset, and merge must OR it."""
+    from cuckoofilter_spark.kernels.hashing import splitmix64
+    from cuckoofilter_spark.kernels.tail import TailFilter
+
+    hashes = splitmix64(np.arange(1, 60_001, dtype=np.uint64))
+    f = TailFilter(lgm=5, epsilon=0.2)  # tb=2: graduation after 3 upsizes
+    f.add_many(hashes)
+    assert f.epoch > f.tb and f.bitset is not None and f.bitset.sum() > 0
+    assert f.contains_many(hashes).all()
+    g = TailFilter.from_bytes(f.to_bytes())
+    assert (g.bitset == f.bitset).all() and (g.pairs == f.pairs).all()
+    assert g.contains_many(hashes).all()
+    a, b = TailFilter(5, 0.2), TailFilter(5, 0.2)
+    a.add_many(hashes[:40_000])
+    b.add_many(hashes[30_000:])
+    m = TailFilter.merge(a, b)
+    assert m.contains_many(hashes).all()
+    m2 = TailFilter.merge(b, a)
+    assert (m2.pairs == m.pairs).all()
+    assert (m2.bitset is None) == (m.bitset is None)
+    if m.bitset is not None:
+        assert (m2.bitset == m.bitset).all()
+
+
+def test_tail_merge_associative():
+    from cuckoofilter_spark.kernels.hashing import splitmix64
+    from cuckoofilter_spark.kernels.tail import TailFilter
+
+    hashes = splitmix64(np.arange(1, 90_001, dtype=np.uint64))
+    parts = [TailFilter(8, 1e-3) for _ in range(3)]
+    for i, p in enumerate(parts):
+        p.add_many(hashes[i * 30_000:(i + 1) * 30_000])
+    l = TailFilter.merge(TailFilter.merge(parts[0], parts[1]), parts[2])
+    r = TailFilter.merge(parts[0], TailFilter.merge(parts[1], parts[2]))
+    assert (l.pairs == r.pairs).all() and l.epoch == r.epoch
+    assert l.contains_many(hashes).all()
+    with pytest.raises(ValueError):
+        TailFilter.merge(TailFilter(8, 1e-3), TailFilter(8, 1e-2))
+
+
+def test_tail_no_capacity_spark_build(spark):
+    """Sharded Spark build with NO capacity parameter; no false
+    negatives, structure-derived FPR bound respected on fresh keys."""
+    from cuckoofilter_spark.sketch.membership import (
+        tail_build, tail_contains_col)
+
+    import pandas as pd
+    n = 30_000
+    pdf = pd.DataFrame({"k": np.arange(1, n + 1, dtype=np.int64)})
+    df = spark.createDataFrame(pdf).repartition(8)
+    filt = tail_build(df, "k", epsilon=2.0 ** -16, lgm=10, seed=0x5EED)
+    probe_df = spark.createDataFrame(pd.DataFrame(
+        {"k": np.arange(1, 2 * n + 1, dtype=np.int64)}))
+    got = (probe_df.withColumn("hit", tail_contains_col(spark, filt, "k"))
+           .where("hit").select("k").toPandas()["k"].to_numpy())
+    present = set(range(1, n + 1))
+    assert present <= set(got.tolist())          # no false negatives
+    fps = len(set(got.tolist()) - present)
+    bound = filt.expected_fpp() * n * 8          # generous slack
+    assert fps <= max(5, bound), (fps, bound)
+    assert filt.num_items() == n
+
+
+# -- Crate / pocket dictionaries (crate.h) ----------------------------------
+def _pd_find_spec(block: bytes, quot: int, rem: int) -> bool:
+    """Independent decoder of one 64-byte pocket dictionary following
+    pd_find_50 (crate.h:66-89): 101-bit little-endian Elias-Fano header
+    (the q-th one terminates quotient q's zero-run), remainders at
+    bytes [13, 64). Used to prove the kernel's serialized blocks are
+    bit-compatible with the reference layout."""
+    header = int.from_bytes(block[:13], "little") & ((1 << 101) - 1)
+    ones = [i for i in range(101) if (header >> i) & 1][:50]
+    begin = (ones[quot - 1] + 1 if quot else 0) - quot
+    end = ones[quot] - quot
+    return rem in block[13 + begin:13 + end]
+
+
+def test_crate_pd_block_layout_parity():
+    from cuckoofilter_spark.kernels.crate import (
+        _HDR_SIZE as CHDR, _PD_BYTES, _TRIPLE_SPAN, CrateFilter)
+    from cuckoofilter_spark.kernels.hashing import splitmix64
+
+    keys = splitmix64(np.arange(1, 40_001, dtype=np.uint64))
+    f = CrateFilter(add_count=keys.size)
+    f.add_many(keys)
+    blob = f.to_bytes()
+    rng = np.random.default_rng(11)
+    # positives and random probes, checked bucket-block by spec decode
+    probes = np.concatenate([keys[rng.integers(0, keys.size, 500)],
+                             splitmix64(rng.integers(1 << 40, 1 << 60,
+                                                     500,
+                                                     dtype=np.uint64))])
+    got = f.contains_many(probes)
+    b, q, r = f._parts(probes)
+    spare = set(f.spare.tolist())
+    for i in range(probes.size):
+        blk = blob[CHDR + int(b[i]) * _PD_BYTES:
+                   CHDR + (int(b[i]) + 1) * _PD_BYTES]
+        want = _pd_find_spec(blk, int(q[i]), int(r[i])) \
+            or int(probes[i]) in spare
+        assert bool(got[i]) == want, i
+
+
+def test_crate_build_fpr_and_spare_rate():
+    from cuckoofilter_spark.kernels.crate import CrateFilter
+    from cuckoofilter_spark.kernels.hashing import splitmix64
+
+    keys = splitmix64(np.arange(1, 500_001, dtype=np.uint64))
+    f = CrateFilter(add_count=keys.size)
+    f.add_many(keys)
+    assert f.contains_many(keys).all()
+    # spare spill at fill 44 is ~1.3% (crate.h:404's sizing comment)
+    rate = f.spare.size / keys.size
+    assert 0.005 < rate < 0.03, rate
+    probes = splitmix64(np.arange(1, 2_000_001, dtype=np.uint64)
+                        + np.uint64(1 << 41))
+    fpr = f.contains_many(probes).mean()
+    assert fpr < 2.5 * f.expected_fpp(), (fpr, f.expected_fpp())
+    assert f.bits_per_item() < 14.0  # 64B/44 keys + spare ~= 12.4
+
+
+def test_crate_merge_and_incremental():
+    from cuckoofilter_spark.kernels.crate import CrateFilter
+    from cuckoofilter_spark.kernels.hashing import splitmix64
+
+    keys = splitmix64(np.arange(1, 90_001, dtype=np.uint64))
+    parts = [CrateFilter(90_000) for _ in range(3)]
+    for i, p in enumerate(parts):
+        p.add_many(keys[i * 30_000:(i + 1) * 30_000])
+    l = CrateFilter.merge(CrateFilter.merge(parts[0], parts[1]), parts[2])
+    r = CrateFilter.merge(parts[0], CrateFilter.merge(parts[1], parts[2]))
+    assert (l.triples == r.triples).all() and (l.spare == r.spare).all()
+    assert l.contains_many(keys).all()
+    # merged overflow (>51 triples in one bucket) survives the blob
+    g = CrateFilter.from_bytes(l.to_bytes())
+    assert (g.triples == l.triples).all() and g.contains_many(keys).all()
+    with pytest.raises(ValueError):
+        CrateFilter.merge(CrateFilter(1000), CrateFilter(90_000))
+    # incremental adds keep every old key findable
+    inc = CrateFilter(90_000)
+    inc.add_many(keys[45_000:])
+    inc.add_many(keys[:45_000])
+    assert inc.contains_many(keys).all()
+    # empty filter
+    assert not CrateFilter(1000).contains_many(keys[:10]).any()
+
+
+def test_crate_spark_build(spark):
+    import pandas as pd
+
+    from cuckoofilter_spark.sketch.membership import (
+        crate_build, crate_contains_col)
+
+    n = 40_000
+    df = spark.createDataFrame(pd.DataFrame(
+        {"k": np.arange(1, n + 1, dtype=np.int64)})).repartition(8)
+    filt = crate_build(df, "k", capacity=n, seed=0x5EED)
+    probe_df = spark.createDataFrame(pd.DataFrame(
+        {"k": np.arange(1, 2 * n + 1, dtype=np.int64)}))
+    got = (probe_df.withColumn("hit", crate_contains_col(spark, filt, "k"))
+           .where("hit").select("k").toPandas()["k"].to_numpy())
+    present = set(range(1, n + 1))
+    assert present <= set(got.tolist())
+    fps = len(set(got.tolist()) - present)
+    assert fps <= 4 * filt.expected_fpp() * n + 8, fps
+    assert filt.num_items() == n
