@@ -210,23 +210,31 @@ def filter_family_suite(spark) -> dict:
         "comparable columns")}
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     try:
+        # blocked-bloom at the reference benchmark's own operating point:
+        # bulk-insert-and-query.cc:242 allocates 2^ceil(log2(n)) heap
+        # bytes (8-16 bits/item after the pow2 round); n=655360 with
+        # bits_per_key=8 lands exactly on the published 12.8 bits/item
+        # row, and stays under 1M so the shared probe range remains
+        # all-negative
+        n_bb = 655_360
+        keys_bb = spark.range(n_bb)
         rows = [
             ("bloom12", lambda: bloom_sketch(keys, "id", capacity=n,
                                              bits_per_item=12, seed=SEED),
-             bloom_contains_col),
-            ("blocked_bloom", lambda: blocked_bloom_sketch(keys, "id",
-                                                           capacity=n, seed=SEED),
-             blocked_bloom_contains_col),
+             bloom_contains_col, n),
+            ("blocked_bloom", lambda: blocked_bloom_sketch(
+                keys_bb, "id", capacity=n_bb, seed=SEED, bits_per_key=8),
+             blocked_bloom_contains_col, n_bb),
             ("xor8", lambda: xor_build(keys, "id", fp_bits=8, seed=SEED),
-             xor_contains_col),
+             xor_contains_col, n),
             ("xor16", lambda: xor_build(keys, "id", fp_bits=16, seed=SEED),
-             xor_contains_col),
+             xor_contains_col, n),
             ("xorplus8", lambda: xorplus_build(keys, "id", fp_bits=8, seed=SEED),
-             xorplus_contains_col),
+             xorplus_contains_col, n),
             # space parity row vs gcs.h's log2fpp + ~2.5 bits/key target
             # (succinct two-level offset list, kernels/gcs.py)
             ("gcs10", lambda: gcs_build(keys, "id", log2fpp=10, seed=SEED),
-             gcs_contains_col),
+             gcs_contains_col, n),
         ]
         # shingle row keyed near its pow2 arrays' 12/12.75 load bound
         # (shingle.h:172): 121k mean keys/shard stays 4 sigma under the
@@ -239,7 +247,7 @@ def filter_family_suite(spark) -> dict:
             ("shingle12", lambda: shingle_build(
                 keys_shingle, "id", capacity=n_shingle, slot_bits=12,
                 seed=SEED, num_shards=8),
-             shingle_contains_col))
+             shingle_contains_col, n_shingle))
         # adaptive tier (tail-filter.hpp): the one build with NO capacity
         # parameter — shards upsize themselves; eps here is structure-
         # derived (grows ~2^-(tb+1) per upsize past 2^lgm), bits/item is
@@ -249,16 +257,16 @@ def filter_family_suite(spark) -> dict:
         rows.append(
             ("crate", lambda: crate_build(
                 keys, "id", capacity=n, seed=SEED, num_shards=8),
-             crate_contains_col))
+             crate_contains_col, n))
         rows.append(
             ("tail12", lambda: tail_build(
                 keys, "id", epsilon=2.0 ** -12, lgm=10, seed=SEED,
                 num_shards=8),
-             tail_contains_col))
+             tail_contains_col, n))
         # context rows: ONE build and ONE warm probe each — a cold+steady
         # protocol here doubles ~10 Spark jobs and, under host steal, can
         # add minutes of wall for rows that are not the headline metric
-        for name, build, contains in rows:
+        for name, build, contains, n_row in rows:
             t0 = _t.time()
             filt = build()
             t_build = _t.time() - t0
@@ -268,10 +276,10 @@ def filter_family_suite(spark) -> dict:
             fn()
             t_probe = _t.time() - t0
             out[name] = {
-                "adds_per_sec": round(n / t_build, 1),
+                "adds_per_sec": round(n_row / t_build, 1),
                 "finds_per_sec": round(probes_n / t_probe, 1),
                 "eps_pct": round(100.0 * fp / probes_n, 4),
-                "bits_per_item": round(8.0 * filt.size_in_bytes() / n, 2),
+                "bits_per_item": round(8.0 * filt.size_in_bytes() / n_row, 2),
             }
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
@@ -411,5 +419,12 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--families" in sys.argv:
+        # filter-family table only (quick re-measure without the full run)
+        from cuckoofilter_spark.session import get_spark
+        _spark = get_spark(
+            "bench", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        print(json.dumps({"filter_families": filter_family_suite(_spark)}))
+        _spark.stop()
     else:
         print(json.dumps(run_bench(build_only="--build-only" in sys.argv)))

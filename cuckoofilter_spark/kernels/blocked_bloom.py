@@ -57,9 +57,15 @@ class BlockedBloomFilter:
         self.n_added = 0
 
     @classmethod
-    def create(cls, max_num_keys: int, seed: int = 0x5EED) -> "BlockedBloomFilter":
-        # bucket = 32 bytes; size for ~BITS_PER_KEY bits/key
-        nb = upperpower2(max(1, max_num_keys * cls.BITS_PER_KEY // 256))
+    def create(cls, max_num_keys: int, seed: int = 0x5EED,
+               bits_per_key: int | None = None) -> "BlockedBloomFilter":
+        """Size for ~``bits_per_key`` bits/key, pow2-rounded up (bucket =
+        32 bytes). Default keeps the historical 24-bit heuristic;
+        ``bits_per_key=8`` reproduces the reference benchmark's sizing
+        (bulk-insert-and-query.cc:242 allocates 2^ceil(log2(n)) heap
+        BYTES, i.e. 8-16 bits/item after the pow2 round)."""
+        bpk = cls.BITS_PER_KEY if bits_per_key is None else int(bits_per_key)
+        nb = upperpower2(max(1, max_num_keys * bpk // 256))
         return cls(nb, seed)
 
     def _bucket_mask(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

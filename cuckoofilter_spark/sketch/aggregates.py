@@ -141,15 +141,18 @@ def bloom_sketch(df: DataFrame, col: str, capacity: int, bits_per_item: int = 10
 
 
 def blocked_bloom_sketch(df: DataFrame, col: str, capacity: int,
-                         seed: int = 0x5EED, fanout: int = 16) -> "BlockedBloomFilter":
+                         seed: int = 0x5EED, fanout: int = 16,
+                         bits_per_key: int | None = None) -> "BlockedBloomFilter":
     """Distributed blocked-Bloom build (simd-block.h semantics,
-    OR-mergeable 256-bit buckets)."""
+    OR-mergeable 256-bit buckets). ``bits_per_key=8`` matches the
+    reference benchmark's 2^ceil(log2(n))-byte sizing."""
     from ..kernels.blocked_bloom import BlockedBloomFilter
 
     arr = _is_array_col(df, col)
     return aggregate_sketch(
         df, col,
-        make=lambda: BlockedBloomFilter.create(capacity, seed=seed),
+        make=lambda: BlockedBloomFilter.create(capacity, seed=seed,
+                                               bits_per_key=bits_per_key),
         update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
         merge=BlockedBloomFilter.merge,
         from_bytes=BlockedBloomFilter.from_bytes,
