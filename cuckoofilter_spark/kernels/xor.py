@@ -106,15 +106,41 @@ def unpack_nbits(buf: bytes, bits: int, n: int) -> np.ndarray:
 
 def pack_nbits64(vals: np.ndarray, bits: int) -> bytes:
     """pack_nbits for widths <= 64 (uint64 values — tail-filter pairs
-    carry key+tail encodings past 32 bits once the filter upsizes)."""
-    shifts = np.arange(bits, dtype=np.uint64)
+    carry key+tail encodings past 32 bits once the filter upsizes).
+
+    Widths <= 57: every 8 consecutive values span exactly ``bits``
+    output bytes starting on a byte boundary, and the k-th value of
+    each group lands at a FIXED (byte, bit) offset — so each group row
+    is built by 8 static-offset OR-slices of shifted uint64 LE bytes
+    (value bits stay inside one word because shift <= 7 and
+    7 + 57 <= 64). No bit matrix, no scatter; the dual of
+    _unpack_words. Wider fields take the bit-matrix path."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    if bits > 57:
+        shifts = np.arange(bits, dtype=np.uint64)
+        parts = []
+        for lo in range(0, vals.size, _NBIT_CHUNK):
+            v = vals[lo:lo + _NBIT_CHUNK]
+            lsb = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            parts.append(np.packbits(lsb.reshape(-1), bitorder="little"))
+        return b"".join(p.tobytes() for p in parts)
+    n = vals.size
+    total = (n * bits + 7) // 8
+    mask = np.uint64((1 << bits) - 1)
     parts = []
-    for lo in range(0, vals.size, _NBIT_CHUNK):
-        v = vals[lo:lo + _NBIT_CHUNK]
-        lsb = ((v[:, None].astype(np.uint64) >> shifts)
-               & np.uint64(1)).astype(np.uint8)
-        parts.append(np.packbits(lsb.reshape(-1), bitorder="little"))
-    return b"".join(p.tobytes() for p in parts)
+    for lo in range(0, max(n, 1), _NBIT_CHUNK):  # chunk % 8 == 0
+        c = vals[lo:lo + _NBIT_CHUNK] & mask
+        n8 = (c.size + 7) // 8
+        v = np.zeros(n8 * 8, dtype=np.uint64)
+        v[:c.size] = c
+        grp = np.zeros((n8, bits + 8), dtype=np.uint8)
+        for k in range(8):
+            off = (k * bits) >> 3
+            s = np.uint64((k * bits) & 7)
+            w = (v[k::8] << s).astype("<u8").view(np.uint8).reshape(n8, 8)
+            grp[:, off:off + 8] |= w
+        parts.append(grp[:, :bits].tobytes())
+    return b"".join(parts)[:total]
 
 
 def unpack_nbits64(buf: bytes, bits: int, n: int) -> np.ndarray:
