@@ -50,9 +50,11 @@ import numpy as np
 from .hashing import U64
 
 _MAGIC = b"CRT1"
-_FMT = "<4sHQQQQQ"
+_FMT_V1 = "<4sHQQQQQ"
+_FMT = "<4sHQQQQQQ"
+_HDR_SIZE_V1 = struct.calcsize(_FMT_V1)
 _HDR_SIZE = struct.calcsize(_FMT)
-# magic ver bucket_count ndv n_pd_triples n_overflow n_spare
+# magic ver bucket_count ndv n_pd_triples n_overflow n_spare seed(v2)
 _CHUNK = 1 << 18
 _QUOTS = 50          # quotients per pocket dictionary (crate.h:66)
 _SLOTS = 51          # max fingerprints per PD (crate.h:10, 352)
@@ -63,11 +65,19 @@ _TRIPLE_SPAN = _QUOTS * 256
 
 
 class CrateFilter:
-    """Pocket-dictionary filter over pre-hashed uint64 keys."""
+    """Pocket-dictionary filter over pre-hashed uint64 keys.
 
-    def __init__(self, add_count: int):
+    ``seed`` records the hash-domain identity of the caller's
+    pre-hashing (the kernel never hashes itself); it rides the blob
+    header and is checked on merge so shards hashed under different
+    seeds cannot silently union into garbage (repo convention: hash
+    seeds are filter identity).
+    """
+
+    def __init__(self, add_count: int, seed: int = 0):
         # crate.h:430: bucket_count = add_count / 44 (fill target 44/51)
         self.bucket_count = max(1, int(add_count) // 44)
+        self.seed = int(seed)
         self.ndv = 0
         self.triples = np.empty(0, dtype=np.uint64)  # sorted, dups kept
         self.spare = np.empty(0, dtype=np.uint64)    # sorted spilled keys
@@ -89,9 +99,22 @@ class CrateFilter:
     def add_many(self, keys) -> int:
         """Canonical bulk Add: first _SLOTS triples per bucket go to the
         PD, the rest spill their full keys to the spare (pd_add_50's
-        false return -> spare_.Insert, crate.h:437-442)."""
+        false return -> spare_.Insert, crate.h:437-442).
+
+        Re-adding already-covered keys is a no-op (key in spare, or its
+        exact triple already stored): without the gate, overlapping
+        incremental adds double-counted ndv and accumulated duplicate
+        triples into phantom overflow slots. Returns the number of keys
+        newly stored."""
         keys = np.unique(np.ascontiguousarray(keys, dtype=np.uint64))
+        if self.spare.size:
+            keys = keys[~_sorted_member(self.spare, keys)]
         enc = self._encode(keys)
+        if self.triples.size:
+            fresh = ~_sorted_member(self.triples, enc)
+            keys, enc = keys[fresh], enc[fresh]
+        if not keys.size:
+            return 0
         order = np.argsort(enc, kind="stable")
         enc, keys = enc[order], keys[order]
         bucket = (enc // U64(_TRIPLE_SPAN)).astype(np.int64)
@@ -154,18 +177,20 @@ class CrateFilter:
 
     # -- merge ------------------------------------------------------------
     def _params(self) -> tuple:
-        return (self.bucket_count,)
+        return (self.bucket_count, self.seed)
 
     @classmethod
     def merge(cls, a: "CrateFilter", b: "CrateFilter") -> "CrateFilter":
         """Content-canonical union (multiset of triples, set of spare
         keys); associative and commutative. Raises on mismatched
-        bucket_count (triple encodings would disagree)."""
+        (bucket_count, seed) — triple encodings or hash domains would
+        disagree."""
         if a._params() != b._params():
             raise ValueError(
                 f"incompatible crates: {a._params()} vs {b._params()}")
         out = cls.__new__(cls)
         out.bucket_count = a.bucket_count
+        out.seed = a.seed
         out.ndv = a.ndv + b.ndv
         merged = np.sort(np.concatenate([a.triples, b.triples]), kind="stable")
         out.triples = merged
@@ -219,20 +244,36 @@ class CrateFilter:
         rems = np.zeros((nb, _SLOTS), dtype=np.uint8)
         rems[pd_b, pd_rank] = rem
         blocks = np.concatenate([hdr_bytes, rems], axis=1)
-        hdr = struct.pack(_FMT, _MAGIC, 1, self.bucket_count, self.ndv,
-                          pd_t.size, over.size, self.spare.size)
+        hdr = struct.pack(_FMT, _MAGIC, 2, self.bucket_count, self.ndv,
+                          pd_t.size, over.size, self.spare.size, self.seed)
         return (hdr + blocks.tobytes() + over.astype("<u8").tobytes()
                 + self.spare.astype("<u8").tobytes())
 
     @classmethod
-    def from_bytes(cls, blob: bytes) -> "CrateFilter":
-        magic, ver, nb, ndv, n_pd, n_over, n_spare = \
-            struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 1:
+    def peek_seed(cls, blob: bytes) -> int:
+        """Hash-domain seed from the header without decoding the blob
+        (0 = unrecorded v1 blob)."""
+        magic, ver = struct.unpack_from("<4sH", blob)
+        if magic != _MAGIC:
             raise ValueError("bad crate blob header")
+        return struct.unpack_from(_FMT, blob)[7] if ver >= 2 else 0
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CrateFilter":
+        magic, ver = struct.unpack_from("<4sH", blob)
+        if magic != _MAGIC or ver not in (1, 2):
+            raise ValueError("bad crate blob header")
+        if ver == 1:  # pre-seed layout: hash domain unrecorded (seed 0)
+            _, _, nb, ndv, n_pd, n_over, n_spare = \
+                struct.unpack_from(_FMT_V1, blob)
+            seed, hdr_size = 0, _HDR_SIZE_V1
+        else:
+            _, _, nb, ndv, n_pd, n_over, n_spare, seed = \
+                struct.unpack_from(_FMT, blob)
+            hdr_size = _HDR_SIZE
         f = cls.__new__(cls)
-        f.bucket_count, f.ndv = nb, ndv
-        blocks = np.frombuffer(blob, dtype=np.uint8, offset=_HDR_SIZE,
+        f.bucket_count, f.ndv, f.seed = nb, ndv, seed
+        blocks = np.frombuffer(blob, dtype=np.uint8, offset=hdr_size,
                                count=nb * _PD_BYTES).reshape(nb, _PD_BYTES)
         bits = np.unpackbits(blocks[:, :_HDR_BYTES], axis=1,
                              bitorder="little")[:, :_HDR_BITS]
@@ -246,7 +287,7 @@ class CrateFilter:
         rems = blocks[buckets, _HDR_BYTES + cols].astype(np.uint64)
         pd_t = (buckets.astype(np.uint64) * U64(_TRIPLE_SPAN)
                 + quots.astype(np.uint64) * U64(256) + rems)
-        off = _HDR_SIZE + nb * _PD_BYTES
+        off = hdr_size + nb * _PD_BYTES
         over = np.frombuffer(blob, dtype="<u8", offset=off,
                              count=n_over).astype(np.uint64)
         off += n_over * 8

@@ -51,7 +51,9 @@ _PAD = 3          # trailing slots so idx+1 writes never wrap (shingle.h:162-164
 # The reference recurses UNBOUNDED on kicks (shingle.h:135 — only the
 # load refusal stops it); we bound the walk but generously, because the
 # last insertions at the 12/12.75 bound legitimately walk long chains
-# (measured: 500 kicks rejects the final ~15 keys of a 123k build).
+# (measured: a 500-kick cap terminates the final ~15 chains of a 123k
+# build). A chain hitting the cap moves its current victim to the exact
+# spill side list — never dropped, so stored items stay queryable.
 MAX_KICKS = 5000
 MAX_LOAD = 12.0 / 12.75  # shingle.h:172
 
@@ -79,6 +81,11 @@ class ShingleFilter:
         self.tables = np.zeros((2, self.m + _PAD), dtype=np.uint16)  # A, B
         self.filled = 0
         self._round = 0
+        # exact side list terminating over-long kick chains: encoded
+        # (A-home << 16) | fp, sorted — the batch analogue of the cuckoo
+        # victim cache (victimCache_, cuckoofilter.h:42-46); a stored
+        # item is NEVER dropped, so membership cannot lie
+        self.spill = np.empty(0, dtype=np.uint64)
 
     # -- sizing -----------------------------------------------------------
     @classmethod
@@ -203,13 +210,29 @@ class ShingleFilter:
                 v_home = (w_evslot - arr[evw].astype(np.int64) * (self.m + _PAD)
                           - v_off)
                 nk = kicks[evw] + 1
-                if (nk > MAX_KICKS).any():
-                    if raise_on_full:
-                        raise ShingleFullError(f"kick chain > {MAX_KICKS}")
-                    keep = nk <= MAX_KICKS
-                else:
-                    keep = np.ones(evw.size, dtype=bool)
-                kk = np.flatnonzero(keep)
+                over = nk > MAX_KICKS
+                if over.any():
+                    # terminate the chain: the victim (an item stored by
+                    # an EARLIER add) goes to the exact spill list, never
+                    # dropped — dropping it would be a false negative,
+                    # and raising here would lose it too (its slot is
+                    # already overwritten). Net effect of the chain: the
+                    # new key is in the table (its evictor took this
+                    # slot), one item moved table -> spill, so the chain
+                    # counts as inserted and table occupancy is flat.
+                    ov = np.flatnonzero(over)
+                    s_home = v_home[ov].copy()
+                    s_fp = v_fp[ov]
+                    in_b = arr[evw][ov] == 1
+                    if in_b.any():
+                        s_home[in_b] = self.reindex(s_home[in_b],
+                                                    s_fp[in_b])
+                    self.spill = np.union1d(
+                        self.spill,
+                        (s_home.astype(np.uint64) << U64(16))
+                        | s_fp.astype(np.uint64))
+                    inserted += ov.size
+                kk = np.flatnonzero(~over)
                 if kk.size:
                     parts_idx.append(v_home[kk])
                     parts_fp.append(v_fp[kk])
@@ -256,14 +279,20 @@ class ShingleFilter:
 
     # -- lookup -----------------------------------------------------------
     def contains_many(self, keys) -> np.ndarray:
-        """Four-slot probe (shingle.h:182-199)."""
+        """Four-slot probe (shingle.h:182-199) + the spill side list."""
         idx, fp = self._index_fp(np.asarray(keys, dtype=np.uint64))
         idx2 = self.reindex(idx, fp)
         a, b = self.tables[0], self.tables[1]
         v0 = (fp.astype(np.uint16) << 1)
         v1 = v0 | 1
-        return ((a[idx] == v0) | (a[idx + 1] == v1)
-                | (b[idx2] == v0) | (b[idx2 + 1] == v1))
+        res = ((a[idx] == v0) | (a[idx + 1] == v1)
+               | (b[idx2] == v0) | (b[idx2 + 1] == v1))
+        if self.spill.size:
+            enc = (idx.astype(np.uint64) << U64(16)) | fp.astype(np.uint64)
+            pos = np.searchsorted(self.spill, enc)
+            ok = pos < self.spill.size
+            res[ok] |= self.spill[pos[ok]] == enc[ok]
+        return res
 
     # -- delete -----------------------------------------------------------
     def delete_many(self, keys) -> np.ndarray:
@@ -292,6 +321,17 @@ class ShingleFilter:
             mask[np.sort(first)] = False
             pending = pending[mask]
         self.filled -= int(out.sum())
+        if self.spill.size and not out.all():
+            # keys not found in any candidate slot may live in the spill
+            rem = np.flatnonzero(~out)
+            enc = (idx[rem].astype(np.uint64) << U64(16)) \
+                | fp[rem].astype(np.uint64)
+            uq, first = np.unique(enc, return_index=True)
+            hit = np.isin(uq, self.spill, assume_unique=True)
+            if hit.any():
+                self.spill = np.setdiff1d(self.spill, uq[hit],
+                                          assume_unique=True)
+                out[rem[first[hit]]] = True
         return out
 
     # -- merge ------------------------------------------------------------
@@ -320,8 +360,12 @@ class ShingleFilter:
         associative and commutative. Raises on mismatched params."""
         if a._params() != b._params():
             raise ValueError(f"incompatible filters: {a._params()} vs {b._params()}")
-        hi = np.concatenate([a.extract_items()[0], b.extract_items()[0]])
-        hf = np.concatenate([a.extract_items()[1], b.extract_items()[1]])
+        ha, fa = a.extract_items()
+        hb, fb = b.extract_items()
+        spills = np.union1d(a.spill, b.spill)
+        hi = np.concatenate([ha, hb, (spills >> U64(16)).astype(np.int64)])
+        hf = np.concatenate([fa, fb,
+                             (spills & U64(0xFFFF)).astype(np.uint16)])
         srt = np.lexsort((hf, hi))
         out = cls(a.log2m, a.slot_bits, a.seed)
         out._add_pairs(hi[srt], hf[srt], raise_on_full=True)
@@ -330,11 +374,13 @@ class ShingleFilter:
     # -- stats ------------------------------------------------------------
     def size_in_bytes(self) -> int:
         # packed footprint: slot_bits per slot (shingle.h:169's 3-byte
-        # cell = two 12-bit slots)
-        return (2 * (self.m + _PAD) * self.slot_bits + 7) // 8
+        # cell = two 12-bit slots) + the exact spill entries
+        return ((2 * (self.m + _PAD) * self.slot_bits + 7) // 8
+                + 8 * self.spill.size)
 
     def bits_per_item(self) -> float:
-        return 8.0 * self.size_in_bytes() / max(1, self.filled)
+        return 8.0 * self.size_in_bytes() / max(
+            1, self.filled + self.spill.size)
 
     def load_factor(self) -> float:
         return self.filled / (2 * self.m)
@@ -348,21 +394,27 @@ class ShingleFilter:
         from .xor import pack_nbits
 
         hdr = struct.pack(_FMT, _MAGIC, 1, self.slot_bits, self.log2m,
-                          self.seed, self.filled, 0)
-        return hdr + pack_nbits(
+                          self.seed, self.filled, self.spill.size)
+        return (hdr + pack_nbits(
             self.tables.reshape(-1).astype(np.uint32), self.slot_bits)
+            + self.spill.astype("<u8").tobytes())
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "ShingleFilter":
         from .xor import unpack_nbits
 
-        magic, ver, slot_bits, log2m, seed, filled, _ = \
+        magic, ver, slot_bits, log2m, seed, filled, n_spill = \
             struct.unpack_from(_FMT, blob)
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad shingle blob header")
         f = cls(log2m, slot_bits, seed)
         n = 2 * (f.m + _PAD)
-        f.tables = unpack_nbits(blob[_HDR_SIZE:], slot_bits, n).astype(
+        nbytes = (n * slot_bits + 7) // 8
+        f.tables = unpack_nbits(blob[_HDR_SIZE:_HDR_SIZE + nbytes],
+                                slot_bits, n).astype(
             np.uint16).reshape(2, f.m + _PAD)
         f.filled = filled
+        f.spill = np.frombuffer(blob, dtype="<u8",
+                                offset=_HDR_SIZE + nbytes,
+                                count=n_spill).astype(np.uint64)
         return f

@@ -47,9 +47,13 @@ import numpy as np
 from .hashing import U64
 
 _MAGIC = b"TLF1"
-_FMT = "<4sHBBHQQQQ"
+_FMT_V1 = "<4sHBBHQQQQ"
+_FMT = "<4sHBBHQQQQdQ"
+_HDR_SIZE_V1 = struct.calcsize(_FMT_V1)
 _HDR_SIZE = struct.calcsize(_FMT)
 # magic ver lgm tb epoch ndv n_pairs bitset_cap flags(fmt | width<<8)
+# + epsilon seed (v2: the exact design bound and the hash-domain
+#   identity; a v1 round-trip loosened epsilon to 2^-tb, up to ~2x)
 _CHUNK = 1 << 18
 _SUPER = 64  # keys per absolute offset anchor in the quotiented blob
 
@@ -64,7 +68,7 @@ class TailFilter:
     the Spark layer hashes raw keys with simple_mix_split(seed) first.
     """
 
-    def __init__(self, lgm: int = 5, epsilon: float = 1e-3):
+    def __init__(self, lgm: int = 5, epsilon: float = 1e-3, seed: int = 0):
         if not 0.0 < epsilon < 1.0:
             raise ValueError("epsilon must be in (0, 1)")
         if not 0 < lgm < 64:
@@ -72,6 +76,9 @@ class TailFilter:
         self.lgm = max(int(lgm), 5)
         self.tb = max(1, int(np.floor(np.log2(1.0 / epsilon))))
         self.epsilon = float(epsilon)
+        # hash-domain identity of the caller's pre-hashing (kernel never
+        # hashes itself); serialized and checked on merge
+        self.seed = int(seed)
         self.epoch = 0
         self.ndv = 0
         self.pairs = np.empty(0, dtype=np.uint64)  # sorted (key<<(tb+1))|tail
@@ -144,9 +151,6 @@ class TailFilter:
             h = hashes[lo:lo + _CHUNK]
             i = 0
             while i < h.size:
-                if (self.ndv > (1 << self.lgm)
-                        and self.ndv & (self.ndv - 1) == 0):
-                    self.upsize()
                 nxt = max(1 << (self.lgm + 1),
                           1 << max(1, int(self.ndv).bit_length()))
                 if nxt <= self.ndv:       # ndv is itself a power of two
@@ -154,14 +158,25 @@ class TailFilter:
                 seg = h[i:i + (nxt - self.ndv)]
                 i += seg.size
                 # the reference's per-insert Lookup gate
-                # (tail-filter.hpp:120): re-checked per segment so tails
-                # shortened by an intra-batch upsize and exact duplicate
-                # encodings both skip, keeping ndv in lockstep with the
-                # sequential algorithm (same-epoch fresh pairs can only
-                # collide exactly, which np.unique removes)
+                # (tail-filter.hpp:120) runs BEFORE the upsize decision:
+                # a fully-covered segment must not trigger growth (the
+                # sequential algorithm only upsizes on an actual new
+                # insert — duplicate-heavy batches used to bump epoch
+                # once per call with ndv pinned at a power of two)
                 seg = seg[~self.contains_many(seg)]
                 if not seg.size:
                     continue
+                if (self.ndv > (1 << self.lgm)
+                        and self.ndv & (self.ndv - 1) == 0):
+                    self.upsize()
+                    # the triggering key's sequential insert is
+                    # unconditional once past its gate (it bumps ndv off
+                    # the power of two, so the crossing upsizes exactly
+                    # once); the rest of the segment re-gates against
+                    # the post-upsize shortened tails
+                    first, rest = seg[:1], seg[1:]
+                    seg = np.concatenate(
+                        [first, rest[~self.contains_many(rest)]])
                 key, qt = self._split(seg)
                 enc = np.unique((key << U64(self.tb + 1)) | qt)
                 self.pairs = np.union1d(self.pairs, enc)
@@ -194,11 +209,12 @@ class TailFilter:
 
     # -- merge ------------------------------------------------------------
     def _params(self) -> tuple:
-        return (self.lgm, self.tb)
+        return (self.lgm, self.tb, self.seed)
 
     @classmethod
     def merge(cls, a: "TailFilter", b: "TailFilter") -> "TailFilter":
-        """Content-canonical union; raises on mismatched (lgm, tb)."""
+        """Content-canonical union; raises on mismatched
+        (lgm, tb, seed)."""
         if a._params() != b._params():
             raise ValueError(
                 f"incompatible filters: {a._params()} vs {b._params()}")
@@ -207,7 +223,7 @@ class TailFilter:
             lo = cls.from_bytes(lo.to_bytes())
             while lo.epoch < hi.epoch:
                 lo.upsize()
-        out = cls(a.lgm, a.epsilon)
+        out = cls(a.lgm, a.epsilon, seed=a.seed)
         out.tb = a.tb
         out.epoch = hi.epoch
         out.ndv = a.ndv + b.ndv     # upper bound: only times future upsizes
@@ -265,29 +281,46 @@ class TailFilter:
             anchors = offsets[::_SUPER]
             intra = offsets - np.repeat(anchors, _SUPER)[:offsets.size]
             rw = max(1, int(intra.max()).bit_length())
-            hdr = struct.pack(_FMT, _MAGIC, 1, self.lgm, self.tb, self.epoch,
+            hdr = struct.pack(_FMT, _MAGIC, 2, self.lgm, self.tb, self.epoch,
                               self.ndv, self.pairs.size, bcap,
-                              2 | (rw << 8))
+                              2 | (rw << 8), self.epsilon, self.seed)
             return (hdr + anchors.astype("<i8").tobytes()
                     + pack_nbits64(intra.astype(np.uint64), rw)
                     + pack_nbits64(tails, w) + bits)
-        hdr = struct.pack(_FMT, _MAGIC, 1, self.lgm, self.tb, self.epoch,
-                          self.ndv, self.pairs.size, bcap, 1)
+        hdr = struct.pack(_FMT, _MAGIC, 2, self.lgm, self.tb, self.epoch,
+                          self.ndv, self.pairs.size, bcap, 1,
+                          self.epsilon, self.seed)
         return hdr + pack_nbits64(self.pairs, self.pair_bits) + bits
+
+    @classmethod
+    def peek_seed(cls, blob: bytes) -> int:
+        """Hash-domain seed from the header without decoding the blob
+        (0 = unrecorded v1 blob)."""
+        magic, ver = struct.unpack_from("<4sH", blob)
+        if magic != _MAGIC:
+            raise ValueError("bad tail blob header")
+        return struct.unpack_from(_FMT, blob)[10] if ver >= 2 else 0
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "TailFilter":
         from .xor import unpack_nbits64
 
-        magic, ver, lgm, tb, epoch, ndv, n_pairs, bcap, flags = \
-            struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 1:
+        magic, ver = struct.unpack_from("<4sH", blob)
+        if magic != _MAGIC or ver not in (1, 2):
             raise ValueError("bad tail blob header")
+        if ver == 1:  # pre-v2: epsilon approximated from tb, seed unknown
+            magic, _, lgm, tb, epoch, ndv, n_pairs, bcap, flags = \
+                struct.unpack_from(_FMT_V1, blob)
+            epsilon, seed, hdr_size = 2.0 ** -tb, 0, _HDR_SIZE_V1
+        else:
+            (magic, _, lgm, tb, epoch, ndv, n_pairs, bcap, flags,
+             epsilon, seed) = struct.unpack_from(_FMT, blob)
+            hdr_size = _HDR_SIZE
         f = cls.__new__(cls)
         f.lgm, f.tb, f.epoch, f.ndv = lgm, tb, epoch, ndv
-        f.epsilon = 2.0 ** -tb
+        f.epsilon, f.seed = epsilon, seed
         w = tb + 1
-        off = _HDR_SIZE
+        off = hdr_size
         fmt = flags & 0xFF
         if fmt == 2:
             rw = (flags >> 8) & 0xFF

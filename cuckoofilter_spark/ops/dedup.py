@@ -33,6 +33,25 @@ from .text import rolling_fingerprint, words
 
 _MERSENNE = (1 << 61) - 1
 
+# one cached generation per operator: a long-lived session (the driver
+# gate runs ~40 queries in one) would otherwise pin a new cached
+# signature table per call forever
+_LAST_CACHED: dict[str, list] = {}
+
+
+def _scoped_cache(tag: str, df: DataFrame) -> DataFrame:
+    """Cache ``df``, unpersisting the previous call's cache for ``tag``.
+
+    The returned plan of the PREVIOUS call stays correct if still
+    unmaterialized — it just recomputes uncached."""
+    for old in _LAST_CACHED.pop(tag, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _LAST_CACHED[tag] = [df]
+    return df.cache()
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (whitespace-normalized) docs:
@@ -205,12 +224,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                 perm = (a_params[:, None] * seg[None, :]
                         + b_params[:, None]) % U64(_MERSENNE)
                 starts = (bounds[lo_doc:hi_doc] - bounds[lo_doc])
-                nonempty = lens[lo_doc:hi_doc] > 0
+                # reduceat over NONEMPTY docs' starts only: they are
+                # strictly increasing and in-range, and each segment is
+                # exactly that doc's shingles (empty docs contribute no
+                # elements). Clamping a trailing empty doc's start to
+                # seg.size-1 instead would truncate the preceding doc's
+                # reduction by one element.
+                ne = np.flatnonzero(lens[lo_doc:hi_doc] > 0)
                 if seg.size:
                     mins = np.minimum.reduceat(
-                        perm, np.minimum(starts, seg.size - 1), axis=1).T
-                    out[lo_doc:hi_doc][nonempty] = \
-                        mins.astype(np.int64)[nonempty]
+                        perm, starts[ne], axis=1).T
+                    out[lo_doc + ne] = mins.astype(np.int64)
                 lo_doc = hi_doc
             yield pd.Series(list(out))
 
@@ -231,7 +255,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, window, seed)
-    sigs = sigs.select("doc", "shingle_hashes", "sig").cache()
+    sigs = _scoped_cache("minhash_lsh",
+                         sigs.select("doc", "shingle_hashes", "sig"))
 
     banded = sigs.select(
         "doc",
@@ -359,13 +384,15 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                         .astype(np.int8)
                     signed = (2 * bits - 1).astype(np.int32)
                     starts = bounds[lo_doc:hi_doc] - bounds[lo_doc]
-                    votes = np.add.reduceat(
-                        signed, np.minimum(starts, seg.size - 1), axis=0)
+                    # nonempty starts only — see sig_udf: a clamped
+                    # trailing empty doc would drop the last token-hash
+                    # row from the preceding doc's vote sum
+                    ne = np.flatnonzero(lens[lo_doc:hi_doc] > 0)
+                    votes = np.add.reduceat(signed, starts[ne], axis=0)
                     sims = np.bitwise_or.reduce(
                         (votes > 0).astype(np.uint64) << bitpos[None, :],
                         axis=1).view(np.int64)
-                    nonempty = lens[lo_doc:hi_doc] > 0
-                    out[lo_doc:hi_doc][nonempty] = sims[nonempty]
+                    out[lo_doc + ne] = sims
                 lo_doc = hi_doc
             yield pd.Series(out)
 
@@ -385,7 +412,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     mask = (1 << width) - 1
     # persisted: the signature UDF pass feeds the bucket-size probe, both
     # self-join sides, and the hamming verify rejoin — 4 scans otherwise
-    sigs = simhash_signatures(df, id_col, text_col, seed).cache()
+    sigs = _scoped_cache("simhash_pairs",
+                         simhash_signatures(df, id_col, text_col, seed))
     # static unroll: nbands is a python int, so each band's shift is a literal
     bands_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),

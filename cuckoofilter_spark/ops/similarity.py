@@ -357,11 +357,13 @@ def embedding_neardup_pairs(
     candidate exchange (round-1 shuffled full arrays through
     dropDuplicates).
     """
-    from .dedup import bucket_self_join_pairs
+    from .dedup import _scoped_cache, bucket_self_join_pairs
 
     # persisted: one signature-UDF pass feeds the oversized-bucket probe
-    # and both self-join sides (3 scans); rows are 3 ints each
-    exploded = neardup_band_rows(emb, nbits, bands, seed, dim).persist()
+    # and both self-join sides (3 scans); rows are 3 ints each —
+    # scoped so repeat calls in one session don't pin caches forever
+    exploded = _scoped_cache(
+        "embedding_neardup", neardup_band_rows(emb, nbits, bands, seed, dim))
     cand = (bucket_self_join_pairs(exploded, ["band", "sig"], doc_col="vec_id")
             .select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")))
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))

@@ -49,6 +49,18 @@ def shard_of(keys_u64: np.ndarray, num_shards: int) -> np.ndarray:
     return (splitmix64(keys_u64 ^ _SHARD_SALT) & U64(num_shards - 1)).astype(np.int64)
 
 
+def _check_blob_seeds(kernel_cls, blobs: list[bytes], seed: int) -> None:
+    """Shard blobs must agree with the wrapper's probe seed — the blobs
+    hold PRE-HASHED content, so a mismatched seed probes a different
+    hash domain and silently returns garbage. Header-peek only (no
+    decode); seed 0 = unrecorded legacy blob, accepted."""
+    for b in blobs:
+        s = kernel_cls.peek_seed(b)
+        if s and s != seed:
+            raise ValueError(
+                f"shard blob hashed under seed {s}, probe seed {seed}")
+
+
 class _FlatProbe:
     """One-pass probe across all shards of a sharded cuckoo filter.
 
@@ -475,6 +487,9 @@ class _ShingleFlatProbe:
         self.offsets = np.zeros(self.num_shards, dtype=np.int64)
         np.cumsum(span[:-1], out=self.offsets[1:])
         self.flat = np.concatenate([f.tables.reshape(-1) for f in filters])
+        # per-shard kick-overflow spill lists (kernel side list; rare)
+        self.spills = [f.spill for f in filters]
+        self.any_spill = any(s.size for s in self.spills)
 
     def _contains_chunk(self, keys: np.ndarray) -> np.ndarray:
         from ..kernels.hashing import simple_mix_split
@@ -492,8 +507,21 @@ class _ShingleFlatProbe:
         b = self.offsets[sh] + self.half[sh] + idx2
         v0 = (fp.astype(np.uint16) << 1)
         v1 = v0 | 1
-        return ((self.flat[a] == v0) | (self.flat[a + 1] == v1)
-                | (self.flat[b] == v0) | (self.flat[b + 1] == v1))
+        res = ((self.flat[a] == v0) | (self.flat[a + 1] == v1)
+               | (self.flat[b] == v0) | (self.flat[b + 1] == v1))
+        if self.any_spill:
+            enc = (idx.astype(np.uint64) << U64(16)) | fp.astype(np.uint64)
+            for s, sp in enumerate(self.spills):
+                if not sp.size:
+                    continue
+                where = np.flatnonzero(sh == s)
+                e = enc[where]
+                pos = np.searchsorted(sp, e)
+                ok = pos < sp.size
+                hit = np.zeros(e.size, dtype=bool)
+                hit[ok] = sp[pos[ok]] == e[ok]
+                res[where[hit]] = True
+        return res
 
     def contains_u64(self, keys: np.ndarray) -> np.ndarray:
         if keys.size <= _CHUNK:
@@ -649,6 +677,7 @@ class ShardedTailFilter:
         self.blobs = blobs
         self._filters: list | None = None
         self._cls = TailFilter
+        _check_blob_seeds(TailFilter, blobs, seed)
 
     def _load(self):
         if self._filters is None:
@@ -740,7 +769,7 @@ def tail_build(
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = np.concatenate(
             [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
-        filt = TailFilter(lgm=lgm, epsilon=epsilon)
+        filt = TailFilter(lgm=lgm, epsilon=epsilon, seed=seed)
         filt.add_many(hashes)
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
                              "blob": [filt.to_bytes()]})
@@ -749,7 +778,7 @@ def tail_build(
             .applyInPandas(build_shard, "shard int, blob binary")
             .collect())
     blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
-    empty = TailFilter(lgm=lgm, epsilon=epsilon).to_bytes()
+    empty = TailFilter(lgm=lgm, epsilon=epsilon, seed=seed).to_bytes()
     blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
     return ShardedTailFilter(blobs, seed=seed)
 
@@ -783,6 +812,7 @@ class ShardedCrateFilter:
         self.blobs = blobs
         self._filters: list | None = None
         self._cls = CrateFilter
+        _check_blob_seeds(CrateFilter, blobs, seed)
 
     def _load(self):
         if self._filters is None:
@@ -863,7 +893,7 @@ def crate_build(
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = np.concatenate(
             [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
-        filt = CrateFilter(add_count=max(shard_cap, hashes.size))
+        filt = CrateFilter(add_count=max(shard_cap, hashes.size), seed=seed)
         filt.add_many(hashes)
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
                              "blob": [filt.to_bytes()]})
@@ -872,7 +902,7 @@ def crate_build(
             .applyInPandas(build_shard, "shard int, blob binary")
             .collect())
     blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
-    empty = CrateFilter(shard_cap).to_bytes()
+    empty = CrateFilter(shard_cap, seed=seed).to_bytes()
     blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
     return ShardedCrateFilter(blobs, seed=seed)
 

@@ -305,23 +305,33 @@ def test_tail_parity_with_sequential_spec():
 def test_tail_graduation_and_blob():
     """Drive epoch past tb so tails graduate into the bitset
     (tail-filter.hpp:99-105): membership must survive graduation, the
-    blob must round-trip the bitset, and merge must OR it."""
+    blob must round-trip the bitset, and merge must OR it.
+
+    Graduation is driven by explicit upsize() calls: with tb=2 the
+    honest per-insert Lookup gate (matching the sequential spec above)
+    saturates the structure before ndv can climb enough epochs — the
+    old version of this test only reached high epochs because a bug
+    upsized spuriously on duplicate-heavy batches."""
     from cuckoofilter_spark.kernels.hashing import splitmix64
     from cuckoofilter_spark.kernels.tail import TailFilter
 
     hashes = splitmix64(np.arange(1, 60_001, dtype=np.uint64))
     f = TailFilter(lgm=5, epsilon=0.2)  # tb=2: graduation after 3 upsizes
-    f.add_many(hashes)
+    f.add_many(hashes[:200])
+    for _ in range(3):
+        f.upsize()
     assert f.epoch > f.tb and f.bitset is not None and f.bitset.sum() > 0
-    assert f.contains_many(hashes).all()
+    assert f.contains_many(hashes[:200]).all()
     g = TailFilter.from_bytes(f.to_bytes())
     assert (g.bitset == f.bitset).all() and (g.pairs == f.pairs).all()
-    assert g.contains_many(hashes).all()
+    assert g.contains_many(hashes[:200]).all()
     a, b = TailFilter(5, 0.2), TailFilter(5, 0.2)
-    a.add_many(hashes[:40_000])
-    b.add_many(hashes[30_000:])
+    a.add_many(hashes[:400])
+    for _ in range(3):
+        a.upsize()                     # epochs differ: merge must replay
+    b.add_many(hashes[300:700])
     m = TailFilter.merge(a, b)
-    assert m.contains_many(hashes).all()
+    assert m.contains_many(hashes[:700]).all()
     m2 = TailFilter.merge(b, a)
     assert (m2.pairs == m.pairs).all()
     assert (m2.bitset is None) == (m.bitset is None)
