@@ -47,7 +47,7 @@ import struct
 
 import numpy as np
 
-from .hashing import U64
+from .hashing import U64, sorted_member
 
 _MAGIC = b"CRT1"
 _FMT_V1 = "<4sHQQQQQ"
@@ -77,7 +77,7 @@ class CrateFilter:
     def __init__(self, add_count: int, seed: int = 0):
         # crate.h:430: bucket_count = add_count / 44 (fill target 44/51)
         self.bucket_count = max(1, int(add_count) // 44)
-        self.seed = int(seed)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         self.ndv = 0
         self.triples = np.empty(0, dtype=np.uint64)  # sorted, dups kept
         self.spare = np.empty(0, dtype=np.uint64)    # sorted spilled keys
@@ -298,14 +298,9 @@ class CrateFilter:
         return f
 
 
-def _sorted_member(arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    """vals[i] in sorted arr — one searchsorted, no scatter."""
-    res = np.zeros(vals.size, dtype=bool)
-    if arr.size:
-        pos = np.searchsorted(arr, vals)
-        ok = pos < arr.size
-        res[ok] = arr[pos[ok]] == vals[ok]
-    return res
+# canonical helper lives in hashing.py; kept as a module name for
+# existing imports
+_sorted_member = sorted_member
 
 
 def _rank_within(sorted_groups: np.ndarray) -> np.ndarray:

@@ -111,6 +111,18 @@ def lemire_reduce(h, n: int) -> np.ndarray:
     return ((_as_u64(h) & U64(0xFFFFFFFF)) * U64(n)) >> U64(32)
 
 
+def sorted_member(arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """vals[i] in sorted arr — one searchsorted, no scatter. The shared
+    membership kernel for every exact side list (crate spare, shingle
+    spill)."""
+    res = np.zeros(vals.size, dtype=bool)
+    if arr.size:
+        pos = np.searchsorted(arr, vals)
+        ok = pos < arr.size
+        res[ok] = arr[pos[ok]] == vals[ok]
+    return res
+
+
 def rotl64(x, r: int) -> np.ndarray:
     """Rotate-left — adversarial key fixtures (bulk-insert-and-query.cc:747-767)."""
     v = _as_u64(x)

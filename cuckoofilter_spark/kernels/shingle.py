@@ -42,11 +42,15 @@ import struct
 
 import numpy as np
 
-from .hashing import U64, simple_mix_split, splitmix64, upperpower2
+from .hashing import U64, simple_mix_split, sorted_member, splitmix64, \
+    upperpower2
 
 _MAGIC = b"SHG1"
 _FMT = "<4sHBBQQQ"
-_HDR_SIZE = struct.calcsize(_FMT)  # magic ver slot_bits log2m seed filled cap
+_HDR_SIZE = struct.calcsize(_FMT)
+# magic ver slot_bits log2m seed filled n_spill
+# (ver 2 appends n_spill uint64 spill entries after the packed tables;
+#  ver-1 blobs wrote 0 in that field and carry no spill section)
 _PAD = 3          # trailing slots so idx+1 writes never wrap (shingle.h:162-164)
 # The reference recurses UNBOUNDED on kicks (shingle.h:135 — only the
 # load refusal stops it); we bound the walk but generously, because the
@@ -82,9 +86,11 @@ class ShingleFilter:
         self.filled = 0
         self._round = 0
         # exact side list terminating over-long kick chains: encoded
-        # (A-home << 16) | fp, sorted — the batch analogue of the cuckoo
-        # victim cache (victimCache_, cuckoofilter.h:42-46); a stored
-        # item is NEVER dropped, so membership cannot lie
+        # (A-home << 16) | fp, sorted MULTISET (duplicate copies of one
+        # item may both spill; delete removes one copy at a time) — the
+        # batch analogue of the cuckoo victim cache (victimCache_,
+        # cuckoofilter.h:42-46); a stored item is NEVER dropped, so
+        # membership cannot lie
         self.spill = np.empty(0, dtype=np.uint64)
 
     # -- sizing -----------------------------------------------------------
@@ -227,10 +233,10 @@ class ShingleFilter:
                     if in_b.any():
                         s_home[in_b] = self.reindex(s_home[in_b],
                                                     s_fp[in_b])
-                    self.spill = np.union1d(
+                    self.spill = np.sort(np.concatenate([
                         self.spill,
                         (s_home.astype(np.uint64) << U64(16))
-                        | s_fp.astype(np.uint64))
+                        | s_fp.astype(np.uint64)]))
                     inserted += ov.size
                 kk = np.flatnonzero(~over)
                 if kk.size:
@@ -289,9 +295,7 @@ class ShingleFilter:
                | (b[idx2] == v0) | (b[idx2 + 1] == v1))
         if self.spill.size:
             enc = (idx.astype(np.uint64) << U64(16)) | fp.astype(np.uint64)
-            pos = np.searchsorted(self.spill, enc)
-            ok = pos < self.spill.size
-            res[ok] |= self.spill[pos[ok]] == enc[ok]
+            res |= sorted_member(self.spill, enc)
         return res
 
     # -- delete -----------------------------------------------------------
@@ -323,15 +327,27 @@ class ShingleFilter:
         self.filled -= int(out.sum())
         if self.spill.size and not out.all():
             # keys not found in any candidate slot may live in the spill
+            # (a MULTISET: remove one stored copy per requesting key)
             rem = np.flatnonzero(~out)
             enc = (idx[rem].astype(np.uint64) << U64(16)) \
                 | fp[rem].astype(np.uint64)
-            uq, first = np.unique(enc, return_index=True)
-            hit = np.isin(uq, self.spill, assume_unique=True)
-            if hit.any():
-                self.spill = np.setdiff1d(self.spill, uq[hit],
-                                          assume_unique=True)
-                out[rem[first[hit]]] = True
+            order = np.argsort(enc, kind="stable")
+            uq, first, req = np.unique(enc[order], return_index=True,
+                                       return_counts=True)
+            lo_pos = np.searchsorted(self.spill, uq)
+            hi_pos = np.searchsorted(self.spill, uq, side="right")
+            take = np.minimum(req, hi_pos - lo_pos)
+            nz = np.flatnonzero(take)
+            if nz.size:
+                cnt = take[nz]
+                offs = np.arange(int(cnt.sum())) \
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                keep = np.ones(self.spill.size, dtype=bool)
+                keep[np.repeat(lo_pos[nz], cnt) + offs] = False
+                self.spill = self.spill[keep]
+                # mark take[i] of enc i's requesters as deleted
+                sel = np.repeat(first[nz], cnt) + offs
+                out[rem[order[sel]]] = True
         return out
 
     # -- merge ------------------------------------------------------------
@@ -362,7 +378,7 @@ class ShingleFilter:
             raise ValueError(f"incompatible filters: {a._params()} vs {b._params()}")
         ha, fa = a.extract_items()
         hb, fb = b.extract_items()
-        spills = np.union1d(a.spill, b.spill)
+        spills = np.sort(np.concatenate([a.spill, b.spill]))
         hi = np.concatenate([ha, hb, (spills >> U64(16)).astype(np.int64)])
         hf = np.concatenate([fa, fb,
                              (spills & U64(0xFFFF)).astype(np.uint16)])
@@ -393,7 +409,7 @@ class ShingleFilter:
     def to_bytes(self) -> bytes:
         from .xor import pack_nbits
 
-        hdr = struct.pack(_FMT, _MAGIC, 1, self.slot_bits, self.log2m,
+        hdr = struct.pack(_FMT, _MAGIC, 2, self.slot_bits, self.log2m,
                           self.seed, self.filled, self.spill.size)
         return (hdr + pack_nbits(
             self.tables.reshape(-1).astype(np.uint32), self.slot_bits)
@@ -405,8 +421,10 @@ class ShingleFilter:
 
         magic, ver, slot_bits, log2m, seed, filled, n_spill = \
             struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 1:
+        if magic != _MAGIC or ver not in (1, 2):
             raise ValueError("bad shingle blob header")
+        # same layout both versions: ver-1 writers put 0 in the (then
+        # reserved) n_spill field and never emitted a spill section
         f = cls(log2m, slot_bits, seed)
         n = 2 * (f.m + _PAD)
         nbytes = (n * slot_bits + 7) // 8

@@ -78,7 +78,7 @@ class TailFilter:
         self.epsilon = float(epsilon)
         # hash-domain identity of the caller's pre-hashing (kernel never
         # hashes itself); serialized and checked on merge
-        self.seed = int(seed)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         self.epoch = 0
         self.ndv = 0
         self.pairs = np.empty(0, dtype=np.uint64)  # sorted (key<<(tb+1))|tail

@@ -33,23 +33,33 @@ from .text import rolling_fingerprint, words
 
 _MERSENNE = (1 << 61) - 1
 
-# one cached generation per operator: a long-lived session (the driver
-# gate runs ~40 queries in one) would otherwise pin a new cached
+# bounded cached generations per operator: a long-lived session (the
+# driver gate runs ~40 queries in one) would otherwise pin a new cached
 # signature table per call forever
+import threading as _threading
+
+_CACHE_LOCK = _threading.Lock()
 _LAST_CACHED: dict[str, list] = {}
+_CACHE_GENERATIONS = 2  # keep 2 so "build A, build B, collect A" stays cached
 
 
 def _scoped_cache(tag: str, df: DataFrame) -> DataFrame:
-    """Cache ``df``, unpersisting the previous call's cache for ``tag``.
+    """Cache ``df``, unpersisting all but the newest
+    ``_CACHE_GENERATIONS`` caches for ``tag``.
 
-    The returned plan of the PREVIOUS call stays correct if still
-    unmaterialized — it just recomputes uncached."""
-    for old in _LAST_CACHED.pop(tag, []):
+    An evicted plan stays CORRECT if still unmaterialized — it just
+    recomputes uncached; keeping two generations covers the common
+    compose-then-collect pattern without unbounded growth."""
+    with _CACHE_LOCK:
+        gens = _LAST_CACHED.setdefault(tag, [])
+        gens.append(df)
+        evict = gens[:-_CACHE_GENERATIONS]
+        del gens[:-_CACHE_GENERATIONS]
+    for old in evict:
         try:
             old.unpersist()
         except Exception:
             pass
-    _LAST_CACHED[tag] = [df]
     return df.cache()
 
 

@@ -510,16 +510,14 @@ class _ShingleFlatProbe:
         res = ((self.flat[a] == v0) | (self.flat[a + 1] == v1)
                | (self.flat[b] == v0) | (self.flat[b + 1] == v1))
         if self.any_spill:
+            from ..kernels.hashing import sorted_member
+
             enc = (idx.astype(np.uint64) << U64(16)) | fp.astype(np.uint64)
             for s, sp in enumerate(self.spills):
                 if not sp.size:
                     continue
                 where = np.flatnonzero(sh == s)
-                e = enc[where]
-                pos = np.searchsorted(sp, e)
-                ok = pos < sp.size
-                hit = np.zeros(e.size, dtype=bool)
-                hit[ok] = sp[pos[ok]] == e[ok]
+                hit = sorted_member(sp, enc[where])
                 res[where[hit]] = True
         return res
 

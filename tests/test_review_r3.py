@@ -190,3 +190,41 @@ def test_shingle_sharded_probe_sees_spill(spark, monkeypatch):
         [(int(k),) for k in keys.view(np.int64)[:200]], "k long")
     hits = df.where(shingle_contains_col(spark, sharded, "k")).count()
     assert hits == 200
+
+def test_shingle_spill_multiset_delete():
+    """Two spilled copies of one item: delete removes ONE copy per call
+    (the spill is a multiset, matching the table's duplicate storage)."""
+    from cuckoofilter_spark.kernels.shingle import ShingleFilter
+
+    f = ShingleFilter(8, 12, 1)
+    k = np.array([12345], dtype=np.uint64)
+    idx, fp = f._index_fp(k)
+    enc = (idx.astype(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
+    f.spill = np.sort(np.repeat(enc, 2))
+    assert f.contains_many(k).all()
+    assert f.delete_many(k).all()
+    assert f.spill.size == 1 and f.contains_many(k).all()
+    assert f.delete_many(k).all()
+    assert f.spill.size == 0 and not f.contains_many(k).any()
+    # round-trip keeps duplicate spill copies
+    f.spill = np.sort(np.repeat(enc, 3))
+    g = ShingleFilter.from_bytes(f.to_bytes())
+    assert np.array_equal(g.spill, f.spill)
+
+
+def test_shingle_v1_blob_still_deserializes():
+    import struct
+
+    from cuckoofilter_spark.kernels import shingle as shingle_mod
+    from cuckoofilter_spark.kernels.shingle import ShingleFilter
+
+    keys = _hashes(5_000)
+    f = ShingleFilter.create(keys.size, seed=0x5EED)
+    f.add_many(keys)
+    assert f.spill.size == 0
+    blob = f.to_bytes()
+    fields = struct.unpack_from(shingle_mod._FMT, blob)
+    v1 = struct.pack(shingle_mod._FMT, fields[0], 1, *fields[2:]) \
+        + blob[shingle_mod._HDR_SIZE:]
+    g = ShingleFilter.from_bytes(v1)
+    assert np.array_equal(g.tables, f.tables) and g.filled == f.filled
