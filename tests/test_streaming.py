@@ -59,6 +59,38 @@ def test_real_stream_file_source(spark, tmp_path):
     assert st.last_batch_id() >= 0
 
 
+def test_streaming_dedup_cuckoo_state(spark, tmp_path):
+    """streaming_dedup: cuckoo-filter seen-set state across micro-batches.
+    3000 rows / 500 distinct keys scattered over 6 files -> the streamed
+    output must contain each key exactly once (cross-batch duplicates
+    dropped by the filter state, in-batch by the first-occurrence mask)
+    and, at 16-bit tags on this keyspace (zero FP, verified deterministic
+    for this seed), exactly the full distinct set — no unique loss."""
+    from cuckoofilter_spark.streaming.dedup_stream import streaming_dedup
+
+    rows = (spark.range(3000)
+            .select((F.col("id") % 500).alias("k"),
+                    F.col("id").alias("payload")))
+    src = str(tmp_path / "src")
+    rows.repartition(6).write.parquet(src)
+    stream = (spark.readStream.schema(rows.schema)
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    out = streaming_dedup(stream, "k", capacity_per_shard=256,
+                          bits=16, num_shards=8, seed=7)
+    q = (out.writeStream.format("memory").queryName("dedup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = spark.sql("SELECT k, payload FROM dedup").collect()
+    ks = [r["k"] for r in got]
+    assert len(ks) == len(set(ks))  # no duplicates, guaranteed by no-FN
+    assert sorted(ks) == list(range(500))  # zero FP drop for this seed
+    # pass-through rows are genuine input rows (payload % 500 == key)
+    assert all(r["payload"] % 500 == r["k"] for r in got)
+
+
 def test_stateful_per_key_distinct(spark, tmp_path):
     """applyInPandasWithState: per-source HLL over a multi-batch stream
     equals the one-shot batch build per key (merge is batch-boundary
