@@ -215,6 +215,75 @@ def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("probe").alias("member_key")))
 
 
+def q_grow_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GrowSimdBlockFilter (growable-simd-block.h:22-74, Pagh et al.
+    "approximate a set without knowing its size in advance"): the build
+    takes NO capacity — initial_capacity=64 forces doubling levels to
+    open as the distinct l_suppkey stream exceeds each level budget, and
+    Find ORs all levels. Per-level fpp stays fixed while levels double,
+    so total fpp is a bounded geometric sum but not parameterizable to
+    zero like the widenable-fingerprint families — the oracle therefore
+    uses the crate protocol: exact member count (no false negatives,
+    guaranteed) + a Spark-verified FP-bound flag."""
+    from cuckoofilter_spark.sketch.aggregates import (
+        grow_blocked_bloom_contains_col, grow_blocked_bloom_sketch)
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    filt = grow_blocked_bloom_sketch(li, "l_suppkey", initial_capacity=64,
+                                     seed=SEED)
+    probes = (sup.select(F.col("s_suppkey").alias("probe"))
+              .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
+    members = li.select(F.col("l_suppkey").alias("probe")).distinct()
+    probed = (probes.withColumn(
+        "hit", grow_blocked_bloom_contains_col(spark, filt, "probe"))
+        .join(F.broadcast(members.withColumn("is_member", F.lit(True))),
+              "probe", "left")
+        .withColumn("is_member", F.coalesce("is_member", F.lit(False))))
+    agg = probed.agg(
+        F.sum(F.when(F.col("is_member") & F.col("hit"), 1).otherwise(0)
+              ).alias("tp"),
+        F.sum(F.when(F.col("is_member") & ~F.col("hit"), 1).otherwise(0)
+              ).alias("fn"),
+        F.sum(F.when(~F.col("is_member") & F.col("hit"), 1).otherwise(0)
+              ).alias("fp"),
+        F.count("*").alias("n")).first()
+    assert agg["fn"] == 0, "growable blocked-bloom false negative"
+    bound = max(8.0, 8.0 * filt.expected_fpp() * agg["n"])
+    return spark.createDataFrame(
+        [(int(agg["tp"]), bool(agg["fp"] <= bound))],
+        "n_members long, fp_within_bound boolean")
+
+
+def q_cf_prefilter_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Contain-as-ANTI-join prefilter (complement of
+    cf_prefilter_join, SURVEY §2.6): a filter MISS is proof of
+    non-membership (no false negatives), so the bulk of orders routes
+    past the join entirely; only filter hits (members + eps false
+    positives) pay the exact anti-join that recovers wrongly-held rows.
+    The union equals the plain exact anti-join regardless of the
+    filter's epsilon. Money sums are aggregated as exact integer cents
+    so the cross-engine comparison is bit-exact by construction."""
+    from cuckoofilter_spark.sketch.membership import (
+        approx_anti_join, cuckoo_build, cuckoo_contains_col)
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    orders = _t(spark, sf_dir, "orders")
+    filt = cuckoo_build(cust, "c_custkey", capacity=int(cust.count()),
+                        bits=12, seed=SEED, num_shards=8)
+    definite_miss = approx_anti_join(spark, orders, "o_custkey", filt)
+    recovered = (orders
+                 .where(cuckoo_contains_col(spark, filt, "o_custkey"))
+                 .join(F.broadcast(
+                     cust.select(F.col("c_custkey").alias("o_custkey"))),
+                     "o_custkey", "left_anti"))
+    return (definite_miss.unionByName(recovered)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_price_cents")))
+
+
 def q_gcs_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golomb-coded-sequence filter (gcs.h) semi-join, built via the
     distributed sort-encode plan; log2fpp=16 so FP=0 on this keyspace
@@ -833,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crate_membership": q_crate_membership,
         "bloom_membership": q_bloom_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
+        "grow_bloom_membership": q_grow_bloom_membership,
+        "cf_prefilter_anti_join": q_cf_prefilter_anti_join,
         "gcs_membership": q_gcs_membership,
         "cf_mixed_probe": q_cf_mixed_probe,
         "cf_prefilter_join": q_cf_prefilter_join,
@@ -938,6 +1009,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT s_suppkey + 100 FROM supplier)
             SELECT probe AS member_key FROM probes
             WHERE probe IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "grow_bloom_membership": """
+            WITH probes AS (
+                SELECT s_suppkey AS probe FROM supplier
+                UNION ALL SELECT s_suppkey + 100 FROM supplier)
+            SELECT CAST(count(*) AS BIGINT) AS n_members,
+                   TRUE AS fp_within_bound
+            FROM probes
+            WHERE probe IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "cf_prefilter_anti_join": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_price_cents
+            FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+            GROUP BY o_orderstatus
         """,
         "cf_prefilter_join": """
             SELECT o_custkey, count(*) AS n_orders,

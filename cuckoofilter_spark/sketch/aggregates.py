@@ -175,6 +175,43 @@ def blocked_bloom_contains_col(spark: SparkSession, filt, col) -> Column:
     return probe(F.col(col).cast("long") if isinstance(col, str) else col)
 
 
+def grow_blocked_bloom_sketch(df: DataFrame, col: str,
+                              initial_capacity: int = 1024,
+                              seed: int = 0x5EED) -> "GrowBlockedBloomFilter":
+    """Size-unknown AMQ build (growable-simd-block.h:22-74, Pagh et al.):
+    the filter takes NO capacity parameter — it is fed the distinct key
+    stream and opens doubling blocked-Bloom levels as each level's
+    insert budget exhausts. The distinct keys arrive via the
+    vocab-bounded two-stage distinct (``distinct_keys_u64`` — driver
+    memory = key universe, the broadcast-build-side contract); the
+    growth loop itself is inherently sequential (each level's existence
+    depends on everything inserted before it), so this family has no
+    tree-merge UDAF — the reference structure is single-writer too."""
+    from ..kernels.blocked_bloom import GrowBlockedBloomFilter
+    from .membership import distinct_keys_u64
+
+    keys = distinct_keys_u64(df, col)
+    f = GrowBlockedBloomFilter(initial_capacity=initial_capacity, seed=seed)
+    f.add_many(keys)
+    return f
+
+
+def grow_blocked_bloom_contains_col(spark: SparkSession, filt, col) -> Column:
+    """Boolean membership Column against a broadcast growable
+    blocked-Bloom blob (Find = OR over all levels)."""
+    bc = spark.sparkContext.broadcast(filt.to_bytes())
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..kernels.blocked_bloom import GrowBlockedBloomFilter
+
+        local = GrowBlockedBloomFilter.from_bytes(bc.value)
+        for s in it:
+            yield pd.Series(local.contains_many(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
 def bloom_contains_col(spark: SparkSession, filt: BloomFilter, col) -> Column:
     """Boolean membership Column against a broadcast Bloom blob."""
     bc = spark.sparkContext.broadcast(filt.to_bytes())

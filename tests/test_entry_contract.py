@@ -101,7 +101,8 @@ ALL_QUERIES = [
     "cf_semisort_membership", "shingle_membership",
     "tail_membership", "crate_membership",
     "cf_checkpoint_membership", "cf_delete_membership", "bloom_membership",
-    "blocked_bloom_membership", "gcs_membership", "cf_mixed_probe", "cf_prefilter_join", "hll_distinct",
+    "blocked_bloom_membership", "grow_bloom_membership", "gcs_membership",
+    "cf_mixed_probe", "cf_prefilter_join", "cf_prefilter_anti_join", "hll_distinct",
     "cms_topk_freq", "cqf_topk_freq", "cqf_enumerate", "kll_quantiles",
     "tdigest_quantiles", "match_size", "count_distinct",
     "has_duplicates", "mixin_sample", "windowed_events", "text_stats", "exact_dedup",
