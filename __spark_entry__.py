@@ -601,6 +601,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken
+    SIGMOD'03): min 62-bit md5-LE64 gram hash per sliding window of 4
+    over 3-word grams, deduplicated per doc — restated exactly by the
+    DuckDB oracle via md5_number_upper."""
+    from cuckoofilter_spark.ops.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                               "doc_id", "text", k=3, w=4)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.ops.dedup import exact_dedup
 
@@ -919,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixin_sample": q_mixin_sample,
         "windowed_events": q_windowed_events,
         "text_stats": q_text_stats,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1129,6 +1141,27 @@ def oracle_sql() -> dict[str, str]:
                                / greatest(len(W), 1) >= 0.02 THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS quality,
                    md5(array_to_string(W, ' ')) AS fingerprint
             FROM w
+        """,
+        "winnow_fingerprint": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            gs AS (SELECT doc_id,
+                          CASE WHEN len(W) >= 3 THEN
+                              [array_to_string(W[i:i+2], ' ')
+                               FOR i IN range(1, len(W) - 1)]
+                          ELSE [array_to_string(W, ' ')] END AS GS
+                   FROM w),
+            g AS (SELECT doc_id,
+                         list_transform(GS, s -> CAST(
+                             md5_number_upper(s) & 4611686018427387903
+                             AS BIGINT)) AS G
+                  FROM gs),
+            f AS (SELECT doc_id,
+                         list_distinct(CASE WHEN len(G) >= 4 THEN
+                             [list_min(G[j:j+3])
+                              FOR j IN range(1, len(G) - 2)]
+                         ELSE [list_min(G)] END) AS FPS
+                  FROM g)
+            SELECT doc_id, unnest(FPS) AS fp FROM f
         """,
         "exact_dedup": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents)

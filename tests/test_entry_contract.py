@@ -105,7 +105,8 @@ ALL_QUERIES = [
     "cf_mixed_probe", "cf_prefilter_join", "cf_prefilter_anti_join", "hll_distinct",
     "cms_topk_freq", "cqf_topk_freq", "cqf_enumerate", "kll_quantiles",
     "tdigest_quantiles", "match_size", "count_distinct",
-    "has_duplicates", "mixin_sample", "windowed_events", "text_stats", "exact_dedup",
+    "has_duplicates", "mixin_sample", "windowed_events", "text_stats",
+    "winnow_fingerprint", "exact_dedup",
     "corpus_filter",
     "jaccard_pairs", "minhash_lsh_pairs", "dedup_clusters", "simhash_pairs",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_neardup",

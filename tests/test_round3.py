@@ -481,3 +481,35 @@ def test_crate_spark_build(spark):
     fps = len(set(got.tolist()) - present)
     assert fps <= 4 * filt.expected_fpp() * n + 8, fps
     assert filt.num_items() == n
+
+
+# -- winnowing fingerprints --------------------------------------------------
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing theorem (Schleimer et al. SIGMOD'03): any shared
+    word run of length >= w+k-1 forces a shared fingerprint; and the
+    kept-fraction is ~2/(w+1) of gram hashes, i.e. sub-linear sketch."""
+    from cuckoofilter_spark.ops.text import winnow_fingerprints
+
+    k, w = 3, 4
+    common = "alpha beta gamma delta epsilon zeta"  # 6 words = w+k-1
+    rows = [
+        ("a", "one two three " + common + " four five six"),
+        ("b", "seven eight " + common + " nine ten eleven twelve"),
+        ("c", "totally unrelated words with nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    fp = winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    got = {}
+    for r in fp.collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got["a"] & got["b"], "shared w+k-1 run must share a fingerprint"
+    assert not (got["a"] & got["c"])
+    assert not (got["b"] & got["c"])
+    # density: per doc, fingerprints <= gram count and well below it for
+    # a long doc
+    long_doc = " ".join(f"tok{i}" for i in range(500))
+    df2 = spark.createDataFrame([("d", long_doc)], "doc_id string, text string")
+    n_fp = winnow_fingerprints(df2, "doc_id", "text", k=k, w=w).count()
+    n_grams = 500 - k + 1
+    assert n_fp <= n_grams
+    assert n_fp < 0.75 * n_grams  # expectation ~2/(w+1) = 0.4, slack for dups
