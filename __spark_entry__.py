@@ -221,10 +221,12 @@ def q_grow_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes NO capacity — initial_capacity=64 forces doubling levels to
     open as the distinct l_suppkey stream exceeds each level budget, and
     Find ORs all levels. Per-level fpp stays fixed while levels double,
-    so total fpp is a bounded geometric sum but not parameterizable to
-    zero like the widenable-fingerprint families — the oracle therefore
-    uses the crate protocol: exact member count (no false negatives,
-    guaranteed) + a Spark-verified FP-bound flag."""
+    so the union fpp grows with the level count (~log2 n/initial) —
+    which is why the FP-bound flag is checked against the adaptive
+    ``expected_fpp()`` (exact union over open levels), not a static
+    constant. The oracle uses the crate protocol: exact member count
+    (no false negatives, guaranteed) + a Spark-verified FP-bound
+    flag."""
     from cuckoofilter_spark.sketch.aggregates import (
         grow_blocked_bloom_contains_col, grow_blocked_bloom_sketch)
 

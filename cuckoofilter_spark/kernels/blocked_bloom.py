@@ -144,8 +144,15 @@ class GrowBlockedBloomFilter:
     "How to approximate a set without knowing its size in advance"):
     inserts go to the newest level; when the newest level's insert
     budget is exhausted a new level of twice the capacity is opened;
-    ``Find`` ORs the answers of all levels. The per-level fpp halves as
-    levels double, keeping total fpp bounded (geometric series).
+    ``Find`` ORs the answers of all levels. Levels are sized at fixed
+    bits/key, so per-level fpp is roughly CONSTANT and the union fpp
+    grows ~linearly in the level count (log2(n/initial_capacity)) —
+    the price of not knowing n in advance. (Pagh et al.'s asymptotic
+    construction spends extra bits per level to make the sum
+    geometric; the reference's GrowSimdBlockFilter, like this one,
+    does not.) ``expected_fpp()`` computes the exact union over the
+    levels actually open, so bounds quoted from it stay honest as
+    levels accumulate.
 
     Level capacity budget: ~0.69 * bits/8 items per level (where the
     underlying blocked filter stays in its sub-percent regime).

@@ -133,6 +133,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     are the cross-engine md5-LE64 masked to 62 bits so Spark's signed
     and DuckDB's unsigned orderings agree on every min.
 
+    Precondition: ``id_col`` must be unique (one row per document) —
+    the sliding windows partition on it, so duplicate ids would
+    interleave words from different rows into the same gram stream.
+    Other per-doc text ops process rows independently and don't care;
+    this one does.
+
     Execution shape (the Spark-first linear plan): explode words, build
     each k-gram with ``lead()`` window functions, hash each gram ONCE in
     a plain projection, then take the sliding min with a ROWS-BETWEEN

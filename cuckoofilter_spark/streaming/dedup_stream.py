@@ -37,6 +37,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import BinaryType, StructField, StructType
 
 from ..kernels.cuckoo import CuckooFilter
+from ..sketch.udaf import keys_to_u64
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 _SHARD_COL = "__cfdedup_shard"
@@ -53,15 +54,19 @@ def streaming_dedup(
     """Emit only the first-seen row per integer key over an unbounded
     stream, using one cuckoo filter per shard as the seen-set state.
 
-    Output schema == input schema; within a micro-batch the first
-    arriving row for a key wins (later rows in the same batch are
-    in-batch duplicates and are dropped too). ``capacity_per_shard``
-    bounds the distinct keys a shard can absorb — the filter sizes
-    itself with the reference's 0.94-load doubling rule and raises
-    ``CuckooFullError`` beyond it, which surfaces as a query failure
-    rather than silent duplicate leakage. String keys should be
-    pre-hashed to int64 (``F.xxhash64``) by the caller, the library-wide
-    convention.
+    Output schema == input schema; exactly one row is emitted per key,
+    and for a key duplicated *within* one micro-batch the surviving row
+    is an arbitrary first-encountered one (rows arrive at the state
+    operator in post-shuffle order, not source arrival order — callers
+    needing "earliest by timestamp" must pre-aggregate per key first).
+    ``capacity_per_shard`` bounds the distinct keys a shard can absorb —
+    the filter sizes itself with the reference's 0.94-load doubling rule
+    and raises ``CuckooFullError`` beyond it, which surfaces as a query
+    failure rather than silent duplicate leakage. Keys must be non-null
+    integers; string keys should be pre-hashed to int64
+    (``F.xxhash64``) by the caller, the library-wide convention. A NULL
+    key fails the batch with an explicit error (an AMQ has no NULL
+    slot; coalescing NULLs onto a real key would silently drop rows).
     """
     in_schema = stream_df.schema
     out_schema = StructType([f for f in in_schema.fields])
@@ -78,7 +83,11 @@ def streaming_dedup(
                 pdf = pdf.drop(columns=[_SHARD_COL])
             if len(pdf) == 0:
                 continue
-            keys = pdf[key_col].to_numpy(dtype=np.int64).view(np.uint64)
+            if pdf[key_col].isna().any():
+                raise ValueError(
+                    f"streaming_dedup: NULL in key column {key_col!r}; "
+                    "filter NULLs or keyify with F.xxhash64 upstream")
+            keys = keys_to_u64(pdf[key_col])
             first = ~pd.Series(keys).duplicated().to_numpy()
             cand = keys[first]
             fresh = ~cf.contains_many(cand)
