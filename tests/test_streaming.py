@@ -121,3 +121,29 @@ def test_stateful_per_key_distinct(spark, tmp_path):
         one = hll_sketch(sub, "tokens", p=12, seed=9)
         assert abs(got[key] - one.estimate()) < 1e-9, key  # bit-exact merge
     assert len(got) >= 2  # several sources actually streamed
+
+
+def test_streaming_dedup_null_key_fails_explicitly(spark, tmp_path):
+    """A NULL key must fail the micro-batch with the explicit
+    streaming_dedup error (an AMQ has no NULL slot), not a NaN-cast
+    worker traceback — and must not silently dedup NULLs onto key 0."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    from cuckoofilter_spark.streaming.dedup_stream import streaming_dedup
+
+    rows = (spark.range(40)
+            .select(F.when(F.col("id") % 8 == 0, None)
+                    .otherwise(F.col("id") % 10).alias("k"),
+                    F.col("id").alias("payload")))
+    src = str(tmp_path / "src")
+    rows.write.parquet(src)
+    stream = spark.readStream.schema(rows.schema).parquet(src)
+    out = streaming_dedup(stream, "k", capacity_per_shard=64,
+                          bits=16, num_shards=4, seed=7)
+    q = (out.writeStream.format("memory").queryName("dedup_null")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="NULL in key column"):
+        q.awaitTermination(180)
+        raise AssertionError("NULL-key stream should have failed")
