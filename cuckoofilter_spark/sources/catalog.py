@@ -21,8 +21,29 @@ physical plan) instead of after it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 CANONICAL_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
+
+CANONICAL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+# CSV cannot hold arrays: the canonical text encoding stores ``tokens``
+# as a space-joined string ("7 42 7"), decoded back to array<int32>
+# inside the scan projection. Empty docs round-trip as the empty string.
+_CSV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+_EXT_FMT = {".parquet": "parquet", ".orc": "orc", ".json": "json",
+            ".jsonl": "json", ".csv": "csv"}
 
 
 def read_sequences(
@@ -34,14 +55,23 @@ def read_sequences(
     """Read the canonical sequence table from an Iceberg identifier or a
     Parquet path.
 
-    ``fmt``: "iceberg", "parquet", or None to infer — dotted identifiers
-    (catalog.db.table) read as Iceberg tables, everything else as a
-    Parquet path. Projects to ``columns`` (default: the canonical four)
-    inside the scan.
+    ``fmt``: "iceberg", "parquet", "orc", "json" (JSON lines), "csv", or
+    None to infer — a known path extension picks its format, any other
+    path reads as Parquet, and dotted identifiers (catalog.db.table)
+    read as Iceberg tables. Projects to ``columns`` (default: the
+    canonical four) inside the scan.
+
+    Text formats carry the canonical schema explicitly (never inferred —
+    schema inference is a full extra pass over the data and can widen
+    int32 to long): JSON lines hold ``tokens`` natively as an array; CSV
+    stores it space-joined and this reader decodes it back to
+    array<int32> in the scan projection, so downstream operators see one
+    schema regardless of format.
     """
     if fmt is None:
-        fmt = "parquet" if ("/" in source or source.endswith(".parquet")) \
-            else "iceberg"
+        ext = "." + source.rstrip("/").rsplit(".", 1)[-1].lower() \
+            if "." in source.rsplit("/", 1)[-1] else ""
+        fmt = _EXT_FMT.get(ext, "parquet" if "/" in source else "iceberg")
     if fmt == "iceberg":
         try:
             df = spark.read.table(source)
@@ -52,6 +82,17 @@ def read_sequences(
                 f"in this sandbox): {exc}") from exc
     elif fmt == "parquet":
         df = spark.read.parquet(source)
+    elif fmt == "orc":
+        df = spark.read.orc(source)
+    elif fmt == "json":
+        df = spark.read.schema(CANONICAL_SCHEMA).json(source)
+    elif fmt == "csv":
+        raw = spark.read.schema(_CSV_SCHEMA).option("header", "true").csv(source)
+        df = raw.withColumn(
+            "tokens",
+            F.when(F.coalesce(F.col("tokens"), F.lit("")) == "",
+                   F.array().cast("array<int>"))
+            .otherwise(F.split("tokens", " ").cast("array<int>")))
     else:
         raise ValueError(f"unknown format {fmt!r}")
     cols = tuple(columns) if columns else tuple(
@@ -61,3 +102,21 @@ def read_sequences(
         raise ValueError(f"sequence table at {source!r} is missing "
                          f"canonical columns {missing}")
     return df.select(*[F.col(c) for c in cols])
+
+
+def write_sequences(df: DataFrame, path: str, fmt: str = "parquet",
+                    mode: str = "error") -> None:
+    """Write a canonical sequence table in ``fmt`` so ``read_sequences``
+    round-trips it with per-row token-array equality.
+
+    Parquet/ORC/JSON hold the array natively; CSV gets the canonical
+    space-joined encoding (empty array -> empty string). Distributed
+    writer throughout — one file per partition, no driver collect.
+    """
+    if fmt == "csv":
+        df = df.withColumn("tokens", F.concat_ws(" ", F.col("tokens")))
+        df.write.mode(mode).option("header", "true").csv(path)
+    elif fmt in ("parquet", "orc", "json"):
+        getattr(df.write.mode(mode), fmt)(path)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")

@@ -513,3 +513,31 @@ def test_winnow_guarantee_and_density(spark):
     n_grams = 500 - k + 1
     assert n_fp <= n_grams
     assert n_fp < 0.75 * n_grams  # expectation ~2/(w+1) = 0.4, slack for dups
+
+
+def test_sequence_table_format_roundtrip(spark, tmp_path):
+    """Every supported format round-trips the canonical sequence table
+    with PER-ROW TOKEN-ARRAY EQUALITY (the input_hint invariant) and one
+    schema downstream — including CSV's space-joined text encoding and
+    an empty-tokens row."""
+    from cuckoofilter_spark.sources.catalog import (
+        CANONICAL_SCHEMA, read_sequences, write_sequences)
+    from cuckoofilter_spark.sources.tokens import tokens_table
+
+    base = tokens_table(spark, 150, seed=42).unionAll(
+        spark.createDataFrame(
+            [("empty-doc", [], 0, "synthetic")], CANONICAL_SCHEMA))
+    want = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+            for r in base.collect()}
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / f"seq_{fmt}.{fmt}")
+        write_sequences(base, p, fmt=fmt)
+        df = read_sequences(spark, p)  # format inferred from extension
+        assert df.schema == CANONICAL_SCHEMA, (fmt, df.schema)
+        got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+               for r in df.collect()}
+        assert got == want, fmt
+        # explicit fmt= beats inference too
+        assert read_sequences(spark, p, fmt=fmt).count() == 151
+    with pytest.raises(ValueError, match="unknown format"):
+        write_sequences(base, str(tmp_path / "x"), fmt="avro")
