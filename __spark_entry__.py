@@ -434,6 +434,30 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.lit(3 * sk.rel_error()) * F.col("exact_distinct")))
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free corpus-overlap estimate (HLL inclusion-exclusion, the
+    scale path beside exact match_size): exact overlap/union computed
+    Spark-side for the oracle, plus the estimate-within-3-sigma flag.
+    At 10^12 rows the estimate costs two linear sketch passes (blob
+    shuffle only) where the exact join shuffles both key sets."""
+    from cuckoofilter_spark.ops.dataflow import hll_overlap
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    est = hll_overlap(orders, "o_custkey", cust, "c_custkey",
+                      p=14, seed=SEED)
+    da = orders.select(F.col("o_custkey").alias("k")).distinct()
+    db = cust.select(F.col("c_custkey").alias("k")).distinct()
+    exact = (da.join(db, "k").agg(F.count("*").alias("overlap_exact"))
+             .crossJoin(da.unionAll(db).distinct()
+                        .agg(F.count("*").alias("union_exact"))))
+    return exact.withColumn(
+        "hll_within_bound",
+        (F.abs(F.lit(float(est["est_intersection"]))
+               - F.col("overlap_exact"))
+         <= F.lit(float(est["err_bound"]))))
+
+
 def q_cms_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 part keys by exact frequency, with the CMS point estimate
     asserted within [exact, exact + eps*N] (gqf counting capability)."""
@@ -921,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_mixed_probe": q_cf_mixed_probe,
         "cf_prefilter_join": q_cf_prefilter_join,
         "hll_distinct": q_hll_distinct,
+        "hll_overlap": q_hll_overlap,
         "cms_topk_freq": q_cms_topk_freq,
         "cqf_topk_freq": q_cqf_topk_freq,
         "cqf_enumerate": q_cqf_enumerate,
@@ -1067,6 +1092,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT o_custkey) AS exact_distinct,
                    TRUE AS hll_within_bound
             FROM orders
+        """,
+        "hll_overlap": """
+            SELECT (SELECT count(*) FROM
+                        (SELECT DISTINCT o_custkey FROM orders) a
+                        JOIN (SELECT DISTINCT c_custkey FROM customer) b
+                        ON a.o_custkey = b.c_custkey) AS overlap_exact,
+                   (SELECT count(DISTINCT k) FROM
+                        (SELECT o_custkey AS k FROM orders
+                         UNION ALL SELECT c_custkey FROM customer))
+                       AS union_exact,
+                   TRUE AS hll_within_bound
         """,
         "cms_topk_freq": """
             SELECT l_partkey, count(*) AS freq, TRUE AS cms_within_bound

@@ -25,6 +25,46 @@ def match_size(a: DataFrame, a_col: str, b: DataFrame, b_col: str) -> DataFrame:
     return da.join(db, "k", "inner").agg(F.count("*").alias("match_cnt"))
 
 
+def hll_overlap(a: DataFrame, a_col: str, b: DataFrame, b_col: str,
+                p: int = 14, seed: int = 0x5EED) -> dict:
+    """Join-free overlap estimate: |A∩B| and Jaccard via HLL
+    inclusion-exclusion — the scale path beside exact ``match_size``.
+
+    ``match_size`` shuffles BOTH key sets on the join key; at 10^12
+    rows that is the dominant exchange. This estimates the same answer
+    from two independent linear sketch passes (shuffle volume = HLL
+    blobs, 2^p registers each, never rows): union(A,B) is the exact
+    register-wise max merge (HLL unions are lossless), so
+    est(A∩B) = est(A) + est(B) - est(A∪B). Each estimate carries the
+    published relative error 1.04/sqrt(2^p); the intersection bound
+    below sums the three 3-sigma absolute errors (the estimates are
+    positively correlated through shared hashes, so the independent-sum
+    bound is conservative).
+
+    Returns driver-side scalars (the sketch-aggregate convention):
+    est_a, est_b, est_union, est_intersection (clamped at 0),
+    jaccard_est, and err_bound (absolute, on the intersection).
+    Deterministic for a fixed seed — the same inputs always give the
+    same estimates, so bound checks are replay-stable.
+    """
+    from ..kernels.hll import HyperLogLog
+    from ..sketch.aggregates import hll_sketch
+
+    ha = hll_sketch(a, a_col, p=p, seed=seed)
+    hb = hll_sketch(b, b_col, p=p, seed=seed)
+    hu = HyperLogLog.merge(ha, hb)
+    est_a, est_b, est_u = ha.estimate(), hb.estimate(), hu.estimate()
+    inter = max(0.0, est_a + est_b - est_u)
+    sigma = 1.04 / (1 << p) ** 0.5
+    bound = 3.0 * sigma * (est_a + est_b + est_u) + 8.0
+    return {
+        "est_a": est_a, "est_b": est_b, "est_union": est_u,
+        "est_intersection": inter,
+        "jaccard_est": inter / est_u if est_u > 0 else 0.0,
+        "err_bound": bound,
+    }
+
+
 def count_distinct_exact(df: DataFrame, col: str) -> DataFrame:
     """Exact distinct count (count_distinct, bulk-insert-and-query.cc:456-468)."""
     return df.agg(F.countDistinct(col).alias("distinct_cnt"))

@@ -541,3 +541,27 @@ def test_sequence_table_format_roundtrip(spark, tmp_path):
         assert read_sequences(spark, p, fmt=fmt).count() == 151
     with pytest.raises(ValueError, match="unknown format"):
         write_sequences(base, str(tmp_path / "x"), fmt="avro")
+
+
+def test_hll_overlap_estimate(spark):
+    """hll_overlap: join-free |A∩B|/Jaccard via HLL inclusion-exclusion.
+    Planted overlap of 3000 keys between 10k- and 8k-key sets: the
+    estimate must sit inside its own published err_bound around truth,
+    and the whole operator must be deterministic."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.ops.dataflow import hll_overlap
+
+    a = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    b = spark.range(7_000, 15_000).select(F.col("id").alias("k"))
+    r = hll_overlap(a, "k", b, "k", p=14, seed=11)
+    assert abs(r["est_intersection"] - 3_000) <= r["err_bound"]
+    assert abs(r["est_union"] - 15_000) <= 3 * 1.04 / 128 * 15_000 + 8
+    truth_j = 3_000 / 15_000
+    assert abs(r["jaccard_est"] - truth_j) < 0.05
+    r2 = hll_overlap(a, "k", b, "k", p=14, seed=11)
+    assert r == r2  # deterministic: replay-stable bound flags
+    # disjoint sets clamp at zero
+    c = spark.range(100_000, 101_000).select(F.col("id").alias("k"))
+    rd = hll_overlap(a, "k", c, "k", p=14, seed=11)
+    assert rd["est_intersection"] <= rd["err_bound"]
