@@ -479,6 +479,34 @@ def q_cms_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
 
 
+def q_mg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters beside CMS/CQF: top-20 part keys by
+    exact frequency with the deterministic MG guarantee flag —
+    present keys satisfy freq - D <= est <= freq; a key can be absent
+    from the summary only if freq <= D (D = total decrement). The
+    summary is tiny (<= partials*k counters), so the check is a
+    broadcast join, the Spark-first shape for sketch-vs-exact audits."""
+    from cuckoofilter_spark.sketch.aggregates import mg_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = mg_sketch(li, "l_partkey", k=512)
+    d = int(sk.error_bound())
+    summary = spark.createDataFrame(
+        [(int(k.astype("int64")), int(c)) for k, c in
+         zip(sk.keys, sk.counts)], "mg_key long, mg_est long")
+    top = (li.groupBy("l_partkey").agg(F.count("*").alias("freq"))
+           .orderBy(F.desc("freq"), F.asc("l_partkey")).limit(20))
+    return (top.join(F.broadcast(summary),
+                     top["l_partkey"] == summary["mg_key"], "left")
+            .select("l_partkey", "freq",
+                    F.when(F.col("mg_est").isNotNull(),
+                           (F.col("mg_est") <= F.col("freq"))
+                           & (F.col("mg_est") >= F.col("freq") - d))
+                    .otherwise(F.col("freq") <= d)
+                    .alias("mg_within_bound"))
+            .orderBy(F.desc("freq"), F.asc("l_partkey")))
+
+
 def q_cqf_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CQF point counts (gqf.h qf_count_key_value): top-20 part keys with
     the CQF count equal to the exact frequency (48-bit fingerprints ->
@@ -947,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "hll_overlap": q_hll_overlap,
         "cms_topk_freq": q_cms_topk_freq,
+        "mg_topk_freq": q_mg_topk_freq,
         "cqf_topk_freq": q_cqf_topk_freq,
         "cqf_enumerate": q_cqf_enumerate,
         "kll_quantiles": q_kll_quantiles,
@@ -1106,6 +1135,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_topk_freq": """
             SELECT l_partkey, count(*) AS freq, TRUE AS cms_within_bound
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY freq DESC, l_partkey ASC LIMIT 20
+        """,
+        "mg_topk_freq": """
+            SELECT l_partkey, count(*) AS freq, TRUE AS mg_within_bound
             FROM lineitem GROUP BY l_partkey
             ORDER BY freq DESC, l_partkey ASC LIMIT 20
         """,

@@ -19,6 +19,7 @@ from ..kernels.bloom import BloomFilter
 from ..kernels.cms import CountMinSketch
 from ..kernels.hll import HyperLogLog
 from ..kernels.kll import KLLSketch
+from ..kernels.mg import MisraGries
 from .udaf import aggregate_sketch, keys_to_u64, require_key_col, tokens_to_u64
 
 
@@ -43,6 +44,29 @@ def hll_sketch(df: DataFrame, col: str, p: int = 14, seed: int = 0x5EED,
         from_bytes=HyperLogLog.from_bytes,
         fanout=fanout,
     )
+
+
+def mg_sketch(df: DataFrame, col: str, k: int = 256, fanout: int = 16,
+              final_compact: bool = False) -> MisraGries:
+    """Distributed Misra-Gries heavy hitters (the deterministic top-k
+    companion to ``cms_sketch``: exact keys, guaranteed undercount
+    bound). Per-partition compaction keeps each partial at <= k
+    counters; the tree merge is the exact sparse sum (associative), so
+    the result is partition-order independent and holds at most
+    ``num_partials * k`` entries. ``final_compact=True`` re-bounds the
+    returned summary to k entries (adds one more decrement step)."""
+    arr = _is_array_col(df, col)
+    out = aggregate_sketch(
+        df, col,
+        make=lambda: MisraGries(k=k),
+        update=lambda s, col_s: s.add_many(_series_to_keys(col_s, arr)),
+        merge=MisraGries.merge,
+        from_bytes=MisraGries.from_bytes,
+        fanout=fanout,
+    )
+    if final_compact:
+        out.compact()
+    return out
 
 
 def cms_sketch(df: DataFrame, col: str, eps: float = 0.0005, delta: float = 0.01,

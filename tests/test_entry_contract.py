@@ -104,7 +104,8 @@ ALL_QUERIES = [
     "blocked_bloom_membership", "grow_bloom_membership", "gcs_membership",
     "cf_mixed_probe", "cf_prefilter_join", "cf_prefilter_anti_join",
     "hll_distinct", "hll_overlap",
-    "cms_topk_freq", "cqf_topk_freq", "cqf_enumerate", "kll_quantiles",
+    "cms_topk_freq", "mg_topk_freq", "cqf_topk_freq", "cqf_enumerate",
+    "kll_quantiles",
     "tdigest_quantiles", "match_size", "count_distinct",
     "has_duplicates", "mixin_sample", "windowed_events", "text_stats",
     "winnow_fingerprint", "exact_dedup",

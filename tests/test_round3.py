@@ -565,3 +565,83 @@ def test_hll_overlap_estimate(spark):
     c = spark.range(100_000, 101_000).select(F.col("id").alias("k"))
     rd = hll_overlap(a, "k", c, "k", p=14, seed=11)
     assert rd["est_intersection"] <= rd["err_bound"]
+
+
+# -- Misra-Gries heavy hitters ------------------------------------------------
+def test_mg_kernel_guarantees():
+    """Deterministic MG guarantees on a planted heavy/tail stream:
+    present-key bracket [true-D, true], heavy keys present, D <=
+    n/(k+1), blob round-trip, and BIT-EXACT merge associativity (the
+    exact-sparse-sum merge protocol, unlike textbook MG merges)."""
+    import functools
+
+    from cuckoofilter_spark.kernels.mg import MisraGries
+
+    rng = np.random.default_rng(7)
+    heavy = np.repeat(np.arange(10, dtype=np.uint64), 5000)
+    tail = rng.integers(100, 100_000, size=200_000).astype(np.uint64)
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+
+    parts = np.array_split(stream, 7)
+    sks = []
+    for p in parts:
+        s = MisraGries(k=64)
+        s.add_many(p)
+        assert s.keys.size <= 64
+        sks.append(s)
+    fwd = functools.reduce(MisraGries.merge, sks)
+    rev = functools.reduce(MisraGries.merge, sks[::-1])
+    assert np.array_equal(fwd.keys, rev.keys)
+    assert np.array_equal(fwd.counts, rev.counts)
+    assert fwd.decremented == rev.decremented and fwd.n == rev.n
+
+    assert fwd.n == stream.size
+    assert fwd.decremented <= fwd.n // 65 + len(sks)
+    hk = np.arange(10, dtype=np.uint64)
+    true = np.array([5000 + int((tail == k).sum()) for k in hk])
+    est = fwd.estimate(hk)
+    assert (est > 0).all()  # heavy (freq > D) keys are always present
+    assert (est <= true).all() and (true <= est + fwd.decremented).all()
+
+    rt = MisraGries.from_bytes(fwd.to_bytes())
+    assert np.array_equal(rt.keys, fwd.keys)
+    assert np.array_equal(rt.counts, fwd.counts)
+    assert (rt.n, rt.decremented, rt.k) == (fwd.n, fwd.decremented, fwd.k)
+
+    fwd.compact()
+    assert fwd.keys.size <= 64
+    est2 = fwd.estimate(hk)
+    assert (est2 <= true).all() and (true <= est2 + fwd.decremented).all()
+
+    tk, tc = fwd.topk(5)
+    assert set(tk.tolist()) <= set(hk.tolist())
+    with pytest.raises(ValueError):
+        MisraGries.merge(MisraGries(k=64), MisraGries(k=32))
+
+
+def test_mg_sketch_spark_token_table(spark):
+    """mg_sketch over the tokens array column: summary estimates match
+    the MG bracket against exact Spark counts for the true top tokens."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.sketch.aggregates import mg_sketch
+    from cuckoofilter_spark.sources.tokens import tokens_table
+
+    toks = tokens_table(spark, 2000, seed=3, vocab_size=5000)
+    sk = mg_sketch(toks, "tokens", k=128)
+    exact = {r["t"]: r["c"] for r in
+             toks.select(F.explode("tokens").alias("t"))
+             .groupBy("t").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c")).limit(30).collect()}
+    d = sk.error_bound()
+    est = dict(zip((k.astype("int64") for k in sk.keys),
+                   (int(c) for c in sk.counts)))
+    for t, c in exact.items():
+        if c > d:
+            assert t in est, (t, c, d)
+        if t in est:
+            assert est[t] <= c <= est[t] + d, (t, est[t], c, d)
+    # determinism: identical second build
+    sk2 = mg_sketch(toks, "tokens", k=128)
+    assert sk2.to_bytes() == sk.to_bytes()
