@@ -34,6 +34,7 @@ from .kernels.hll import HyperLogLog
 from .kernels.shingle import ShingleFilter
 from .kernels.tail import TailFilter
 from .kernels.kll import KLLSketch
+from .kernels.mg import MisraGries
 from .kernels.tdigest import TDigest
 from .kernels.xor import XorFilter
 from .kernels.xorplus import Rank9, XorFilterPlus
@@ -53,6 +54,7 @@ __all__ = [
     "ShingleFilter",
     "TailFilter",
     "KLLSketch",
+    "MisraGries",
     "TDigest",
     "XorFilter",
     "XorFilterPlus",

@@ -34,12 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from ..kernels.cms import CountMinSketch
 from ..kernels.hll import HyperLogLog
 from ..kernels.kll import KLLSketch
-from ..sketch.aggregates import cms_sketch, hll_sketch, kll_sketch
+from ..kernels.mg import MisraGries
+from ..sketch.aggregates import cms_sketch, hll_sketch, kll_sketch, mg_sketch
 
 _KINDS = {
     "hll": (HyperLogLog, hll_sketch),
     "cms": (CountMinSketch, cms_sketch),
     "kll": (KLLSketch, kll_sketch),
+    "mg": (MisraGries, mg_sketch),
 }
 
 

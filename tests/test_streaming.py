@@ -147,3 +147,41 @@ def test_streaming_dedup_null_key_fails_explicitly(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="NULL in key column"):
         q.awaitTermination(180)
         raise AssertionError("NULL-key stream should have failed")
+
+
+def test_streaming_mg_state(spark, tmp_path):
+    """MG over foreachBatch state: replay of a micro-batch is a
+    bit-exact no-op (batch-id guard), totals are exact, and estimates
+    keep the MG bracket [true - D, true] for the true top tokens.
+    (Split-vs-whole bit-equality is NOT asserted: it only holds when
+    batch boundaries align with partition boundaries, since compaction
+    points differ otherwise — the guarantee is the bracket, not the
+    summary bytes.)"""
+    from pyspark.sql import functions as F
+
+    toks = tokens_table(spark, 600, seed=42).persist()
+    b0 = toks.where("doc_id < 'doc000000000300'")
+    b1 = toks.where("doc_id >= 'doc000000000300'")
+
+    st = StreamingSketchState(str(tmp_path / "mg"), "mg", "tokens", k=128)
+    st.update(b0, 0)
+    st.update(b1, 1)
+    mid = st.load().to_bytes()
+    st.update(b1, 1)  # replayed micro-batch must be a bit-exact no-op
+    streamed = st.load()
+    assert streamed.to_bytes() == mid
+
+    n_exact = toks.agg(F.sum("n_tok")).first()[0]
+    assert streamed.n == n_exact
+    d = streamed.error_bound()
+    assert d <= streamed.n // 129 + 64  # summed per-partial bound
+    top = (toks.select(F.explode("tokens").alias("t"))
+           .groupBy("t").agg(F.count("*").alias("c"))
+           .orderBy(F.desc("c")).limit(10).collect())
+    est = streamed.estimate(
+        np.array([r["t"] for r in top], dtype=np.uint64))
+    for e, r in zip(est, top):
+        if r["c"] > d:
+            assert e > 0, (r, d)
+        if e > 0:
+            assert e <= r["c"] <= e + d, (r, e, d)
