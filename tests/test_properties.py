@@ -96,3 +96,50 @@ def test_pack_unpack_roundtrip(tags, bits):
     buf = pack_tags(arr, bits)
     out = unpack_tags(buf, bits, arr.size)
     assert np.array_equal(out.astype(np.uint32), arr.astype(np.uint32))
+
+
+# -- Misra-Gries: bracket + merge-order invariance ---------------------------
+mg_streams = st.lists(st.integers(min_value=0, max_value=50),
+                      min_size=0, max_size=600).map(
+    lambda xs: np.array(xs, dtype=np.uint64))
+
+
+@given(mg_streams, st.integers(1, 20), st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_mg_bracket_and_exact_merge(stream, k, nparts):
+    """For ANY stream, split, and k: per-partial MG + exact-sum merge
+    keeps (a) est <= true <= est + D for present keys, (b) true <= D
+    for absent keys, (c) D <= n/(k+1) summed over partials, (d) merge
+    is bit-exactly order-invariant."""
+    import functools
+
+    from cuckoofilter_spark.kernels.mg import MisraGries
+
+    parts = np.array_split(stream, nparts)
+    sks = []
+    for p in parts:
+        s = MisraGries(k=k)
+        s.add_many(p)
+        assert s.keys.size <= k
+        assert s.decremented <= (p.size // (k + 1)) + 1
+        sks.append(s)
+    m = functools.reduce(MisraGries.merge, sks)
+    r = functools.reduce(MisraGries.merge, sks[::-1])
+    assert m.to_bytes() == r.to_bytes()
+    assert m.n == stream.size
+    assert m.decremented <= stream.size // (k + 1) + nparts
+
+    vals, true = np.unique(stream, return_counts=True) if stream.size \
+        else (np.empty(0, np.uint64), np.empty(0, np.int64))
+    est = m.estimate(vals)
+    present = est > 0
+    assert (est <= true).all()
+    assert (true[present] <= est[present] + m.decremented).all()
+    assert (true[~present] <= m.decremented).all()
+    # compaction preserves the bracket (with its own added decrement)
+    m.compact()
+    est2 = m.estimate(vals)
+    assert (est2 <= true).all()
+    p2 = est2 > 0
+    assert (true[p2] <= est2[p2] + m.decremented).all()
+    assert (true[~p2] <= m.decremented).all()
