@@ -107,3 +107,21 @@ def test_probe_filter_stays_in_scan_pipeline(spark):
     plan = _plan(probed)
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan  # the vectorized probe UDF
+
+def test_winnow_single_exchange(spark, entry):
+    """winnow_fingerprints runs on ONE exchange: the k-gram lead()
+    windows, the sliding-min window, and the final (doc_id, fp)
+    distinct all reuse the hashpartitioning(doc_id) of the exploded
+    words (a doc_id partitioning satisfies the (doc_id, fp) grouping
+    distribution), so the operator shuffles the words exactly once."""
+    df = entry.queries()["winnow_fingerprint"](spark, SF_DIR)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Exchange") == 1, executed
+
+
+def test_mg_summary_join_broadcasts(spark, entry):
+    """The MG bracket audit joins the tiny summary via broadcast —
+    never a shuffle join against the exact aggregate."""
+    plan = _plan(entry.queries()["mg_topk_freq"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
