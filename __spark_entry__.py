@@ -666,6 +666,51 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "doc_id", "text", k=3, w=4)
 
 
+# Per-lang keep percentages for the stratified-sampling query — the
+# corpus-mixture spec a training pipeline expresses per language/source.
+_STRAT_RATES = {"en": 80, "de": 50, "es": 25, "fr": 10, "zh": 100}
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): lay documents'
+    tokens end-to-end in doc_id order, cut every 256 tokens, report
+    per-chunk occupancy. The prefix sum is hierarchical (bucketed
+    window + tiny broadcast offsets), never a one-task global window —
+    see ops/packing.py."""
+    from cuckoofilter_spark.ops.packing import pack_chunks
+    from cuckoofilter_spark.ops.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_chunks(d, "doc_id", token_count("text"),
+                       chunk_size=256, bucket_docs=64)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling: md5-LE64 hash
+    threshold per stratum (the distributed, replayable replacement for
+    the reference's reservoir sampler, benchmarks/random.h:73-93).
+    Per-lang kept docs + kept chars."""
+    from cuckoofilter_spark.ops.packing import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_sample(d, "doc_id", "lang", _STRAT_RATES)
+    return (s.groupBy("lang")
+            .agg(F.count("*").alias("kept_docs"),
+                 F.sum("n_chars").alias("kept_chars"))
+            .orderBy("lang"))
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 vocabulary coverage / OOV rate per language: one word
+    frequency aggregation, deterministic tie-broken top-V, broadcast
+    membership join — integer micro-rate for bit-exact cross-engine
+    comparison."""
+    from cuckoofilter_spark.ops.text import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"),
+                          "text", "lang", vocab_size=10)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.ops.dedup import exact_dedup
 
@@ -987,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "text_stats": q_text_stats,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "sequence_pack": q_sequence_pack,
+        "stratified_sample": q_stratified_sample,
+        "vocab_coverage": q_vocab_coverage,
         "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1234,6 +1282,59 @@ def oracle_sql() -> dict[str, str]:
                          ELSE [list_min(G)] END) AS FPS
                   FROM g)
             SELECT doc_id, unnest(FPS) AS fp FROM f
+        """,
+        # Concat-and-chunk packing: DuckDB states the textbook single
+        # global cumsum; the Spark side computes the SAME prefix sums
+        # hierarchically (bucketed windows + broadcast bucket offsets).
+        "sequence_pack": f"""
+            WITH d AS (SELECT doc_id, len({_WORDS}) AS l FROM documents),
+            f AS (SELECT doc_id, CAST(l AS BIGINT) AS l FROM d WHERE l > 0),
+            s AS (SELECT doc_id, l,
+                         CAST(COALESCE(SUM(l) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS st
+                  FROM f),
+            e AS (SELECT doc_id, st, st + l AS fin,
+                         unnest(range(st // 256, (st + l - 1) // 256 + 1))
+                             AS chunk_id
+                  FROM s)
+            SELECT chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LEAST(fin, (chunk_id + 1) * 256)
+                            - GREATEST(st, chunk_id * 256)) AS BIGINT)
+                       AS tok_filled,
+                   MIN(doc_id) AS first_doc,
+                   MAX(doc_id) AS last_doc
+            FROM e GROUP BY chunk_id ORDER BY chunk_id
+        """,
+        # Stratified sampling: md5-LE64 threshold per lang — the same
+        # 62-bit-masked cross-engine hash as simhash/winnow oracles.
+        "stratified_sample": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS kept_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            FROM documents
+            WHERE (CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || '#strat')
+                        & 4611686018427387903 AS BIGINT) % 100)
+                  < (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+                               WHEN 'es' THEN 25 WHEN 'fr' THEN 10
+                               WHEN 'zh' THEN 100 ELSE 0 END)
+            GROUP BY lang ORDER BY lang
+        """,
+        "vocab_coverage": f"""
+            WITH toks AS (SELECT lang AS grp, unnest({_WORDS}) AS w
+                          FROM documents),
+            vocab AS (SELECT w FROM toks GROUP BY w
+                      ORDER BY count(*) DESC, w ASC LIMIT 10),
+            agg AS (SELECT grp,
+                           CAST(count(*) AS BIGINT) AS total_tokens,
+                           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                               AS BIGINT) AS oov_tokens
+                    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+                    GROUP BY grp)
+            SELECT grp, total_tokens, oov_tokens,
+                   (oov_tokens * 1000000) // total_tokens AS oov_rate_e6
+            FROM agg ORDER BY grp
         """,
         "exact_dedup": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents)

@@ -1,0 +1,137 @@
+"""Corpus packing and sampling operators for training-data pipelines.
+
+Two ops a pre-training data pipeline runs right after dedup/quality
+filtering, re-expressed Spark-first:
+
+- ``pack_chunks``: concat-and-chunk sequence packing — lay every
+  document's tokens end-to-end in a deterministic global order and cut
+  the stream into fixed-size context windows (the GPT-style packing
+  step that turns a cleaned corpus into training examples).
+- ``stratified_sample``: deterministic per-stratum hash-threshold
+  sampling (per-source/per-language mixture control), the stateless
+  distributed replacement for the reference harness's reservoir
+  sampler (benchmarks/random.h:73-93), extended from the single-rate
+  ``mix_in`` to a rate-per-stratum map.
+
+Both are pure Spark built-ins (whole-stage codegen, no Python in the
+hot path) and are defined by rules simple enough to restate in ANSI
+SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import md5_le64
+
+# 62-bit mask: keeps the cross-engine md5 hash non-negative in BOTH
+# Spark's int64 and DuckDB's reading, so `% modulus` agrees (C-style
+# signed % differs between engines only on negative operands).
+_MASK62 = (1 << 62) - 1
+
+
+def pack_chunks(df: DataFrame, id_col: str, len_col,
+                chunk_size: int = 256, bucket_docs: int = 64) -> DataFrame:
+    """Concat-and-chunk packing: per-chunk occupancy stats.
+
+    Documents are concatenated in ``id_col`` order (ids must be unique
+    integers) and the token stream is cut every ``chunk_size`` tokens;
+    a document whose span crosses a cut contributes to both chunks
+    (real pipelines insert the split there). Returns one row per chunk:
+
+      chunk_id, n_docs (documents overlapping the chunk), tok_filled
+      (== chunk_size except the last chunk), first_doc, last_doc.
+
+    Scale shape — the textbook formulation is a single global
+    cumulative sum, which in Spark is ``Window.orderBy(id)`` with NO
+    partitionBy: every row lands in ONE task (Spark even warns). This
+    op instead computes the prefix sum hierarchically, the way a
+    1000-executor job must:
+
+      1. bucket = id DIV bucket_docs — deterministic, contiguous,
+         ORDERED ranges (no sampling-based RangePartitioner, so the
+         assignment is reproducible across engines and retries);
+      2. within-bucket running sum: a window partitioned BY bucket
+         (parallel, each task sees <= bucket_docs rows);
+      3. bucket offsets: one tiny aggregate (n/bucket_docs rows) whose
+         own prefix sum runs single-task but over thousands of rows,
+         then broadcast-joined back.
+
+    At 10^12 docs with bucket_docs=10^6 the offsets frame is 10^6 rows
+    (~16 MB broadcast) — pick ``bucket_docs`` ~ sqrt(n) to balance.
+    The explode emits ceil(len/chunk_size)+1 rows per doc — linear in
+    corpus tokens / chunk_size.
+
+    ``len_col`` may be a column name or Column (e.g. a token count
+    expression); rows with len <= 0 carry no tokens and are dropped.
+    """
+    lc = F.col(len_col) if isinstance(len_col, str) else len_col
+    base = (df.select(F.col(id_col).cast("long").alias("_id"),
+                      lc.cast("long").alias("_len"))
+              .where(F.col("_len") > 0)
+              .withColumn("_b", F.col("_id") - (F.col("_id") % bucket_docs)))
+
+    w_in = (Window.partitionBy("_b").orderBy("_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    within = base.withColumn("_wstart", F.coalesce(F.sum("_len").over(w_in),
+                                                   F.lit(0)))
+
+    totals = base.groupBy("_b").agg(F.sum("_len").alias("_btot"))
+    w_b = (Window.orderBy("_b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn("_boff", F.coalesce(F.sum("_btot").over(w_b),
+                                                    F.lit(0))).drop("_btot")
+
+    placed = (within.join(F.broadcast(offsets), "_b")
+              .withColumn("_start", F.col("_boff") + F.col("_wstart"))
+              .withColumn("_end", F.col("_start") + F.col("_len")))
+
+    # DIV, not `/`: float division round-trips through double and loses
+    # exactness past 2^53 token offsets (a 100 TB corpus is ~10^13-10^14
+    # tokens — squarely past it).
+    c = F.lit(int(chunk_size)).cast("long")
+    spans = placed.select(
+        "_id", "_start", "_end",
+        F.explode(F.sequence(F.expr(f"_start DIV {int(chunk_size)}L"),
+                             F.expr(f"(_end - 1L) DIV {int(chunk_size)}L"))
+                  ).alias("chunk_id"))
+    overlap = (F.least(F.col("_end"), (F.col("chunk_id") + 1) * c)
+               - F.greatest(F.col("_start"), F.col("chunk_id") * c))
+    return (spans
+            .withColumn("_ov", overlap)
+            .groupBy("chunk_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_ov").alias("tok_filled"),
+                 F.min("_id").alias("first_doc"),
+                 F.max("_id").alias("last_doc"))
+            .orderBy("chunk_id"))
+
+
+def stratum_rate(strata_col: str, rates: dict[str, int],
+                 default_pct: int = 0) -> Column:
+    """CASE-chain per-stratum keep percentage (0..100)."""
+    expr = F.lit(int(default_pct))
+    for k, v in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == k, int(v)).otherwise(expr)
+    return expr
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      rates: dict[str, int], default_pct: int = 0,
+                      salt: str = "#strat") -> DataFrame:
+    """Keep each row iff md5-LE64(id || salt) mod 100 < rate[stratum].
+
+    Deterministic mixture control: the same (id, salt) always lands on
+    the same side, on any engine (the md5-LE64 cross-engine hash,
+    ops/text.py), with no RNG state — so a 10^12-row sample is
+    reproducible, resumable, and embarrassingly parallel (pure filter,
+    no shuffle, pushed past the scan's column pruning). Replaces the
+    sequential reservoir of benchmarks/random.h:73-93 the same way
+    ``mix_in`` does, but with a rate per stratum, which is how real
+    corpus mixtures (per-source / per-language weights) are specified.
+
+    ``rates``: stratum value -> keep percentage (integer 0..100).
+    """
+    h = md5_le64(F.col(id_col).cast("string"), salt).bitwiseAND(F.lit(_MASK62))
+    keep = (h % 100) < stratum_rate(strata_col, rates, default_pct)
+    return df.where(keep)

@@ -233,3 +233,42 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(quality, 6).alias("quality"),
         F.md5(F.concat_ws(" ", F.col("W"))).alias("fingerprint"),
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str, group_col: str,
+                   vocab_size: int = 10) -> DataFrame:
+    """Tokenizer-vocabulary coverage / OOV rate per group.
+
+    Builds the top-``vocab_size`` words by corpus frequency (ties broken
+    by word ascending, so the vocabulary is deterministic — an untied
+    ``ORDER BY count DESC LIMIT V`` is engine-dependent at the rank-V
+    boundary) and reports, per ``group_col``: total token occurrences,
+    occurrences outside the vocabulary, and the OOV rate as an exact
+    integer micro-rate (``oov*1e6 DIV total`` — bit-exact cross-engine,
+    see q_token_count_total's note on float last-digit ambiguity).
+
+    This is the vocabulary-budget question a tokenizer/training pipeline
+    asks of a corpus ("what % of tokens does a V-entry vocab cover, per
+    language/source?").
+
+    Scale shape: ONE exploded-word frequency aggregation (map-side
+    partial combine, shuffle keyed by word), a driver-free top-V via
+    window-free sort-limit (V rows), then a BROADCAST left-anti-ish
+    membership join of the tiny vocab against the exploded stream —
+    no second wide shuffle on words; the final per-group aggregate is
+    keyed by the (small) group column.
+    """
+    toks = df.select(F.col(group_col).alias("grp"),
+                     F.explode(words(text_col)).alias("w"))
+    vocab = (toks.groupBy("w").agg(F.count("*").alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("w").asc())
+             .limit(int(vocab_size))
+             .select("w", F.lit(True).alias("in_vocab")))
+    return (toks.join(F.broadcast(vocab), "w", "left")
+            .groupBy("grp")
+            .agg(F.count("*").alias("total_tokens"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                       ).alias("oov_tokens"))
+            .withColumn("oov_rate_e6",
+                        F.expr("oov_tokens * 1000000 DIV total_tokens"))
+            .orderBy("grp"))
