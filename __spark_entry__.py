@@ -666,6 +666,26 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "doc_id", "text", k=3, w=4)
 
 
+def q_spooky_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical string-item path (cuckoofilter.h:69):
+    SpookyHash64 the byte string, then partial-key cuckoo membership.
+    Keys are each document's "doc<id>" UTF-8 bytes, hashed by the
+    bit-exact SpookyV2 kernel (golden-vectored against the compiled
+    reference, tests/test_bytehash.py); probing the member set itself
+    makes the result exact via the no-false-negative guarantee, which
+    the oracle restates directly."""
+    from cuckoofilter_spark.sketch.membership import (
+        cuckoo_build, cuckoo_contains_col)
+    from cuckoofilter_spark.sketch.strhash import spooky64_col
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("k", spooky64_col(
+             F.concat(F.lit("doc"), F.col("doc_id").cast("string")))))
+    filt = cuckoo_build(d, "k", bits=16, seed=SEED, num_shards=8)
+    return (d.withColumn("hit", cuckoo_contains_col(spark, filt, "k"))
+            .where("hit").select(F.col("doc_id").alias("member_doc")))
+
+
 # Per-lang keep percentages for the stratified-sampling query — the
 # corpus-mixture spec a training pipeline expresses per language/source.
 _STRAT_RATES = {"en": 80, "de": 50, "es": 25, "fr": 10, "zh": 100}
@@ -1032,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "text_stats": q_text_stats,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "spooky_membership": q_spooky_membership,
         "sequence_pack": q_sequence_pack,
         "stratified_sample": q_stratified_sample,
         "vocab_coverage": q_vocab_coverage,
@@ -1282,6 +1303,12 @@ def oracle_sql() -> dict[str, str]:
                          ELSE [list_min(G)] END) AS FPS
                   FROM g)
             SELECT doc_id, unnest(FPS) AS fp FROM f
+        """,
+        # Probing the member set itself: no false negatives => every
+        # doc is found; the SpookyHash64 keyify is golden-vectored
+        # against the compiled reference rather than restated in SQL.
+        "spooky_membership": """
+            SELECT doc_id AS member_doc FROM documents
         """,
         # Concat-and-chunk packing: DuckDB states the textbook single
         # global cumsum; the Spark side computes the SAME prefix sums

@@ -108,7 +108,8 @@ ALL_QUERIES = [
     "kll_quantiles",
     "tdigest_quantiles", "match_size", "count_distinct",
     "has_duplicates", "mixin_sample", "windowed_events", "text_stats",
-    "winnow_fingerprint", "sequence_pack", "stratified_sample",
+    "winnow_fingerprint", "spooky_membership",
+    "sequence_pack", "stratified_sample",
     "vocab_coverage", "exact_dedup",
     "corpus_filter",
     "jaccard_pairs", "minhash_lsh_pairs", "dedup_clusters", "simhash_pairs",
