@@ -33,8 +33,6 @@ algorithm description.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 import numpy as np
 
 U32 = np.uint32
@@ -52,25 +50,70 @@ def _rotl32(x: np.ndarray, k: int) -> np.ndarray:
     return (x << U32(k)) | (x >> U32(32 - k))
 
 
-def _pad_matrix(items: Sequence[bytes], align: int,
+def _as_flat(items) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize input to an Arrow-style (flat uint8 buffer, int64
+    offsets[n+1]) pair — the zero-Python-per-string layout every kernel
+    consumes. Accepts that pair directly, or any sequence of
+    bytes/str; sequences go through pyarrow's C conversion (~20x the
+    throughput of a per-string Python loop), with a pure-Python
+    fallback if pyarrow is unavailable."""
+    if isinstance(items, tuple) and len(items) == 2:
+        buf, off = items
+        return (np.asarray(buf, dtype=np.uint8),
+                np.asarray(off, dtype=np.int64))
+    try:
+        import pyarrow as pa
+
+        first = next((x for x in items if x is not None), b"")
+        typ = pa.large_string() if isinstance(first, str) else pa.large_binary()
+        arr = pa.array(items, type=typ)
+        if typ == pa.large_string():
+            arr = arr.cast(pa.large_binary())
+        if arr.offset:  # defensive: freshly built arrays start at 0
+            arr = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1)
+        nbytes = int(off[-1])
+        buf = (np.frombuffer(bufs[2], dtype=np.uint8, count=nbytes)
+               if bufs[2] is not None and nbytes
+               else np.empty(0, dtype=np.uint8))
+        return buf, off
+    except ImportError:
+        blob = b"".join(x.encode() if isinstance(x, str) else x
+                        for x in items)
+        lens = np.fromiter(((len(x.encode()) if isinstance(x, str)
+                             else len(x)) for x in items),
+                           dtype=np.int64, count=len(items))
+        off = np.concatenate([[0], np.cumsum(lens)])
+        return np.frombuffer(blob, dtype=np.uint8), off
+
+
+def _pad_matrix(buf: np.ndarray, off: np.ndarray, align: int,
                 extra: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-padded (n, L) uint8 matrix + int64 lengths; L is a multiple
-    of ``align`` and at least ``align + extra`` so tail reads never run
-    off the row."""
-    lens = np.fromiter((len(b) for b in items), dtype=np.int64,
-                       count=len(items))
+    """Zero-padded (n, L) uint8 matrix + int64 lengths from the flat
+    layout, via ONE vectorized scatter (no per-string loop); L is a
+    multiple of ``align`` and at least ``align + extra`` so tail reads
+    never run off the row."""
+    lens = np.diff(off)
+    n = lens.size
     maxlen = int(lens.max(initial=0)) + extra
     width = max(align, -(-maxlen // align) * align)
-    m = np.zeros((len(items), width), dtype=np.uint8)
-    for i, b in enumerate(items):
-        if b:
-            m[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    m = np.zeros((n, width), dtype=np.uint8)
+    seg = buf[off[0]:off[-1]]
+    if seg.size:
+        # dest[j] = row(j)*width + (j - rowstart(j)) — one repeat, not
+        # two (per-byte index vectors are the dominant cost here)
+        rowpad = np.arange(n, dtype=np.int64) * width - (off[:-1] - off[0])
+        dest = np.arange(seg.size, dtype=np.int64) + np.repeat(rowpad, lens)
+        m.reshape(-1)[dest] = seg
     return m, lens
 
 
-def _chunks(items: Sequence[bytes]):
-    for lo in range(0, len(items), _CHUNK):
-        yield lo, items[lo:lo + _CHUNK]
+def _chunks(off: np.ndarray):
+    n = off.size - 1
+    for lo in range(0, n, _CHUNK):
+        hi = min(lo + _CHUNK, n)
+        yield lo, off[lo:hi + 1]
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +140,7 @@ def _bob_final(a, b, c):
     return a, b, c
 
 
-def _bob_chunk(chunk: Sequence[bytes], c_extra: int,
+def _bob_chunk(buf: np.ndarray, off: np.ndarray, c_extra: int,
                seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Shared lookup3 core: returns final (b, c) per string.
 
@@ -105,7 +148,7 @@ def _bob_chunk(chunk: Sequence[bytes], c_extra: int,
     hashlittle2 (hashutil.cc:319): same init then c += *idx2; results
     (*idx1, *idx2) = (c, b).
     """
-    m, lens = _pad_matrix(chunk, 12, extra=12)
+    m, lens = _pad_matrix(buf, off, 12, extra=12)
     w = m.view("<u4").reshape(m.shape[0], -1)
     init = U32(0xDEADBEEF) + lens.astype(np.uint32) + U32(seed & 0xFFFFFFFF)
     a = init.copy()
@@ -144,38 +187,41 @@ def _bob_chunk(chunk: Sequence[bytes], c_extra: int,
     return b_out, c_out
 
 
-def bob_hash32(items: Sequence[bytes], seed: int = 0) -> np.ndarray:
+def bob_hash32(items, seed: int = 0) -> np.ndarray:
     """lookup3 hashlittle — HashUtil::BobHash (hashutil.cc:60-317)."""
-    out = np.empty(len(items), dtype=np.uint32)
-    for lo, chunk in _chunks(items):
-        _, c = _bob_chunk(chunk, 0, seed)
-        out[lo:lo + len(chunk)] = c
+    buf, off = _as_flat(items)
+    out = np.empty(off.size - 1, dtype=np.uint32)
+    for lo, o in _chunks(off):
+        _, c = _bob_chunk(buf, o, 0, seed)
+        out[lo:lo + o.size - 1] = c
     return out
 
 
-def bob_hash2(items: Sequence[bytes], seed1: int = 0,
+def bob_hash2(items, seed1: int = 0,
               seed2: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """lookup3 hashlittle2, the two-index cuckoo form —
     HashUtil::BobHash(buf, len, idx1, idx2) (hashutil.cc:319-577).
     Returns (idx1, idx2); "use idx1 before idx2" per the header note."""
-    i1 = np.empty(len(items), dtype=np.uint32)
-    i2 = np.empty(len(items), dtype=np.uint32)
-    for lo, chunk in _chunks(items):
-        b, c = _bob_chunk(chunk, seed2, seed1)
-        i1[lo:lo + len(chunk)] = c
-        i2[lo:lo + len(chunk)] = b
+    buf, off = _as_flat(items)
+    i1 = np.empty(off.size - 1, dtype=np.uint32)
+    i2 = np.empty(off.size - 1, dtype=np.uint32)
+    for lo, o in _chunks(off):
+        b, c = _bob_chunk(buf, o, seed2, seed1)
+        i1[lo:lo + o.size - 1] = c
+        i2[lo:lo + o.size - 1] = b
     return i1, i2
 
 
 # ---------------------------------------------------------------------------
 # MurmurHash2 (32-bit)
 # ---------------------------------------------------------------------------
-def murmur2_32(items: Sequence[bytes], seed: int = 0) -> np.ndarray:
+def murmur2_32(items, seed: int = 0) -> np.ndarray:
     """HashUtil::MurmurHash (hashutil.cc:600-644), Appleby MurmurHash2."""
     M = U32(0x5BD1E995)
-    out = np.empty(len(items), dtype=np.uint32)
-    for lo, chunk in _chunks(items):
-        m, lens = _pad_matrix(chunk, 4, extra=4)
+    buf, off = _as_flat(items)
+    out = np.empty(off.size - 1, dtype=np.uint32)
+    for lo, o in _chunks(off):
+        m, lens = _pad_matrix(buf, o, 4, extra=4)
         w = m.view("<u4").reshape(m.shape[0], -1)
         h = U32(seed & 0xFFFFFFFF) ^ lens.astype(np.uint32)
         nw = lens // 4
@@ -194,20 +240,21 @@ def murmur2_32(items: Sequence[bytes], seed: int = 0) -> np.ndarray:
         h ^= h >> U32(13)
         h *= M
         h ^= h >> U32(15)
-        out[lo:lo + len(chunk)] = h
+        out[lo:lo + o.size - 1] = h
     return out
 
 
 # ---------------------------------------------------------------------------
 # SuperFastHash (Hsieh)
 # ---------------------------------------------------------------------------
-def superfast_hash(items: Sequence[bytes]) -> np.ndarray:
+def superfast_hash(items) -> np.ndarray:
     """HashUtil::SuperFastHash (hashutil.cc:651-698). The tail cases
     read ``const char`` — SIGNED bytes — so data[i] sign-extends before
     widening (cases 1 and 3); the golden vectors pin that detail."""
-    out = np.empty(len(items), dtype=np.uint32)
-    for lo, chunk in _chunks(items):
-        m, lens = _pad_matrix(chunk, 4, extra=4)
+    buf, off = _as_flat(items)
+    out = np.empty(off.size - 1, dtype=np.uint32)
+    for lo, o in _chunks(off):
+        m, lens = _pad_matrix(buf, o, 4, extra=4)
         w16 = m.view("<u2").reshape(m.shape[0], -1)
         h = lens.astype(np.uint32)
         n4 = lens >> 2
@@ -246,25 +293,30 @@ def superfast_hash(items: Sequence[bytes]) -> np.ndarray:
         h ^= h << U32(25)
         h += h >> U32(6)
         h = np.where(lens == 0, U32(0), h)
-        out[lo:lo + len(chunk)] = h
+        out[lo:lo + o.size - 1] = h
     return out
 
 
 # ---------------------------------------------------------------------------
 # NullHash
 # ---------------------------------------------------------------------------
-def null_hash(items: Sequence[bytes], shiftbytes: int = 0) -> np.ndarray:
+def null_hash(items, shiftbytes: int = 0) -> np.ndarray:
     """HashUtil::NullHash (hashutil.cc:704-715): big-endian-style read
     of the 4 SIGNED chars ending ``shiftbytes`` from the end, summed
-    (sign extension included — it's in the reference, so it's here)."""
-    out = np.zeros(len(items), dtype=np.uint32)
-    for i, b in enumerate(items):
-        if len(b) - shiftbytes < 4:
-            continue
-        p = len(b) - shiftbytes - 4
-        d = np.frombuffer(b[p:p + 4], dtype=np.int8).astype(np.int64)
-        out[i] = U32((d[0] << 24) + (d[1] << 16) + (d[2] << 8) + d[3]
-                     & 0xFFFFFFFF)
+    (sign extension included — it's in the reference, so it's here).
+    The reference's guard does the `length - shiftbytes < 4` compare in
+    size_t and wraps for length < shiftbytes (an out-of-bounds read);
+    we compare signed and return 0 instead."""
+    buf, off = _as_flat(items)
+    lens = np.diff(off)
+    out = np.zeros(lens.size, dtype=np.uint32)
+    ok = lens - shiftbytes >= 4
+    if ok.any():
+        p = (off[:-1] + lens - shiftbytes - 4)[ok]
+        sb = buf.view(np.int8)
+        v = (sb[p].astype(np.int64) << 24) + (sb[p + 1].astype(np.int64) << 16) \
+            + (sb[p + 2].astype(np.int64) << 8) + sb[p + 3]
+        out[ok] = (v & 0xFFFFFFFF).astype(np.uint32)
     return out
 
 
@@ -302,9 +354,10 @@ def _short_end(a, b, c, d):
     return a, b, c, d
 
 
-def _spooky_short(chunk: Sequence[bytes], seed: int) -> np.ndarray:
-    """SpookyHash::Short (SpookyV2.cpp:21-118) for lengths < 192."""
-    m, lens = _pad_matrix(chunk, 16, extra=16)
+def _spooky_short(m: np.ndarray, lens: np.ndarray, seed: int) -> np.ndarray:
+    """SpookyHash::Short (SpookyV2.cpp:21-118) for lengths < 192.
+    ``m`` is the zero-padded row matrix for these lanes (width is a
+    multiple of 8 and covers every tail read)."""
     w = m.view("<u8").reshape(m.shape[0], -1)
     s = U64(seed & 0xFFFFFFFFFFFFFFFF)
     n = m.shape[0]
@@ -369,9 +422,10 @@ def _end_partial(h: list[np.ndarray]):
     return h
 
 
-def _spooky_long(chunk: Sequence[bytes], seed: int) -> np.ndarray:
-    """SpookyHash::Hash128 long path (SpookyV2.cpp:127-186), >= 192 B."""
-    m, lens = _pad_matrix(chunk, 96, extra=96)
+def _spooky_long(m: np.ndarray, lens: np.ndarray, seed: int) -> np.ndarray:
+    """SpookyHash::Hash128 long path (SpookyV2.cpp:127-186), >= 192 B.
+    ``m`` is the zero-padded row matrix (width a multiple of 96, with a
+    full extra block so the last partial-block read stays in-row)."""
     w = m.view("<u8").reshape(m.shape[0], -1)
     s = U64(seed & 0xFFFFFFFFFFFFFFFF)
     n = m.shape[0]
@@ -401,23 +455,23 @@ def _spooky_long(chunk: Sequence[bytes], seed: int) -> np.ndarray:
     return h[0]
 
 
-def spooky_hash64(items: Sequence[bytes], seed: int = 0) -> np.ndarray:
+def spooky_hash64(items, seed: int = 0) -> np.ndarray:
     """SpookyHash::Hash64 — HashUtil::SpookyHash (hashutil.cc:583-586).
 
     Hash64 seeds both 128-bit lanes with ``seed`` and returns lane 0
     (SpookyV2.hpp Hash64). Strings < 192 bytes take the Short path,
-    longer ones the 12-lane 96-byte-block path, exactly as upstream."""
-    out = np.empty(len(items), dtype=np.uint64)
-    for lo, chunk in _chunks(items):
-        lens = np.fromiter((len(b) for b in chunk), dtype=np.int64,
-                           count=len(chunk))
+    longer ones the 12-lane 96-byte-block path, exactly as upstream.
+    One padded matrix per chunk serves both paths (width is a multiple
+    of 96, which satisfies the Short path's 16-byte alignment too)."""
+    buf, off = _as_flat(items)
+    out = np.empty(off.size - 1, dtype=np.uint64)
+    for lo, o in _chunks(off):
+        m, lens = _pad_matrix(buf, o, 96, extra=96)
         is_short = lens < 192
-        res = np.empty(len(chunk), dtype=np.uint64)
-        sidx = np.flatnonzero(is_short)
-        lidx = np.flatnonzero(~is_short)
-        if sidx.size:
-            res[sidx] = _spooky_short([chunk[i] for i in sidx], seed)
-        if lidx.size:
-            res[lidx] = _spooky_long([chunk[i] for i in lidx], seed)
-        out[lo:lo + len(chunk)] = res
+        res = np.empty(lens.size, dtype=np.uint64)
+        if is_short.any():
+            res[is_short] = _spooky_short(m[is_short], lens[is_short], seed)
+        if not is_short.all():
+            res[~is_short] = _spooky_long(m[~is_short], lens[~is_short], seed)
+        out[lo:lo + lens.size] = res
     return out

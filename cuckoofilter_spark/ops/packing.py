@@ -35,7 +35,9 @@ def pack_chunks(df: DataFrame, id_col: str, len_col,
     """Concat-and-chunk packing: per-chunk occupancy stats.
 
     Documents are concatenated in ``id_col`` order (ids must be unique
-    integers) and the token stream is cut every ``chunk_size`` tokens;
+    NON-NEGATIVE integers — the bucket formula id - id % bucket_docs
+    relies on sign-stable %) and the token stream is cut every
+    ``chunk_size`` tokens;
     a document whose span crosses a cut contributes to both chunks
     (real pipelines insert the split there). Returns one row per chunk:
 

@@ -31,11 +31,10 @@ def _wrap64(fn, seed: int):
     def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
             mask = s.notna()
-            items = [x.encode() if isinstance(x, str) else bytes(x)
-                     for x in s[mask]]
+            sub = s[mask]  # Series goes straight to the Arrow-flat path
             out = np.zeros(len(s), dtype=np.int64)
-            if items:
-                out[mask.to_numpy()] = fn(items, seed).view(np.int64)
+            if len(sub):
+                out[mask.to_numpy()] = fn(sub, seed).view(np.int64)
             res = pd.Series(out)
             res[~mask] = None
             yield res
@@ -48,11 +47,10 @@ def _wrap32(fn, *args):
     def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
             mask = s.notna()
-            items = [x.encode() if isinstance(x, str) else bytes(x)
-                     for x in s[mask]]
+            sub = s[mask]
             out = np.zeros(len(s), dtype=np.int64)
-            if items:
-                out[mask.to_numpy()] = fn(items, *args).astype(np.int64)
+            if len(sub):
+                out[mask.to_numpy()] = fn(sub, *args).astype(np.int64)
             res = pd.Series(out)
             res[~mask] = None
             yield res

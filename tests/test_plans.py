@@ -125,3 +125,38 @@ def test_mg_summary_join_broadcasts(spark, entry):
     plan = _plan(entry.queries()["mg_topk_freq"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_is_exchange_free(spark, entry):
+    """stratified_sample is a pure filter: the sampling itself must add
+    NO exchange before the final tiny per-lang aggregate (one shuffle
+    for the groupBy, nothing for the sampling)."""
+    from cuckoofilter_spark.ops.packing import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(stratified_sample(docs, "doc_id", "lang", {"en": 50}))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_chunks_hierarchical_scan(spark):
+    """sequence_pack's prefix sum must be the hierarchical form: the
+    doc-side window is PARTITIONED by the id-range bucket (never the
+    one-task global window) and the bucket offsets come back via a
+    broadcast join."""
+    from cuckoofilter_spark.ops.packing import pack_chunks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(pack_chunks(docs, "doc_id", F.col("n_chars"),
+                             chunk_size=256, bucket_docs=64))
+    assert "BroadcastHashJoin" in plan, plan
+    # both windows exist; the doc-side one carries the bucket key
+    assert "windowspecdefinition(_b" in plan, plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, entry):
+    """The top-V vocab is tiny and must broadcast onto the exploded
+    token stream (no second wide shuffle keyed by word), and the top-V
+    itself must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(entry.queries()["vocab_coverage"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
