@@ -185,3 +185,36 @@ def test_streaming_mg_state(spark, tmp_path):
             assert e > 0, (r, d)
         if e > 0:
             assert e <= r["c"] <= e + d, (r, e, d)
+
+
+def test_stateless_corpus_ops_compose_on_streams(spark, tmp_path):
+    """stratified_sample and the strhash keyify are stateless row ops,
+    so the SAME code path must run under Structured Streaming unchanged
+    (no batch/stream fork in the library) and produce exactly the batch
+    answer once the stream drains."""
+    from cuckoofilter_spark.ops.packing import stratified_sample
+    from cuckoofilter_spark.sketch.strhash import murmur32_col
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "zh", f"d{i}") for i in range(300)],
+        "doc_id long, lang string, name string")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    def pipe(df):
+        s = stratified_sample(df, "doc_id", "lang", {"en": 40, "zh": 100})
+        return s.withColumn("h", murmur32_col("name", seed=9))
+
+    batch_rows = {tuple(r) for r in pipe(docs).collect()}
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (pipe(stream).writeStream.format("memory").queryName("corpus_ops")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.awaitTermination(120)
+    assert not q.isActive
+    stream_rows = {tuple(r) for r in spark.sql(
+        "SELECT * FROM corpus_ops").collect()}
+    assert stream_rows == batch_rows and len(batch_rows) > 0
