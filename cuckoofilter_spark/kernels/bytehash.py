@@ -57,7 +57,10 @@ def _as_flat(items) -> tuple[np.ndarray, np.ndarray]:
     bytes/str; sequences go through pyarrow's C conversion (~20x the
     throughput of a per-string Python loop), with a pure-Python
     fallback if pyarrow is unavailable."""
-    if isinstance(items, tuple) and len(items) == 2:
+    if (isinstance(items, tuple) and len(items) == 2
+            and not isinstance(items[0], (bytes, str))):
+        # a (buf, offsets) pair — NOT a 2-tuple of strings, which would
+        # misparse silently
         buf, off = items
         return (np.asarray(buf, dtype=np.uint8),
                 np.asarray(off, dtype=np.int64))
