@@ -39,6 +39,7 @@ U32 = np.uint32
 U64 = np.uint64
 
 _CHUNK = 4096  # strings per vectorized chunk (bounded padded matrix)
+_CHUNK_BYTES = 32 << 20  # padded-matrix budget: rows x max_len per chunk
 _SC_CONST = U64(0xDEADBEEFDEADBEEF)  # SpookyV2 sc_const
 
 
@@ -114,9 +115,29 @@ def _pad_matrix(buf: np.ndarray, off: np.ndarray, align: int,
 
 def _chunks(off: np.ndarray):
     n = off.size - 1
+    lens = np.diff(off)
     for lo in range(0, n, _CHUNK):
         hi = min(lo + _CHUNK, n)
-        yield lo, off[lo:hi + 1]
+        blk = lens[lo:hi]
+        if int(blk.max(initial=0)) * blk.size <= _CHUNK_BYTES:
+            yield lo, off[lo:hi + 1]
+            continue
+        # One outlier-length row pads the WHOLE block to its width (the
+        # matrix is rows x max_len): re-cut greedily so each sub-chunk's
+        # padded matrix stays within the byte budget. A single row longer
+        # than the budget gets its own 1-row chunk (no padding blow-up).
+        i = lo
+        while i < hi:
+            j = i + 1
+            cur = int(lens[i])
+            while j < hi:
+                nxt = max(cur, int(lens[j]))
+                if (j + 1 - i) * nxt > _CHUNK_BYTES:
+                    break
+                cur = nxt
+                j += 1
+            yield i, off[i:j + 1]
+            i = j
 
 
 # ---------------------------------------------------------------------------

@@ -108,10 +108,10 @@ class CrateFilter:
         newly stored."""
         keys = np.unique(np.ascontiguousarray(keys, dtype=np.uint64))
         if self.spare.size:
-            keys = keys[~_sorted_member(self.spare, keys)]
+            keys = keys[~sorted_member(self.spare, keys)]
         enc = self._encode(keys)
         if self.triples.size:
-            fresh = ~_sorted_member(self.triples, enc)
+            fresh = ~sorted_member(self.triples, enc)
             keys, enc = keys[fresh], enc[fresh]
         if not keys.size:
             return 0
@@ -171,7 +171,7 @@ class CrateFilter:
                     (self.triples[np.minimum(left, last)] == enc)
             else:
                 hit = np.zeros(c.size, dtype=bool)
-            hit |= _sorted_member(self.spare, c)
+            hit |= sorted_member(self.spare, c)
             out[lo:lo + _CHUNK] = hit
         return out[:keys.size]
 
@@ -297,10 +297,6 @@ class CrateFilter:
         f._off = None
         return f
 
-
-# canonical helper lives in hashing.py; kept as a module name for
-# existing imports
-_sorted_member = sorted_member
 
 
 def _rank_within(sorted_groups: np.ndarray) -> np.ndarray:

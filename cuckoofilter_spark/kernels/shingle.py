@@ -307,6 +307,12 @@ class ShingleFilter:
         out = np.zeros(idx.size, dtype=bool)
         pending = np.arange(idx.size)
         while pending.size:
+            # One key per A-home index per round. This also rules out two
+            # same-round keys matching the SAME slot: a shared slot needs an
+            # equal encoded value (hence equal fp), and with equal fp every
+            # candidate position (idx, idx+1, idx2, idx2+1) coincides iff the
+            # A-home idx does (reindex is an fp-keyed XOR), which this dedup
+            # serializes — so each vectorized clear hits distinct slots.
             _, first = np.unique(idx[pending], return_index=True)
             sel = pending[np.sort(first)]
             v0 = (fp[sel].astype(np.uint16) << 1)

@@ -35,9 +35,10 @@ def _wrap64(fn, seed: int):
             out = np.zeros(len(s), dtype=np.int64)
             if len(sub):
                 out[mask.to_numpy()] = fn(sub, seed).view(np.int64)
-            res = pd.Series(out)
-            res[~mask] = None
-            yield res
+            # Nullable Int64, NOT `res[~mask] = None`: assigning None into an
+            # int64 Series upcasts it to float64, which silently corrupts
+            # 64-bit hash values (> 2^53) for every non-null row in the batch.
+            yield pd.Series(pd.array(out, dtype="Int64")).mask(~mask)
 
     return udf
 
@@ -51,9 +52,8 @@ def _wrap32(fn, *args):
             out = np.zeros(len(s), dtype=np.int64)
             if len(sub):
                 out[mask.to_numpy()] = fn(sub, *args).astype(np.int64)
-            res = pd.Series(out)
-            res[~mask] = None
-            yield res
+            # Nullable Int64 — see _wrap64 for why None-assignment is unsafe.
+            yield pd.Series(pd.array(out, dtype="Int64")).mask(~mask)
 
     return udf
 

@@ -105,6 +105,13 @@ class StreamingSketchState:
         partial = build(batch_df, self.col, **self.params)
         cur = self.load()
         merged = partial if cur is None else cls.merge(cur, partial)
+        if self.kind == "mg":
+            # MG merge is the exact sparse sum — without the decrement
+            # step the persisted summary would grow by up to k entries
+            # per micro-batch (unlike the fixed-size HLL/CMS/KLL blobs).
+            # Compact-after-merge IS streaming Misra-Gries: the total
+            # undercount stays <= n/(k+1) across the whole stream.
+            merged.compact()
         self._store(merged, batch_id)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str,

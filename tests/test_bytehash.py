@@ -157,3 +157,43 @@ def test_strhash_udf_matches_kernel(spark):
         assert got[v] == (int(w64), int(w32))
     nulls = [r for r in rows if r.s is None]
     assert nulls and nulls[0].h64 is None and nulls[0].h32 is None
+
+
+def test_strhash_udf_null_cobatched(spark):
+    """A NULL sharing an Arrow batch with non-null rows must not corrupt
+    their hashes: `res[~mask] = None` on an int64 Series upcasts to
+    float64, losing low bits of hashes > 2^53 (regression, round 3)."""
+    from cuckoofilter_spark.sketch.strhash import spooky64_col
+
+    vals = ["a", None, "b", "hello world", None, "doc42"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").coalesce(1)
+    rows = df.withColumn("h64", spooky64_col("s")).collect()
+    present = [v for v in vals if v is not None]
+    want = spooky_hash64([v.encode() for v in present]).view(np.int64)
+    got = {r.s: r.h64 for r in rows}
+    for v, w in zip(present, want):
+        assert got[v] == int(w), f"hash corrupted for {v!r}"
+    assert all(r.h64 is None for r in rows if r.s is None)
+
+
+def test_chunk_budget_outlier_lengths(monkeypatch):
+    """One long string in a chunk must not pad the whole 4096-row block
+    to its width (rows x max_len dense matrix): chunks re-cut under a
+    byte budget, and results stay identical to per-string hashing."""
+    from cuckoofilter_spark.kernels import bytehash
+
+    monkeypatch.setattr(bytehash, "_CHUNK_BYTES", 1 << 14)  # 16 KiB
+    rng = np.random.default_rng(7)
+    items = [bytes(rng.integers(0, 256, rng.integers(0, 40), dtype=np.uint8))
+             for _ in range(200)]
+    items[17] = bytes(rng.integers(0, 256, 5000, dtype=np.uint8))   # outlier
+    items[150] = bytes(rng.integers(0, 256, 60000, dtype=np.uint8))  # > budget
+    for fn in (spooky_hash64, bob_hash32, murmur2_32, superfast_hash):
+        got = fn(items)
+        want = np.array([fn([b])[0] for b in items], dtype=got.dtype)
+        assert (got == want).all(), fn.__name__
+    # the re-cut actually bounds the padded matrix
+    off = np.concatenate([[0], np.cumsum([len(b) for b in items])]).astype(np.int64)
+    for lo, o in bytehash._chunks(off):
+        lens = np.diff(o)
+        assert lens.size == 1 or int(lens.max()) * lens.size <= 1 << 14

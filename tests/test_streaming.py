@@ -218,3 +218,17 @@ def test_stateless_corpus_ops_compose_on_streams(spark, tmp_path):
     stream_rows = {tuple(r) for r in spark.sql(
         "SELECT * FROM corpus_ops").collect()}
     assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
+def test_streaming_mg_state_stays_bounded(spark, tmp_path):
+    """The persisted MG blob must be re-bounded to k entries every
+    micro-batch (compact-after-merge, the Agarwal et al. mergeable rule)
+    — without it the state grows ~k entries per batch toward an exact
+    count map (regression, round 3)."""
+    k = 16
+    st = StreamingSketchState(str(tmp_path / "mgb"), "mg", "t", k=k)
+    for b in range(5):
+        # disjoint high-cardinality keys per batch
+        df = spark.range(b * 1000, b * 1000 + 300).selectExpr("id AS t")
+        st.update(df, b)
+        assert st.load().keys.size <= k, f"batch {b} leaked state"
