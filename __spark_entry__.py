@@ -458,6 +458,30 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.lit(float(est["err_bound"]))))
 
 
+def q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct (the corpus-accounting axis: one sketch
+    per source/priority bucket). Map-side combine ships at most
+    partitions x groups blobs — never rows — then one blob-only groupBy
+    merge; exact per-group distinct computed Spark-side beside it with
+    the 3-sigma bound flag."""
+    import math as _math
+
+    from cuckoofilter_spark.sketch.aggregates import grouped_hll_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    est = grouped_hll_distinct(orders, "o_orderpriority", "o_custkey",
+                               p=14, seed=SEED)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"))
+    rel = 3 * 1.04 / _math.sqrt(1 << 14)
+    return (exact.join(est, "o_orderpriority")
+            .select(F.col("o_orderpriority").alias("grp"),
+                    F.col("exact_distinct"),
+                    (F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                     <= F.lit(rel) * F.col("exact_distinct")
+                     ).alias("hll_within_bound")))
+
+
 def q_cms_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 part keys by exact frequency, with the CMS point estimate
     asserted within [exact, exact + eps*N] (gqf counting capability)."""
@@ -653,6 +677,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.ops.text import text_stats
 
     return text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: duplicate word / 3-gram
+    fractions as exact integer micro-rates. Pure per-row array
+    built-ins — whole-stage codegen, zero shuffle, zero Python."""
+    from cuckoofilter_spark.ops.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_prefilter_join": q_cf_prefilter_join,
         "hll_distinct": q_hll_distinct,
         "hll_overlap": q_hll_overlap,
+        "grouped_distinct": q_grouped_distinct,
         "cms_topk_freq": q_cms_topk_freq,
         "mg_topk_freq": q_mg_topk_freq,
         "cqf_topk_freq": q_cqf_topk_freq,
@@ -1051,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixin_sample": q_mixin_sample,
         "windowed_events": q_windowed_events,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
         "winnow_fingerprint": q_winnow_fingerprint,
         "spooky_membership": q_spooky_membership,
         "sequence_pack": q_sequence_pack,
@@ -1191,6 +1226,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_within_bound
             FROM orders
         """,
+        "grouped_distinct": """
+            SELECT o_orderpriority AS grp,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS exact_distinct,
+                   TRUE AS hll_within_bound
+            FROM orders GROUP BY 1
+        """,
         "hll_overlap": """
             SELECT (SELECT count(*) FROM
                         (SELECT DISTINCT o_custkey FROM orders) a
@@ -1282,6 +1324,23 @@ def oracle_sql() -> dict[str, str]:
                                / greatest(len(W), 1) >= 0.02 THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS quality,
                    md5(array_to_string(W, ' ')) AS fingerprint
             FROM w
+        """,
+        "repetition_stats": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            g AS (SELECT doc_id, W,
+                         CASE WHEN len(W) >= 3 THEN
+                             [array_to_string(W[i:i+2], ' ')
+                              FOR i IN range(1, len(W) - 1)]
+                         ELSE [array_to_string(W, ' ')] END AS G
+                  FROM w)
+            SELECT doc_id,
+                   len(W) AS n_words,
+                   len(G) AS n_grams,
+                   CAST((len(W) - len(list_distinct(W))) * 1000000
+                        // greatest(len(W), 1) AS BIGINT) AS dup_word_e6,
+                   CAST((len(G) - len(list_distinct(G))) * 1000000
+                        // greatest(len(G), 1) AS BIGINT) AS dup_gram_e6
+            FROM g
         """,
         "winnow_fingerprint": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),

@@ -235,6 +235,41 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     window: int = 3) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    quality rule "drop docs whose duplicate n-gram fraction is high"):
+    per doc, the fraction of whitespace words and of ``window``-word
+    grams that are repeats of an earlier occurrence, as exact integer
+    micro-rates (``(n - n_distinct) * 1e6 DIV n`` — cross-engine
+    bit-exact, no float ambiguity).
+
+    Everything is JVM built-ins over per-row arrays (whole-stage
+    codegen, no shuffle, no Python): ``array_distinct`` vs ``size``.
+    The word array and the gram array are each materialized in their
+    own sub-select before any per-element transform (lambda-captured
+    expressions re-evaluate per element — the measured O(n^2) re-split
+    trap, see shingle_sets)."""
+    w = df.select(F.col(id_col), words(text_col).alias("W"))
+    n = F.size("W")
+    grams = w.select(
+        id_col, "W",
+        F.when(n >= window, F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.concat_ws(" ", F.slice("W", i + 1, window)),
+        )).otherwise(F.array(F.concat_ws(" ", F.col("W")))).alias("G"))
+    # integer DIV (not float / + cast): bit-exact vs the DuckDB oracle
+    return grams.select(
+        F.col(id_col),
+        F.size("W").alias("n_words"),
+        F.size("G").alias("n_grams"),
+        F.expr("CAST((size(W) - size(array_distinct(W))) * 1000000L "
+               "DIV greatest(size(W), 1) AS BIGINT)").alias("dup_word_e6"),
+        F.expr("CAST((size(G) - size(array_distinct(G))) * 1000000L "
+               "DIV greatest(size(G), 1) AS BIGINT)").alias("dup_gram_e6"),
+    )
+
+
 def vocab_coverage(df: DataFrame, text_col: str, group_col: str,
                    vocab_size: int = 10) -> DataFrame:
     """Tokenizer-vocabulary coverage / OOV rate per group.

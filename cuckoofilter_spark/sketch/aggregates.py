@@ -20,7 +20,8 @@ from ..kernels.cms import CountMinSketch
 from ..kernels.hll import HyperLogLog
 from ..kernels.kll import KLLSketch
 from ..kernels.mg import MisraGries
-from .udaf import aggregate_sketch, keys_to_u64, require_key_col, tokens_to_u64
+from .udaf import aggregate_sketch, grouped_aggregate_sketch, keys_to_u64, \
+    require_key_col, tokens_to_u64
 
 
 def _series_to_keys(s: pd.Series, is_array: bool) -> np.ndarray:
@@ -67,6 +68,69 @@ def mg_sketch(df: DataFrame, col: str, k: int = 256, fanout: int = 16,
     if final_compact:
         out.compact()
     return out
+
+
+def grouped_hll_sketch(df: DataFrame, group_col: str, col: str, p: int = 14,
+                       seed: int = 0x5EED) -> DataFrame:
+    """Per-group HLL blobs: ``(group, blob)``, one row per distinct
+    ``group_col`` value (the corpus-accounting axis: distinct tokens
+    per source / language / date shard). Map-side combine — shuffle
+    carries at most partitions x groups blobs, never rows."""
+    arr = _is_array_col(df, col)
+    return grouped_aggregate_sketch(
+        df, group_col, col,
+        make=lambda: HyperLogLog(p=p, seed=seed),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=HyperLogLog.merge,
+        from_bytes=HyperLogLog.from_bytes,
+    ).withColumnRenamed("g", group_col)
+
+
+def grouped_hll_distinct(df: DataFrame, group_col: str, col: str, p: int = 14,
+                         seed: int = 0x5EED) -> DataFrame:
+    """Per-group distinct-count estimates: ``(group, est_distinct)``."""
+    @F.pandas_udf(T.DoubleType())
+    def est(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: HyperLogLog.from_bytes(bytes(x)).estimate())
+
+    return (grouped_hll_sketch(df, group_col, col, p=p, seed=seed)
+            .select(F.col(group_col), est(F.col("blob")).alias("est_distinct")))
+
+
+def grouped_mg_topk(df: DataFrame, group_col: str, col: str, k: int = 256,
+                    topn: int = 10) -> DataFrame:
+    """Per-group Misra-Gries heavy hitters: ``(group, key, est)`` with
+    the ``topn`` largest surviving counters per group (``est`` is the
+    guaranteed undercount; true count is in ``[est, est + n_g/(k+1)]``).
+    Compact-after-merge bounds every shuffled blob to k entries."""
+    arr = _is_array_col(df, col)
+
+    def fin(kern):
+        kern.compact()
+        return kern
+
+    blobs = grouped_aggregate_sketch(
+        df, group_col, col,
+        make=lambda: MisraGries(k=k),
+        update=lambda s, col_s: s.add_many(_series_to_keys(col_s, arr)),
+        merge=MisraGries.merge,
+        from_bytes=MisraGries.from_bytes,
+        finalize=fin,
+    )
+    gtype = df.schema[group_col].dataType.simpleString()
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for g, blob in zip(pdf["g"], pdf["blob"]):
+                mg = MisraGries.from_bytes(bytes(blob))
+                order = np.argsort(-mg.counts, kind="stable")[:topn]
+                yield pd.DataFrame(
+                    {"g": pd.Series([g] * order.size, dtype=object),
+                     "key": mg.keys[order].view(np.int64),
+                     "est": mg.counts[order]})
+
+    return (blobs.mapInPandas(explode, schema=f"g {gtype}, key long, est long")
+            .withColumnRenamed("g", group_col))
 
 
 def cms_sketch(df: DataFrame, col: str, eps: float = 0.0005, delta: float = 0.01,

@@ -144,3 +144,64 @@ def aggregate_sketch(
     for r in rows[1:]:
         kern = merge(kern, from_bytes(bytes(r["blob"])))
     return kern
+
+
+def grouped_aggregate_sketch(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    make: Callable[[], object],
+    update: Callable[[object, pd.Series], None],
+    merge: Callable[[object, object], object],
+    from_bytes: Callable[[bytes], object],
+    finalize: Callable[[object], object] | None = None,
+) -> DataFrame:
+    """Per-GROUP mergeable sketch: returns a ``(group, blob)`` DataFrame
+    with one merged sketch per distinct ``group_col`` value.
+
+    The grouped analogue of ``aggregate_sketch`` with the same map-side
+    combine: stage 1 folds each task's Arrow batches into one kernel
+    per group seen in that task and emits ``(group, blob)`` partials —
+    shuffle volume is at most ``partitions x groups`` blobs, never row
+    data; stage 2 is one blob-only groupBy merging each group's
+    partials. NULL group values form their own group.
+
+    Intended for moderate group cardinality (sources, languages, date
+    shards — the corpus-accounting axis). For per-key state at high
+    cardinality use the exact aggregate (Catalyst hash agg) or the
+    streaming stateful op (``streaming/stateful.py``); a sketch blob
+    per key would cost more than the answer.
+
+    ``finalize`` (optional) post-processes each merged kernel before
+    serialization (e.g. MG ``compact``).
+    """
+    gtype = df.schema[group_col].dataType.simpleString()
+    schema = f"g {gtype}, blob binary"
+    proj = df.select(F.col(group_col).alias("g"), F.col(col).alias("k"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kerns: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g", dropna=False, sort=False):
+                g = None if pd.isna(g) else g
+                kern = kerns.get(g)
+                if kern is None:
+                    kern = kerns[g] = make()
+                update(kern, sub["k"])
+        if kerns:
+            yield pd.DataFrame(
+                {"g": pd.Series(list(kerns.keys()), dtype=object),
+                 "blob": [k.to_bytes() for k in kerns.values()]})
+
+    blob_df = proj.mapInPandas(partials, schema=schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        kern = from_bytes(bytes(pdf["blob"].iloc[0]))
+        for b in pdf["blob"].iloc[1:]:
+            kern = merge(kern, from_bytes(bytes(b)))
+        if finalize is not None:
+            kern = finalize(kern) or kern
+        return pd.DataFrame({"g": pdf["g"].iloc[:1],
+                             "blob": [kern.to_bytes()]})
+
+    return blob_df.groupBy("g").applyInPandas(merge_group, schema)

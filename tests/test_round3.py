@@ -6,6 +6,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from cuckoofilter_spark.kernels.cqf import CountingQuotientFilter
 from cuckoofilter_spark.kernels.gcs import _FMT, GcsFilter
@@ -645,3 +646,47 @@ def test_mg_sketch_spark_token_table(spark):
     # determinism: identical second build
     sk2 = mg_sketch(toks, "tokens", k=128)
     assert sk2.to_bytes() == sk.to_bytes()
+
+
+def test_grouped_hll_distinct(spark):
+    """Per-group HLL: one estimate per group, each within the 3-sigma
+    bound of the exact per-group distinct; NULL group forms its own
+    group; identical rebuild (determinism)."""
+    from cuckoofilter_spark.sketch.aggregates import grouped_hll_distinct
+
+    df = spark.range(20000).selectExpr(
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('src', id % 3) END AS source",
+        "id % 4000 AS k").repartition(8)
+    got = {r["source"]: r["est_distinct"]
+           for r in grouped_hll_distinct(df, "source", "k", p=13).collect()}
+    exact = {r["source"]: r["n"] for r in df.groupBy("source").agg(
+        F.countDistinct("k").alias("n")).collect()}
+    # countDistinct skips NULL k but k is never NULL here; groups align
+    assert set(got) == set(exact) and None in got
+    for g, n in exact.items():
+        assert abs(got[g] - n) <= 3 * 1.04 / (2 ** 6.5) * n, (g, got[g], n)
+    got2 = {r["source"]: r["est_distinct"]
+            for r in grouped_hll_distinct(df, "source", "k", p=13).collect()}
+    assert got == got2
+
+
+def test_grouped_mg_topk(spark):
+    """Per-group MG heavy hitters: every true heavy key (count > n_g/(k+1))
+    surfaces in its group's top list with the bracket guarantee."""
+    from cuckoofilter_spark.sketch.aggregates import grouped_mg_topk
+    from cuckoofilter_spark.sources.tokens import tokens_table
+
+    toks = (tokens_table(spark, 1200, seed=9, vocab_size=3000)
+            .withColumn("source", F.expr("concat('s', pmod(xxhash64(doc_id), 2))")))
+    rows = grouped_mg_topk(toks, "source", "tokens", k=64, topn=5).collect()
+    assert {r["source"] for r in rows} == {"s0", "s1"}
+    exact = {(r["source"], r["t"]): r["c"] for r in
+             toks.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source", "t").agg(F.count("*").alias("c")).collect()}
+    per_g = {}
+    for (g, t), c in exact.items():
+        per_g[g] = per_g.get(g, 0) + c
+    for r in rows:
+        true = exact[(r["source"], r["key"])]
+        slack = per_g[r["source"]] // 65 + 64  # summed per-partial bound
+        assert r["est"] <= true <= r["est"] + slack, (r, true, slack)
