@@ -97,6 +97,38 @@ def grouped_hll_distinct(df: DataFrame, group_col: str, col: str, p: int = 14,
             .select(F.col(group_col), est(F.col("blob")).alias("est_distinct")))
 
 
+def grouped_kll_quantiles(df: DataFrame, group_col: str, col: str,
+                          qs: tuple = (0.25, 0.5, 0.75), k: int = 200,
+                          seed: int = 0x5EED) -> DataFrame:
+    """Per-group KLL quantiles over a numeric column:
+    ``(group, q, value)`` — the sequence-length-distribution-per-source
+    question. Same blob-only shuffle as grouped_hll_sketch."""
+    def upd(kern, s: pd.Series):
+        kern.add_many(s.to_numpy(dtype=np.float64, na_value=np.nan))
+
+    blobs = grouped_aggregate_sketch(
+        df, group_col, col,
+        make=lambda: KLLSketch(k=k, seed=seed),
+        update=upd,
+        merge=KLLSketch.merge,
+        from_bytes=KLLSketch.from_bytes,
+    )
+    gtype = df.schema[group_col].dataType.simpleString()
+    qlist = [float(q) for q in qs]
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for g, blob in zip(pdf["g"], pdf["blob"]):
+                sk = KLLSketch.from_bytes(bytes(blob))
+                yield pd.DataFrame(
+                    {"g": pd.Series([g] * len(qlist), dtype=object),
+                     "q": qlist,
+                     "value": sk.quantile(np.array(qlist)).astype(float)})
+
+    return (blobs.mapInPandas(explode, schema=f"g {gtype}, q double, value double")
+            .withColumnRenamed("g", group_col))
+
+
 def grouped_mg_topk(df: DataFrame, group_col: str, col: str, k: int = 256,
                     topn: int = 10) -> DataFrame:
     """Per-group Misra-Gries heavy hitters: ``(group, key, est)`` with

@@ -690,3 +690,38 @@ def test_grouped_mg_topk(spark):
         true = exact[(r["source"], r["key"])]
         slack = per_g[r["source"]] // 65 + 64  # summed per-partial bound
         assert r["est"] <= true <= r["est"] + slack, (r, true, slack)
+
+
+def test_grouped_sketch_partition_invariance(spark):
+    """HLL merge is bit-exact associative/commutative, so the per-group
+    estimates must be IDENTICAL whatever the partitioning of the input
+    (different partition counts produce different partial sets)."""
+    from cuckoofilter_spark.sketch.aggregates import grouped_hll_distinct
+
+    df = spark.range(12000).selectExpr("concat('g', id % 4) AS grp",
+                                       "id % 900 AS k")
+    a = {r["grp"]: r["est_distinct"]
+         for r in grouped_hll_distinct(df.repartition(3), "grp", "k").collect()}
+    b = {r["grp"]: r["est_distinct"]
+         for r in grouped_hll_distinct(df.repartition(17), "grp", "k").collect()}
+    assert a == b and len(a) == 4
+
+
+def test_grouped_kll_quantiles(spark):
+    """Per-group KLL medians within the rank-eps band of the exact
+    per-group quantiles."""
+    from cuckoofilter_spark.sketch.aggregates import grouped_kll_quantiles
+    from cuckoofilter_spark.kernels.kll import KLLSketch
+
+    df = spark.range(30000).selectExpr(
+        "concat('s', id % 2) AS src",
+        "CAST(CASE WHEN id % 2 = 0 THEN id % 1000 ELSE (id % 100) * (id % 100) END AS DOUBLE) AS v")
+    rows = grouped_kll_quantiles(df, "src", "v", qs=(0.5,), k=200).collect()
+    assert len(rows) == 2
+    eps = KLLSketch(k=200).eps
+    for r in rows:
+        exact = sorted(x["v"] for x in df.where(F.col("src") == r["src"]).collect())
+        n = len(exact)
+        lo = exact[max(0, int((0.5 - 3 * eps) * n))]
+        hi = exact[min(n - 1, int((0.5 + 3 * eps) * n))]
+        assert lo <= r["value"] <= hi, (r, lo, hi)
