@@ -1,0 +1,173 @@
+"""Uniform filter facade — the reference's FilterAPI parity surface.
+
+The reference normalizes every structure behind one adapter so harness
+code is family-generic (benchmarks/filter-api.h:13-63: ConstructFromAddCount /
+Add / Contain specialized per Table type). This module is that adapter
+for the Spark layer: one ``build_filter(df, col, kind=...)`` entry over
+every implemented family and one ``contains_col(spark, filt, col)``
+probe that dispatches on the built object's type — so pipeline code
+(and benchmarks) can switch families with a string, exactly like the
+reference's template parameter.
+
+Families and their Spark builders:
+
+    cuckoo / cuckoo_semisort / cuckoo_stable  membership.cuckoo_build
+    bloom / blocked_bloom / grow_bloom        aggregates.*_sketch
+    xor / xorplus                             membership.xor*_build
+    gcs                                       gcsfilter.gcs_build
+    shingle / tail / crate                    membership.*_build
+
+``capacity=None`` is resolved the same way everywhere it is needed:
+one ``approx_count_distinct`` pre-pass with 15% headroom (callers at
+scale should pass the known cardinality — the reference's add_count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def _approx_capacity(df: DataFrame, col: str) -> int:
+    from .udaf import require_key_col
+
+    is_array = require_key_col(df, col)
+    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
+    if is_array:
+        base = base.select(F.explode("k").alias("k"))
+    n = base.select(F.approx_count_distinct("k")).first()[0]
+    return int(n * 1.15) + 64
+
+
+def _need_capacity(df, col, capacity):
+    return _approx_capacity(df, col) if capacity is None else int(capacity)
+
+
+def _build_cuckoo(df, col, capacity, seed, mode="single", stable=False, **kw):
+    from .membership import cuckoo_build
+
+    return cuckoo_build(df, col, capacity=capacity, seed=seed, mode=mode,
+                        stable=stable, **kw)
+
+
+def _build_bloom(df, col, capacity, seed, **kw):
+    from .aggregates import bloom_sketch
+
+    return bloom_sketch(df, col, capacity=_need_capacity(df, col, capacity),
+                        seed=seed, **kw)
+
+
+def _build_blocked_bloom(df, col, capacity, seed, **kw):
+    from .aggregates import blocked_bloom_sketch
+
+    return blocked_bloom_sketch(
+        df, col, capacity=_need_capacity(df, col, capacity), seed=seed, **kw)
+
+
+def _build_grow_bloom(df, col, capacity, seed, **kw):
+    from .aggregates import grow_blocked_bloom_sketch
+
+    return grow_blocked_bloom_sketch(df, col, seed=seed, **kw)
+
+
+def _build_xor(df, col, capacity, seed, **kw):
+    from .membership import xor_build
+
+    return xor_build(df, col, seed=seed, **kw)
+
+
+def _build_xorplus(df, col, capacity, seed, **kw):
+    from .membership import xorplus_build
+
+    return xorplus_build(df, col, seed=seed, **kw)
+
+
+def _build_gcs(df, col, capacity, seed, **kw):
+    from .gcsfilter import gcs_build
+
+    return gcs_build(df, col, seed=seed, **kw)
+
+
+def _build_shingle(df, col, capacity, seed, **kw):
+    from .membership import shingle_build
+
+    return shingle_build(df, col, capacity=capacity, seed=seed, **kw)
+
+
+def _build_tail(df, col, capacity, seed, **kw):
+    from .membership import tail_build
+
+    return tail_build(df, col, seed=seed, **kw)
+
+
+def _build_crate(df, col, capacity, seed, **kw):
+    from .membership import crate_build
+
+    return crate_build(df, col, capacity=capacity, seed=seed, **kw)
+
+
+_BUILDERS = {
+    "cuckoo": _build_cuckoo,
+    "cuckoo_semisort": lambda df, col, capacity, seed, **kw:
+        _build_cuckoo(df, col, capacity, seed, mode="semisort",
+                      bits=kw.pop("bits", 13), **kw),
+    "cuckoo_stable": lambda df, col, capacity, seed, **kw:
+        _build_cuckoo(df, col, capacity, seed, stable=True, **kw),
+    "bloom": _build_bloom,
+    "blocked_bloom": _build_blocked_bloom,
+    "grow_bloom": _build_grow_bloom,
+    "xor": _build_xor,
+    "xorplus": _build_xorplus,
+    "gcs": _build_gcs,
+    "shingle": _build_shingle,
+    "tail": _build_tail,
+    "crate": _build_crate,
+}
+
+
+def filter_families() -> tuple:
+    """The buildable family names, reference-suite order."""
+    return tuple(_BUILDERS)
+
+
+def build_filter(df: DataFrame, col: str, kind: str = "cuckoo",
+                 capacity: int | None = None, seed: int = 0x5EED,
+                 **params):
+    """Build any filter family over an integer (or array<int>) key
+    column. Returns the family's filter object — pass it to
+    ``contains_col`` for probing; family-specific surfaces (delete,
+    info, to_bytes) stay available on the object itself."""
+    try:
+        builder = _BUILDERS[kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown filter kind {kind!r}; one of {sorted(_BUILDERS)}")
+    return builder(df, col, capacity, seed, **params)
+
+
+def contains_col(spark: SparkSession, filt, col) -> Column:
+    """Membership probe Column for any object ``build_filter`` returns
+    (dispatch on type — the FilterAPI Contain leg)."""
+    from ..kernels.blocked_bloom import BlockedBloomFilter, \
+        GrowBlockedBloomFilter
+    from ..kernels.bloom import BloomFilter
+    from ..kernels.gcs import GcsFilter
+    from ..kernels.xor import XorFilter
+    from ..kernels.xorplus import XorFilterPlus
+    from . import aggregates as agg, gcsfilter, membership as mem
+
+    dispatch = (
+        (mem.ShardedCuckooFilter, mem.cuckoo_contains_col),
+        (mem.ShardedShingleFilter, mem.shingle_contains_col),
+        (mem.ShardedTailFilter, mem.tail_contains_col),
+        (mem.ShardedCrateFilter, mem.crate_contains_col),
+        (XorFilterPlus, mem.xorplus_contains_col),
+        (XorFilter, mem.xor_contains_col),
+        (GcsFilter, gcsfilter.gcs_contains_col),
+        (GrowBlockedBloomFilter, agg.grow_blocked_bloom_contains_col),
+        (BlockedBloomFilter, agg.blocked_bloom_contains_col),
+        (BloomFilter, agg.bloom_contains_col),
+    )
+    for cls, fn in dispatch:
+        if isinstance(filt, cls):
+            return fn(spark, filt, col)
+    raise TypeError(f"no probe registered for {type(filt).__name__}")

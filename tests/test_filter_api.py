@@ -1,0 +1,36 @@
+"""Uniform FilterAPI facade (benchmarks/filter-api.h parity): every
+family builds through one entry and probes through one dispatcher,
+with zero false negatives on real parquet keys."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.sketch.api import build_filter, contains_col, \
+    filter_families
+
+
+@pytest.fixture(scope="module")
+def keyset(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    truth = {r[0] for r in li.select("l_partkey").distinct().collect()}
+    return li, part, truth
+
+
+@pytest.mark.parametrize("kind", filter_families())
+def test_every_family_builds_and_probes(spark, keyset, kind):
+    li, part, truth = keyset
+    filt = build_filter(li, "l_partkey", kind=kind)
+    rows = part.withColumn("hit", contains_col(spark, filt, "p_partkey")) \
+        .select("p_partkey", "hit").collect()
+    assert all(r.hit for r in rows if r.p_partkey in truth), kind  # no FN
+    fp = sum(1 for r in rows if r.hit and r.p_partkey not in truth)
+    assert fp <= max(10, len(rows) // 10), (kind, fp)  # sane FP at small n
+
+
+def test_unknown_kind_and_type_raise(spark, keyset):
+    li, _, _ = keyset
+    with pytest.raises(ValueError, match="unknown filter kind"):
+        build_filter(li, "l_partkey", kind="nope")
+    with pytest.raises(TypeError, match="no probe registered"):
+        contains_col(spark, object(), "p_partkey")
