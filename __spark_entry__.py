@@ -1326,12 +1326,18 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "repetition_stats": f"""
-            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            WITH w AS (SELECT doc_id,
+                              COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
             g AS (SELECT doc_id, W,
                          CASE WHEN len(W) >= 3 THEN
                              [array_to_string(W[i:i+2], ' ')
                               FOR i IN range(1, len(W) - 1)]
-                         ELSE [array_to_string(W, ' ')] END AS G
+                         -- array_to_string([]) is NULL in DuckDB (Spark
+                         -- concat_ws gives ''); coalesce so the empty-doc
+                         -- gram matches cross-engine
+                         ELSE [COALESCE(array_to_string(W, ' '), '')]
+                         END AS G
                   FROM w)
             SELECT doc_id,
                    len(W) AS n_words,

@@ -249,8 +249,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     The word array and the gram array are each materialized in their
     own sub-select before any per-element transform (lambda-captured
     expressions re-evaluate per element — the measured O(n^2) re-split
-    trap, see shingle_sets)."""
-    w = df.select(F.col(id_col), words(text_col).alias("W"))
+    trap, see shingle_sets). NULL text is treated as empty (else
+    size(NULL) = -1 leaks into the counts)."""
+    w = df.select(F.col(id_col),
+                  words(F.coalesce(F.col(text_col), F.lit(""))).alias("W"))
     n = F.size("W")
     grams = w.select(
         id_col, "W",

@@ -125,8 +125,11 @@ def grouped_kll_quantiles(df: DataFrame, group_col: str, col: str,
                      "q": qlist,
                      "value": sk.quantile(np.array(qlist)).astype(float)})
 
-    return (blobs.mapInPandas(explode, schema=f"g {gtype}, q double, value double")
-            .withColumnRenamed("g", group_col))
+    # string-encode integer groups through the pandas stage (exact; a
+    # nullable int64 would arrive as float64 — see grouped_aggregate_sketch)
+    return (blobs.select(F.col("g").cast("string").alias("g"), "blob")
+            .mapInPandas(explode, schema="g string, q double, value double")
+            .select(F.col("g").cast(gtype).alias(group_col), "q", "value"))
 
 
 def grouped_mg_topk(df: DataFrame, group_col: str, col: str, k: int = 256,
@@ -161,8 +164,11 @@ def grouped_mg_topk(df: DataFrame, group_col: str, col: str, k: int = 256,
                      "key": mg.keys[order].view(np.int64),
                      "est": mg.counts[order]})
 
-    return (blobs.mapInPandas(explode, schema=f"g {gtype}, key long, est long")
-            .withColumnRenamed("g", group_col))
+    # string-encode integer groups through the pandas stage (exact; a
+    # nullable int64 would arrive as float64 — see grouped_aggregate_sketch)
+    return (blobs.select(F.col("g").cast("string").alias("g"), "blob")
+            .mapInPandas(explode, schema="g string, key long, est long")
+            .select(F.col("g").cast(gtype).alias(group_col), "key", "est"))
 
 
 def cms_sketch(df: DataFrame, col: str, eps: float = 0.0005, delta: float = 0.01,

@@ -42,6 +42,15 @@ def _need_capacity(df, col, capacity):
     return _approx_capacity(df, col) if capacity is None else int(capacity)
 
 
+def _no_capacity(kind, capacity):
+    # refuse rather than silently drop: xor/xorplus/gcs are static
+    # builds sized from the exact key set, tail is adaptive by design
+    if capacity is not None:
+        raise ValueError(
+            f"{kind!r} filters are sized from the data; capacity is not "
+            f"a parameter (got {capacity})")
+
+
 def _build_cuckoo(df, col, capacity, seed, mode="single", stable=False, **kw):
     from .membership import cuckoo_build
 
@@ -66,24 +75,29 @@ def _build_blocked_bloom(df, col, capacity, seed, **kw):
 def _build_grow_bloom(df, col, capacity, seed, **kw):
     from .aggregates import grow_blocked_bloom_sketch
 
+    if capacity is not None:  # natural mapping: the starting level size
+        kw.setdefault("initial_capacity", int(capacity))
     return grow_blocked_bloom_sketch(df, col, seed=seed, **kw)
 
 
 def _build_xor(df, col, capacity, seed, **kw):
     from .membership import xor_build
 
+    _no_capacity("xor", capacity)
     return xor_build(df, col, seed=seed, **kw)
 
 
 def _build_xorplus(df, col, capacity, seed, **kw):
     from .membership import xorplus_build
 
+    _no_capacity("xorplus", capacity)
     return xorplus_build(df, col, seed=seed, **kw)
 
 
 def _build_gcs(df, col, capacity, seed, **kw):
     from .gcsfilter import gcs_build
 
+    _no_capacity("gcs", capacity)
     return gcs_build(df, col, seed=seed, **kw)
 
 
@@ -96,6 +110,7 @@ def _build_shingle(df, col, capacity, seed, **kw):
 def _build_tail(df, col, capacity, seed, **kw):
     from .membership import tail_build
 
+    _no_capacity("tail", capacity)
     return tail_build(df, col, seed=seed, **kw)
 
 

@@ -174,10 +174,25 @@ def grouped_aggregate_sketch(
 
     ``finalize`` (optional) post-processes each merged kernel before
     serialization (e.g. MG ``compact``).
+
+    Group column must be string or integral. Integer groups travel
+    through the pandas stages as their exact STRING form and are cast
+    back at the end: a nullable int64 column entering mapInPandas
+    becomes float64 in pandas, silently rounding group ids above 2^53
+    (the same Arrow/pandas upcast trap as sketch/strhash.py) — the
+    string round-trip is lossless for every int64.
     """
-    gtype = df.schema[group_col].dataType.simpleString()
-    schema = f"g {gtype}, blob binary"
-    proj = df.select(F.col(group_col).alias("g"), F.col(col).alias("k"))
+    from pyspark.sql import types as T
+
+    dt = df.schema[group_col].dataType
+    if not isinstance(dt, (T.StringType, T.IntegralType)):
+        raise TypeError(
+            f"group column {group_col!r} has type {dt.simpleString()}; "
+            "grouped sketches support string or integer groups")
+    gtype = dt.simpleString()
+    schema = "g string, blob binary"
+    proj = df.select(F.col(group_col).cast("string").alias("g"),
+                     F.col(col).alias("k"))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kerns: dict = {}
@@ -204,4 +219,5 @@ def grouped_aggregate_sketch(
         return pd.DataFrame({"g": pdf["g"].iloc[:1],
                              "blob": [kern.to_bytes()]})
 
-    return blob_df.groupBy("g").applyInPandas(merge_group, schema)
+    out = blob_df.groupBy("g").applyInPandas(merge_group, schema)
+    return out.select(F.col("g").cast(gtype).alias("g"), "blob")

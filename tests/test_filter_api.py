@@ -34,3 +34,14 @@ def test_unknown_kind_and_type_raise(spark, keyset):
         build_filter(li, "l_partkey", kind="nope")
     with pytest.raises(TypeError, match="no probe registered"):
         contains_col(spark, object(), "p_partkey")
+
+
+def test_capacity_contract(spark, keyset):
+    """Explicit capacity must be honored (grow_bloom: initial level) or
+    refused (static/adaptive families), never silently dropped."""
+    li, part, truth = keyset
+    f = build_filter(li, "l_partkey", kind="grow_bloom", capacity=4096)
+    assert f.levels[0].num_buckets >= 4096 // 8  # sized from the cap
+    for kind in ("xor", "xorplus", "gcs", "tail"):
+        with pytest.raises(ValueError, match="sized from the data"):
+            build_filter(li, "l_partkey", kind=kind, capacity=1000)

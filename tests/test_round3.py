@@ -725,3 +725,48 @@ def test_grouped_kll_quantiles(spark):
         lo = exact[max(0, int((0.5 - 3 * eps) * n))]
         hi = exact[min(n - 1, int((0.5 + 3 * eps) * n))]
         assert lo <= r["value"] <= hi, (r, lo, hi)
+
+
+def test_grouped_sketch_bigint_group_ids(spark):
+    """Integer group ids above 2^53 with a NULL group present must
+    survive the pandas stages exactly (nullable int64 -> float64 would
+    round them); groups keep their original dtype on output."""
+    from cuckoofilter_spark.sketch.aggregates import grouped_hll_distinct, \
+        grouped_mg_topk
+
+    big = [9007199254740993, 9007199254740995, None]  # 2^53+1, 2^53+3
+    # skewed: a planted heavy hitter per group (uniform counts would
+    # legitimately compact an MG summary to empty)
+    rows = [(g, 7) for g in big for _ in range(40)] + \
+        [(g, i) for g in big for i in range(30)]
+    df = spark.createDataFrame(rows, "gid long, k long").repartition(5)
+    got = {r["gid"]: r["est_distinct"]
+           for r in grouped_hll_distinct(df, "gid", "k", p=12).collect()}
+    assert set(got) == set(big), got  # ids exact, incl. the NULL group
+    hh = grouped_mg_topk(df, "gid", "k", k=8, topn=2).collect()
+    assert {r["gid"] for r in hh} == set(big)
+    with pytest.raises(TypeError, match="string or integer"):
+        grouped_hll_distinct(df.selectExpr("CAST(gid AS DOUBLE) AS gid", "k"),
+                             "gid", "k")
+
+
+def test_repetition_stats_null_text_matches_oracle(spark):
+    """NULL text = empty doc on BOTH engines (Spark size(NULL) = -1 and
+    DuckDB list_distinct NULL-dropping would otherwise diverge)."""
+    import duckdb
+
+    from cuckoofilter_spark.ops.text import repetition_stats
+
+    data = [(1, None), (2, ""), (3, "a b a"), (4, "x")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_grams, r.dup_word_e6, r.dup_gram_e6)
+           for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1] == (0, 1, 0, 0) and got[1] == got[2]
+
+    import __spark_entry__ as e
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    ora = {r[0]: tuple(int(x) for x in r[1:]) for r in
+           con.execute(e.oracle_sql()["repetition_stats"]).fetchall()}
+    assert ora == got, (ora, got)
