@@ -770,6 +770,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 5-gram accounting (the exact-substring
+    dedup signal, Lee et al. 2021): per doc, grams shared verbatim with
+    other docs. Linear dataflow — gram-hash explode, distinct-doc
+    count, sort-merge membership join, doc-keyed aggregate."""
+    from cuckoofilter_spark.ops.dedup import cross_doc_duplicate_grams
+
+    return cross_doc_duplicate_grams(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus filter a pipeline actually runs:
     keep documents that (a) pass the quality floor, (b) classify as
@@ -1092,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vocab_coverage": q_vocab_coverage,
         "exact_dedup": q_exact_dedup,
+        "dup_spans": q_dup_spans,
         "corpus_filter": q_corpus_filter,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1432,6 +1444,32 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents)
             SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
             FROM w GROUP BY md5(array_to_string(W, ' '))
+        """,
+        "dup_spans": f"""
+            WITH w AS (SELECT doc_id,
+                              COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(W) >= 5 THEN
+                             [array_to_string(W[i:i+4], ' ')
+                              FOR i IN range(1, len(W) - 3)]
+                         ELSE [COALESCE(array_to_string(W, ' '), '')]
+                         END AS G
+                  FROM w),
+            h AS (SELECT doc_id,
+                         CAST(md5_number_upper(unnest(G))
+                              & 4611686018427387903 AS BIGINT) AS h
+                  FROM g),
+            freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs
+                     FROM h GROUP BY h)
+            SELECT t.doc_id AS doc,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_grams,
+                   CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS dup_frac_e6
+            FROM h t JOIN freq f USING (h)
+            GROUP BY t.doc_id
         """,
         "corpus_filter": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),

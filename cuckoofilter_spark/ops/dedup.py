@@ -444,3 +444,63 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
         .where(F.col("hamming") <= max_distance)
     )
+
+
+def cross_doc_duplicate_grams(df: DataFrame, id_col: str, text_col: str,
+                              k: int = 5, min_docs: int = 2) -> DataFrame:
+    """Per-document cross-corpus duplicate-span accounting — the signal
+    behind exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): for each doc, how
+    many of its word ``k``-grams also appear in >= ``min_docs`` - 1
+    OTHER documents, i.e. content shared verbatim across the corpus
+    (boilerplate, licenses, mirrored pages) that doc-level dedup
+    misses.
+
+    Returns ``(doc, n_grams, dup_grams, dup_frac_e6)`` with the
+    duplicated-gram fraction as an exact integer micro-rate.
+
+    Gram identity is the cross-engine md5-LE64 of the space-joined gram
+    (== DuckDB md5_number_upper), so a SQL oracle reproduces it
+    bit-exactly; docs with < k words contribute their whole text as one
+    gram (same convention as winnowing); NULL text = empty doc.
+
+    Scale shape (all linear, the canonical substring-dedup dataflow):
+    per-row gram hashing via materialized-array transforms (no Python,
+    no shuffle), ONE explode of 8-byte hashes + doc ids, a gram-keyed
+    distinct-doc count with map-side partial aggregation, a sort-merge
+    join of the exploded grams against the >= min_docs gram set, and a
+    doc-keyed final aggregate — three shuffles of (hash, id) pairs
+    regardless of document sizes. A suffix-array formulation finds
+    arbitrary-length spans but needs a global sort of every token
+    position; fixed-k gram matching is the standard distributed
+    relaxation (any shared span of >= 2k-1 words is guaranteed to
+    share a full k-gram at every alignment window).
+    """
+    from .text import md5hex_to_le64, words
+
+    w = df.select(F.col(id_col).alias("doc"),
+                  words(F.coalesce(F.col(text_col), F.lit(""))).alias("W"))
+    n = F.size("W")
+    grams = w.select(
+        "doc",
+        F.when(n >= k, F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice("W", i + 1, k)),
+        )).otherwise(F.array(F.concat_ws(" ", F.col("W")))).alias("G"))
+    mask = (1 << 62) - 1  # winnowing's cross-engine mask: DuckDB can't
+    # CAST a >= 2^63 md5_number_upper to BIGINT
+    hashed = grams.select(
+        "doc",
+        F.transform("G", lambda g: md5hex_to_le64(F.md5(g))
+                    .bitwiseAND(F.lit(mask))).alias("H"))
+    ex = hashed.select("doc", F.explode("H").alias("h"))
+    shared = (ex.groupBy("h")
+              .agg(F.countDistinct("doc").alias("ndocs"))
+              .where(F.col("ndocs") >= min_docs)
+              .select("h", F.lit(True).alias("shared")))
+    return (ex.join(shared, "h", "left")
+            .groupBy("doc")
+            .agg(F.count("*").alias("n_grams"),
+                 F.count("shared").alias("dup_grams"))
+            .withColumn("dup_frac_e6",
+                        F.expr("dup_grams * 1000000L DIV n_grams")))

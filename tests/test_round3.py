@@ -770,3 +770,29 @@ def test_repetition_stats_null_text_matches_oracle(spark):
     ora = {r[0]: tuple(int(x) for x in r[1:]) for r in
            con.execute(e.oracle_sql()["repetition_stats"]).fetchall()}
     assert ora == got, (ora, got)
+
+
+def test_cross_doc_duplicate_grams(spark):
+    """Planted boilerplate shared by 3 docs must be flagged in each,
+    while unique text contributes zero; whole-short-doc convention and
+    within-doc repeats (not cross-doc) stay unflagged."""
+    from cuckoofilter_spark.ops.dedup import cross_doc_duplicate_grams
+
+    boiler = "all rights reserved contact admin example dot com"
+    docs = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"{boiler} totally different middle words here okay"),
+        (3, f"prefix words {boiler} suffix words trail end"),
+        (4, "unique text with no overlap at all whatsoever present"),
+        (5, "short doc"),
+        (6, "rep rep rep rep rep rep rep rep"),  # within-doc only
+    ]
+    out = {r["doc"]: r for r in cross_doc_duplicate_grams(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "doc_id", "text", k=5).collect()}
+    assert out[4]["dup_grams"] == 0
+    assert out[5]["n_grams"] == 1 and out[5]["dup_grams"] == 0
+    assert out[6]["dup_grams"] == 0  # within-doc repeat, 1 distinct doc
+    for d in (1, 2, 3):  # the 8-word boilerplate = 4 shared 5-grams
+        assert out[d]["dup_grams"] >= 4, (d, out[d])
+        assert 0 < out[d]["dup_frac_e6"] < 1000000
