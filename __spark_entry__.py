@@ -781,6 +781,51 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic 5% eval split:
+    per eval doc, the exact contaminated 8-gram fraction (the oracle
+    row) plus two AMQ-consistency flags computed Spark-side — the
+    xor-filter probe missed nothing (no false negatives, the
+    decontamination safety guarantee) and its overcount stays within
+    the family's eps bound. At corpus scale the exact join is the
+    verification tier; the xor filter (~9.84 bits per distinct train
+    gram, exchange-free probe) is the path that ships."""
+    from cuckoofilter_spark.ops.dedup import _scoped_cache, word_gram_hashes
+    from cuckoofilter_spark.sketch.api import build_filter, contains_col
+
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    train, test = docs.where(~is_eval), docs.where(is_eval)
+
+    # cached (bounded generations): scanned by BOTH the exact oracle
+    # join and the xor-filter build
+    train_set = _scoped_cache(
+        "contamination_train",
+        word_gram_hashes(train, "doc_id", "text", k=8).select("h").distinct())
+    tg = word_gram_hashes(test, "doc_id", "text", k=8)
+    exact = (tg.join(train_set.withColumn("m", F.lit(True)), "h", "left")
+             .groupBy("doc")
+             .agg(F.count("*").alias("n_grams"),
+                  F.count("m").alias("exact_hit_grams"))
+             .withColumn("exact_frac_e6",
+                         F.expr("exact_hit_grams * 1000000L DIV n_grams")))
+    # the production path (ops.dedup.contamination_check) inlined over
+    # the SAME train_set frame so the gate pays one train gram pipeline
+    filt = build_filter(train_set, "h", kind="xor")
+    amq = (tg.withColumn("hit", contains_col(spark, filt, "h"))
+           .groupBy("doc")
+           .agg(F.sum(F.col("hit").cast("long")).alias("amq_hit_grams")))
+    eps = 2.0 ** -8 * 1.1  # xor8 eps bound with slack
+    return (exact.join(amq.select("doc", "amq_hit_grams"), "doc")
+            .select("doc", "n_grams", "exact_hit_grams", "exact_frac_e6",
+                    (F.col("amq_hit_grams") >= F.col("exact_hit_grams"))
+                    .alias("amq_no_fn"),
+                    ((F.col("amq_hit_grams") - F.col("exact_hit_grams"))
+                     <= F.greatest(F.lit(8.0),
+                                   F.lit(3 * eps) * F.col("n_grams")))
+                    .alias("amq_fp_ok")))
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus filter a pipeline actually runs:
     keep documents that (a) pass the quality floor, (b) classify as
@@ -1104,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "exact_dedup": q_exact_dedup,
         "dup_spans": q_dup_spans,
+        "contamination": q_contamination,
         "corpus_filter": q_corpus_filter,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1470,6 +1516,35 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000 // count(*) AS BIGINT) AS dup_frac_e6
             FROM h t JOIN freq f USING (h)
             GROUP BY t.doc_id
+        """,
+        "contamination": f"""
+            WITH w AS (SELECT doc_id,
+                              COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(W) >= 8 THEN
+                             [array_to_string(W[i:i+7], ' ')
+                              FOR i IN range(1, len(W) - 6)]
+                         ELSE [COALESCE(array_to_string(W, ' '), '')]
+                         END AS G
+                  FROM w),
+            h AS (SELECT doc_id,
+                         CAST(md5_number_upper(unnest(G))
+                              & 4611686018427387903 AS BIGINT) AS h
+                  FROM g),
+            train AS (SELECT DISTINCT h FROM h WHERE doc_id % 20 <> 0),
+            test AS (SELECT x.doc_id, (t.h IS NOT NULL) AS m
+                     FROM h x LEFT JOIN train t ON x.h = t.h
+                     WHERE x.doc_id % 20 = 0)
+            SELECT doc_id AS doc,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                       AS exact_hit_grams,
+                   CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS exact_frac_e6,
+                   TRUE AS amq_no_fn,
+                   TRUE AS amq_fp_ok
+            FROM test GROUP BY doc_id
         """,
         "corpus_filter": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),

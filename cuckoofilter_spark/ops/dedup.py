@@ -446,6 +446,37 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def word_gram_hashes(df: DataFrame, id_col: str, text_col: str,
+                     k: int = 8) -> DataFrame:
+    """(doc, h): 62-bit md5-LE64 ids of every word ``k``-gram, one row
+    per gram position — the shared gram pipeline of
+    cross_doc_duplicate_grams and contamination_check. Cross-engine:
+    == DuckDB ``md5_number_upper & (2^62-1)`` of the space-joined gram
+    (the winnowing mask — a >= 2^63 value can't CAST to BIGINT). Docs
+    with < k words contribute their whole text as one gram; NULL text
+    = empty doc. Per-row array transforms only (the word and gram
+    arrays are materialized in their own sub-selects — lambda-captured
+    expressions re-evaluate per element) + one explode; no Python.
+    """
+    from .text import md5hex_to_le64, words
+
+    w = df.select(F.col(id_col).alias("doc"),
+                  words(F.coalesce(F.col(text_col), F.lit(""))).alias("W"))
+    n = F.size("W")
+    grams = w.select(
+        "doc",
+        F.when(n >= k, F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice("W", i + 1, k)),
+        )).otherwise(F.array(F.concat_ws(" ", F.col("W")))).alias("G"))
+    mask = (1 << 62) - 1
+    hashed = grams.select(
+        "doc",
+        F.transform("G", lambda g: md5hex_to_le64(F.md5(g))
+                    .bitwiseAND(F.lit(mask))).alias("H"))
+    return hashed.select("doc", F.explode("H").alias("h"))
+
+
 def cross_doc_duplicate_grams(df: DataFrame, id_col: str, text_col: str,
                               k: int = 5, min_docs: int = 2) -> DataFrame:
     """Per-document cross-corpus duplicate-span accounting — the signal
@@ -476,24 +507,7 @@ def cross_doc_duplicate_grams(df: DataFrame, id_col: str, text_col: str,
     relaxation (any shared span of >= 2k-1 words is guaranteed to
     share a full k-gram at every alignment window).
     """
-    from .text import md5hex_to_le64, words
-
-    w = df.select(F.col(id_col).alias("doc"),
-                  words(F.coalesce(F.col(text_col), F.lit(""))).alias("W"))
-    n = F.size("W")
-    grams = w.select(
-        "doc",
-        F.when(n >= k, F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice("W", i + 1, k)),
-        )).otherwise(F.array(F.concat_ws(" ", F.col("W")))).alias("G"))
-    mask = (1 << 62) - 1  # winnowing's cross-engine mask: DuckDB can't
-    # CAST a >= 2^63 md5_number_upper to BIGINT
-    hashed = grams.select(
-        "doc",
-        F.transform("G", lambda g: md5hex_to_le64(F.md5(g))
-                    .bitwiseAND(F.lit(mask))).alias("H"))
-    ex = hashed.select("doc", F.explode("H").alias("h"))
+    ex = word_gram_hashes(df, id_col, text_col, k)
     shared = (ex.groupBy("h")
               .agg(F.countDistinct("doc").alias("ndocs"))
               .where(F.col("ndocs") >= min_docs)
@@ -504,3 +518,37 @@ def cross_doc_duplicate_grams(df: DataFrame, id_col: str, text_col: str,
                  F.count("shared").alias("dup_grams"))
             .withColumn("dup_frac_e6",
                         F.expr("dup_grams * 1000000L DIV n_grams")))
+
+
+def contamination_check(train_df: DataFrame, test_df: DataFrame,
+                        id_col: str, text_col: str, k: int = 8,
+                        kind: str = "xor") -> DataFrame:
+    """Benchmark decontamination: per EVAL doc, the fraction of its
+    word ``k``-grams that appear verbatim anywhere in the TRAIN corpus
+    (the n-gram overlap rule used to decontaminate training data
+    against eval benchmarks).
+
+    The train-side gram set is held as one of this library's AMQ
+    filters (``kind`` — any ``sketch.api.build_filter`` family): at
+    corpus scale the exact gram set is too large to broadcast exactly,
+    while an xor filter costs ~9.84 bits per distinct gram and probes
+    exchange-free. Guarantees: NO false negatives (a contaminated gram
+    is never missed — the safety direction for decontamination); false
+    positives bounded by the family's eps, so the reported fraction is
+    a tight upper bound.
+
+    Returns ``(doc, n_grams, amq_hit_grams, amq_frac_e6)``.
+    """
+    from ..sketch.api import build_filter, contains_col
+
+    spark = train_df.sparkSession
+    train_grams = word_gram_hashes(train_df, id_col, text_col, k) \
+        .select("h").distinct()
+    filt = build_filter(train_grams, "h", kind=kind)
+    probed = word_gram_hashes(test_df, id_col, text_col, k) \
+        .withColumn("hit", contains_col(spark, filt, "h"))
+    return (probed.groupBy("doc")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.col("hit").cast("long")).alias("amq_hit_grams"))
+            .withColumn("amq_frac_e6",
+                        F.expr("amq_hit_grams * 1000000L DIV n_grams")))

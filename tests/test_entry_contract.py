@@ -110,7 +110,7 @@ ALL_QUERIES = [
     "has_duplicates", "mixin_sample", "windowed_events", "text_stats",
     "winnow_fingerprint", "spooky_membership",
     "sequence_pack", "stratified_sample",
-    "vocab_coverage", "exact_dedup", "dup_spans",
+    "vocab_coverage", "exact_dedup", "dup_spans", "contamination",
     "corpus_filter",
     "jaccard_pairs", "minhash_lsh_pairs", "dedup_clusters", "simhash_pairs",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_neardup",

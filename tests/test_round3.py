@@ -796,3 +796,27 @@ def test_cross_doc_duplicate_grams(spark):
     for d in (1, 2, 3):  # the 8-word boilerplate = 4 shared 5-grams
         assert out[d]["dup_grams"] >= 4, (d, out[d])
         assert 0 < out[d]["dup_frac_e6"] < 1000000
+
+
+def test_contamination_check(spark):
+    """A planted eval doc copied verbatim from a train doc must report
+    ~full contamination through the AMQ path (no false negatives);
+    clean eval text reports (near-)zero, bounded by the family eps."""
+    from cuckoofilter_spark.ops.dedup import contamination_check
+
+    leak = "the quick brown fox jumps over the lazy dog again and again today"
+    train = spark.createDataFrame(
+        [(i, f"filler t{i} " * 10 + (leak if i == 3 else "")) for i in range(40)],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, leak),
+         (101, "completely unrelated eval question about quantum chromodynamics "
+               "and baryon asymmetry in the early universe cosmology")],
+        "doc_id long, text string")
+    for kind in ("xor", "cuckoo"):
+        got = {r["doc"]: r for r in contamination_check(
+            train, test, "doc_id", "text", k=8, kind=kind).collect()}
+        n100 = got[100]["n_grams"]
+        assert got[100]["amq_hit_grams"] == n100, (kind, got[100])  # no FN
+        assert got[101]["amq_hit_grams"] <= max(2, got[101]["n_grams"] // 10), \
+            (kind, got[101])
