@@ -508,10 +508,19 @@ def cross_doc_duplicate_grams(df: DataFrame, id_col: str, text_col: str,
     share a full k-gram at every alignment window).
     """
     ex = word_gram_hashes(df, id_col, text_col, k)
-    shared = (ex.groupBy("h")
-              .agg(F.countDistinct("doc").alias("ndocs"))
-              .where(F.col("ndocs") >= min_docs)
-              .select("h", F.lit(True).alias("shared")))
+    if min_docs == 2:
+        # "seen in >= 2 distinct docs" == min(doc) != max(doc): one
+        # plain map-side-combining aggregate instead of countDistinct's
+        # two-phase expand (one exchange fewer on the full gram stream)
+        shared = (ex.groupBy("h")
+                  .agg(F.min("doc").alias("_lo"), F.max("doc").alias("_hi"))
+                  .where(F.col("_lo") != F.col("_hi"))
+                  .select("h", F.lit(True).alias("shared")))
+    else:
+        shared = (ex.groupBy("h")
+                  .agg(F.countDistinct("doc").alias("ndocs"))
+                  .where(F.col("ndocs") >= min_docs)
+                  .select("h", F.lit(True).alias("shared")))
     return (ex.join(shared, "h", "left")
             .groupBy("doc")
             .agg(F.count("*").alias("n_grams"),
