@@ -45,3 +45,19 @@ def test_capacity_contract(spark, keyset):
     for kind in ("xor", "xorplus", "gcs", "tail"):
         with pytest.raises(ValueError, match="sized from the data"):
             build_filter(li, "l_partkey", kind=kind, capacity=1000)
+
+
+def test_adversarial_keys_all_families(spark):
+    """Extreme int64 keys (negatives, min/max, duplicates) build and
+    probe with zero false negatives in every family — signedness is
+    normalized once (keys_to_u64 bit-view) at build AND probe."""
+    keys = [0, 1, -1, 2**63 - 1, -(2**63), 42, 42, -99999999999]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    probe = spark.createDataFrame(
+        [(k,) for k in keys + [7, -7, 2**62]], "k long")
+    want = set(keys)
+    for kind in filter_families():
+        filt = build_filter(df, "k", kind=kind)
+        rows = probe.withColumn("hit", contains_col(spark, filt, "k")).collect()
+        missing = [r.k for r in rows if r.k in want and not r.hit]
+        assert not missing, (kind, missing)
