@@ -1407,12 +1407,17 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "winnow_fingerprint": f"""
-            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            WITH w AS (SELECT doc_id,
+                              COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
             gs AS (SELECT doc_id,
                           CASE WHEN len(W) >= 3 THEN
                               [array_to_string(W[i:i+2], ' ')
                                FOR i IN range(1, len(W) - 1)]
-                          ELSE [array_to_string(W, ' ')] END AS GS
+                          -- array_to_string([]) is NULL in DuckDB; Spark
+                          -- emits md5('') for the zero-word doc
+                          ELSE [COALESCE(array_to_string(W, ' '), '')]
+                          END AS GS
                    FROM w),
             g AS (SELECT doc_id,
                          list_transform(GS, s -> CAST(

@@ -73,10 +73,12 @@ def _as_flat(items) -> tuple[np.ndarray, np.ndarray]:
         arr = pa.array(items, type=typ)
         if typ == pa.large_string():
             arr = arr.cast(pa.large_binary())
-        if arr.offset:  # defensive: freshly built arrays start at 0
-            arr = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
         bufs = arr.buffers()
-        off = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1)
+        # honor arr.offset (a sliced Array shares its parent's buffers):
+        # read the offset window of the offsets buffer; _pad_matrix
+        # already normalizes non-zero off[0] (seg = buf[off[0]:off[-1]])
+        off = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1,
+                            offset=8 * arr.offset)
         nbytes = int(off[-1])
         buf = (np.frombuffer(bufs[2], dtype=np.uint8, count=nbytes)
                if bufs[2] is not None and nbytes
@@ -293,11 +295,13 @@ def superfast_hash(items) -> np.ndarray:
             h = np.where(act, h2, h)
         rem = lens & 3
         rows = np.arange(m.shape[0])
-        off = (4 * n4).astype(np.int64)
+        # NB: do NOT name this `off` — that would shadow the offsets
+        # array the enclosing `_chunks(off)` generator iterates
+        tail_off = (4 * n4).astype(np.int64)
         g16 = w16[rows, 2 * n4].astype(np.uint32)
-        sx2 = m[rows, np.minimum(off + 2, m.shape[1] - 1)].astype(
+        sx2 = m[rows, np.minimum(tail_off + 2, m.shape[1] - 1)].astype(
             np.int8).astype(np.int32).view(np.uint32) if m.shape[1] else 0
-        sx0 = m[rows, np.minimum(off, m.shape[1] - 1)].astype(
+        sx0 = m[rows, np.minimum(tail_off, m.shape[1] - 1)].astype(
             np.int8).astype(np.int32).view(np.uint32)
         h3 = h + g16
         h3 ^= h3 << U32(16)

@@ -76,6 +76,15 @@ class TailFilter:
         self.lgm = max(int(lgm), 5)
         self.tb = max(1, int(np.floor(np.log2(1.0 / epsilon))))
         self.epsilon = float(epsilon)
+        # _split reads key+tail bits from the TOP of a 64-bit hash and
+        # pairs pack into uint64 — a combination past 64 bits would wrap
+        # the numpy shift (undefined for >= 64) and silently corrupt
+        # every key/tail. upsize() guards growth; guard construction too.
+        if self.lgm + self.tb + 1 > 64:
+            raise ValueError(
+                f"lgm + tail bits + 1 = {self.lgm + self.tb + 1} exceeds "
+                f"the 64-bit pair encoding (lgm={self.lgm}, eps gives "
+                f"tb={self.tb}); raise epsilon or lower lgm")
         # hash-domain identity of the caller's pre-hashing (kernel never
         # hashes itself); serialized and checked on merge
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF

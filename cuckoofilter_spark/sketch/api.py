@@ -27,19 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
-def _approx_capacity(df: DataFrame, col: str) -> int:
-    from .udaf import require_key_col
-
-    is_array = require_key_col(df, col)
-    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
-    if is_array:
-        base = base.select(F.explode("k").alias("k"))
-    n = base.select(F.approx_count_distinct("k")).first()[0]
-    return int(n * 1.15) + 64
-
-
 def _need_capacity(df, col, capacity):
-    return _approx_capacity(df, col) if capacity is None else int(capacity)
+    from .udaf import approx_distinct_capacity
+
+    return (approx_distinct_capacity(df, col) if capacity is None
+            else int(capacity))
 
 
 def _no_capacity(kind, capacity):

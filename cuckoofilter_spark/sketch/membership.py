@@ -136,9 +136,12 @@ class _FlatProbe:
         return out
 
 
-def _pack_shards(keys: np.ndarray, num_shards: int):
+def _pack_shards(keys: np.ndarray, num_shards: int, transform=None):
     """Split a sorted-unique key array by shard: (shard_ids, packed_bytes)
-    — the shared map-side packing stage of every sharded build/dedupe."""
+    — the shared map-side packing stage of every sharded build/dedupe.
+    ``transform(seg)`` maps each shard's raw keys to the shipped payload
+    (e.g. simple_mix_split for pre-hashed filter domains); sharding is
+    always on the RAW key so probes shard the same way."""
     sh = shard_of(keys, num_shards)
     order = np.argsort(sh, kind="stable")
     keys, sh = keys[order], sh[order]
@@ -148,8 +151,66 @@ def _pack_shards(keys: np.ndarray, num_shards: int):
         seg = keys[bounds[s]:bounds[s + 1]]
         if seg.size:
             shards.append(s)
-            blobs.append(seg.tobytes())
+            blobs.append((transform(seg) if transform is not None
+                          else seg).tobytes())
     return shards, blobs
+
+
+def _sharded_build_blobs(df: DataFrame, col: str, num_shards: int,
+                         make_shard, empty_blob: bytes,
+                         hash_seed: int | None = None,
+                         dedupe: bool = True) -> list[bytes]:
+    """The scaffold shared by every sharded filter build (cuckoo,
+    shingle, tail, crate): per input partition, flatten token arrays,
+    np.unique-dedupe, split by shard, and emit ONE binary row of packed
+    uint64 payloads per (partition, shard) — the shuffle moves
+    P x num_shards small blobs instead of per-key rows, and no Python
+    UDF sits in the exchange. Then one groupBy(shard) builds each
+    shard's kernel (``make_shard(keys) -> kernel``) and the driver
+    collects num_shards blobs, filling absent shards with
+    ``empty_blob``.
+
+    ``hash_seed`` set = ship ``simple_mix_split(keys, hash_seed)``
+    (the pre-hashed input domain of tail/crate; sharding stays on raw
+    keys so probes agree); raw-key variants re-dedupe reduce-side
+    (cross-partition duplicates), hashed variants preserve the
+    kernel's own duplicate handling.
+    """
+    from ..kernels.hashing import simple_mix_split
+    from .udaf import require_key_col, tokens_to_u64
+
+    is_array = require_key_col(df, col)
+    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
+    transform = (None if hash_seed is None
+                 else (lambda seg: simple_mix_split(seg, hash_seed)))
+
+    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
+                 for pdf in batches]
+        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
+        if dedupe:
+            keys = np.unique(keys)
+        shards, blobs = _pack_shards(keys, num_shards, transform)
+        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
+                            "keys": blobs})
+
+    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
+    rededupe = dedupe and hash_seed is None
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
+        if rededupe:
+            keys = np.unique(keys)
+        filt = make_shard(keys)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "blob": [filt.to_bytes()]})
+
+    rows = (packed.groupBy("shard")
+            .applyInPandas(build_shard, "shard int, blob binary")
+            .collect())
+    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
+    return [blob_by_shard.get(s, empty_blob) for s in range(num_shards)]
 
 
 class ShardedCuckooFilter:
@@ -239,58 +300,26 @@ def cuckoo_build(
     distinct count when omitted (costs one extra aggregate job) —
     callers at scale should pass the known/estimated cardinality.
     """
-    from .udaf import require_key_col, tokens_to_u64
+    from .udaf import approx_distinct_capacity
 
-    is_array = require_key_col(df, col)
-    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
-
-    # Stage 1 (map-side combine): per input partition, flatten (for token
-    # arrays) + np.unique-dedupe, split by shard, and emit ONE binary row of
-    # packed uint64 keys per (partition, shard). The shuffle then moves
-    # P x num_shards small blobs instead of per-key rows — at 10^12 tokens
-    # the exchange is bounded by P x vocab x 8 bytes, and no Python UDF sits
-    # in the exchange (sharding is numpy inside the same Arrow pass).
-    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
-                 for pdf in batches]
-        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
-        if dedupe:
-            keys = np.unique(keys)
-        shards, blobs = _pack_shards(keys, num_shards)
-        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
-                            "keys": blobs})
-
-    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
-
+    # _sharded_build_blobs does the map-side combine: one packed-key
+    # blob per (partition, shard) — at 10^12 tokens the exchange is
+    # bounded by P x vocab x 8 bytes, no Python UDF in the exchange,
+    # one groupBy(shard) shuffle total.
     if capacity is None:
-        if is_array:
-            flat = base.select(F.explode("k").alias("t"))
-            capacity = flat.select(F.approx_count_distinct("t")).first()[0]
-        else:
-            capacity = base.select(F.approx_count_distinct("k")).first()[0]
-        capacity = int(capacity * 1.15) + 64
+        capacity = approx_distinct_capacity(df, col)
     shard_cap = max(64, capacity // num_shards)
 
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = np.concatenate(
-            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
-        if dedupe:
-            keys = np.unique(keys)
-        filt = CuckooFilter.create(max(shard_cap, keys.size), bits=bits, seed=seed,
-                                   mode=mode, stable=stable)
+    def make_shard(keys: np.ndarray):
+        filt = CuckooFilter.create(max(shard_cap, keys.size), bits=bits,
+                                   seed=seed, mode=mode, stable=stable)
         filt.add_many(keys)
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                             "blob": [filt.to_bytes()]})
+        return filt
 
-    rows = (
-        packed.groupBy("shard")
-        .applyInPandas(build_shard, "shard int, blob binary")
-        .collect()
-    )
-    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
     empty = CuckooFilter.create(shard_cap, bits=bits, seed=seed, mode=mode,
                                 stable=stable).to_bytes()
-    blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
+    blobs = _sharded_build_blobs(df, col, num_shards, make_shard, empty,
+                                 dedupe=dedupe)
     return ShardedCuckooFilter(blobs, bits=bits, seed=seed)
 
 
@@ -593,50 +622,22 @@ def shingle_build(
     groupBy(shard) shuffle of packed key blobs, the cuckoo_build plan
     shape applied to the overlapping-bucket structure."""
     from ..kernels.shingle import ShingleFilter
-    from .udaf import require_key_col, tokens_to_u64
-
-    is_array = require_key_col(df, col)
-    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
-
-    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
-                 for pdf in batches]
-        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
-        if dedupe:
-            keys = np.unique(keys)
-        shards, blobs = _pack_shards(keys, num_shards)
-        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
-                            "keys": blobs})
-
-    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
+    from .udaf import approx_distinct_capacity
 
     if capacity is None:
-        if is_array:
-            flat = base.select(F.explode("k").alias("t"))
-            capacity = flat.select(F.approx_count_distinct("t")).first()[0]
-        else:
-            capacity = base.select(F.approx_count_distinct("k")).first()[0]
-        capacity = int(capacity * 1.15) + 64
+        capacity = approx_distinct_capacity(df, col)
     shard_cap = max(64, capacity // num_shards)
 
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = np.concatenate(
-            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
-        if dedupe:
-            keys = np.unique(keys)
+    def make_shard(keys: np.ndarray):
         filt = ShingleFilter.create(max(shard_cap, keys.size),
                                     slot_bits=slot_bits, seed=seed)
         filt.add_many(keys)
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                             "blob": [filt.to_bytes()]})
+        return filt
 
-    rows = (packed.groupBy("shard")
-            .applyInPandas(build_shard, "shard int, blob binary")
-            .collect())
-    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
     empty = ShingleFilter.create(shard_cap, slot_bits=slot_bits,
                                  seed=seed).to_bytes()
-    blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
+    blobs = _sharded_build_blobs(df, col, num_shards, make_shard, empty,
+                                 dedupe=dedupe)
     return ShardedShingleFilter(blobs, slot_bits=slot_bits, seed=seed)
 
 
@@ -735,49 +736,18 @@ def tail_build(
     adaptively (tail-filter.hpp:88-124), so the plan is a single
     groupBy(shard) shuffle of packed hash blobs with no
     approx_count_distinct pre-pass."""
-    from ..kernels.hashing import simple_mix_split
     from ..kernels.tail import TailFilter
-    from .udaf import require_key_col, tokens_to_u64
 
-    is_array = require_key_col(df, col)
-    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
-
-    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
-                 for pdf in batches]
-        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
-        keys = np.unique(keys)
-        shards, blobs = [], []
-        sh = shard_of(keys, num_shards)
-        order = np.argsort(sh, kind="stable")
-        keys, sh = keys[order], sh[order]
-        bounds = np.searchsorted(sh, np.arange(num_shards + 1))
-        for s in range(num_shards):
-            seg = keys[bounds[s]:bounds[s + 1]]
-            if seg.size:
-                shards.append(s)
-                # ship the HASH (the filter's input domain,
-                # tail-filter.hpp:119 takes a pre-hashed uint64)
-                blobs.append(simple_mix_split(seg, seed).tobytes())
-        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
-                            "keys": blobs})
-
-    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
-
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        hashes = np.concatenate(
-            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
+    # hash_seed: ship the HASH, not the raw key (the filter's input
+    # domain — tail-filter.hpp:119 takes a pre-hashed uint64)
+    def make_shard(hashes: np.ndarray):
         filt = TailFilter(lgm=lgm, epsilon=epsilon, seed=seed)
         filt.add_many(hashes)
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                             "blob": [filt.to_bytes()]})
+        return filt
 
-    rows = (packed.groupBy("shard")
-            .applyInPandas(build_shard, "shard int, blob binary")
-            .collect())
-    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
     empty = TailFilter(lgm=lgm, epsilon=epsilon, seed=seed).to_bytes()
-    blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
+    blobs = _sharded_build_blobs(df, col, num_shards, make_shard, empty,
+                                 hash_seed=seed)
     return ShardedTailFilter(blobs, seed=seed)
 
 
@@ -854,54 +824,25 @@ def crate_build(
     column — one groupBy(shard) shuffle of packed hash blobs
     (crate.h:429-436 sizing: buckets = capacity/44, spare ~1.3%)."""
     from ..kernels.crate import CrateFilter
-    from ..kernels.hashing import simple_mix_split
-    from .udaf import require_key_col, tokens_to_u64
-
-    is_array = require_key_col(df, col)
-    base = df.select(F.col(col).alias("k")).where(F.col(col).isNotNull())
-
-    def partial_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
-                 for pdf in batches]
-        keys = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
-        keys = np.unique(keys)
-        sh = shard_of(keys, num_shards)
-        order = np.argsort(sh, kind="stable")
-        keys, sh = keys[order], sh[order]
-        bounds = np.searchsorted(sh, np.arange(num_shards + 1))
-        shards, blobs = [], []
-        for s in range(num_shards):
-            seg = keys[bounds[s]:bounds[s + 1]]
-            if seg.size:
-                shards.append(s)
-                blobs.append(simple_mix_split(seg, seed).tobytes())
-        yield pd.DataFrame({"shard": pd.Series(shards, dtype="int32"),
-                            "keys": blobs})
-
-    packed = base.mapInPandas(partial_shards, schema="shard int, keys binary")
+    from .udaf import approx_distinct_capacity
 
     if capacity is None:
-        if is_array:
-            flat = base.select(F.explode("k").alias("t"))
-            capacity = flat.select(F.approx_count_distinct("t")).first()[0]
-        else:
-            capacity = base.select(F.approx_count_distinct("k")).first()[0]
+        # no headroom/slack (unlike cuckoo/shingle): the reference sizes
+        # buckets at the exact add_count for its 44/51 fill target
+        # (crate.h:429-436), an ACD under-estimate is absorbed by the
+        # per-shard max() below, and an over-estimate would lower fill
+        # and inflate bits/item past the published operating point
+        capacity = approx_distinct_capacity(df, col, headroom=1.0, slack=0)
     shard_cap = max(64, int(capacity) // num_shards)
 
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        hashes = np.concatenate(
-            [np.frombuffer(b, dtype=np.uint64) for b in pdf["keys"]])
+    def make_shard(hashes: np.ndarray):
         filt = CrateFilter(add_count=max(shard_cap, hashes.size), seed=seed)
         filt.add_many(hashes)
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                             "blob": [filt.to_bytes()]})
+        return filt
 
-    rows = (packed.groupBy("shard")
-            .applyInPandas(build_shard, "shard int, blob binary")
-            .collect())
-    blob_by_shard = {r["shard"]: bytes(r["blob"]) for r in rows}
     empty = CrateFilter(shard_cap, seed=seed).to_bytes()
-    blobs = [blob_by_shard.get(s, empty) for s in range(num_shards)]
+    blobs = _sharded_build_blobs(df, col, num_shards, make_shard, empty,
+                                 hash_seed=seed)
     return ShardedCrateFilter(blobs, seed=seed)
 
 

@@ -91,6 +91,22 @@ def tokens_to_u64(s: pd.Series) -> np.ndarray:
     return np.concatenate(arrs, dtype=np.int64, casting="unsafe").view(np.uint64)
 
 
+def approx_distinct_capacity(df: DataFrame, col: str,
+                             headroom: float = 1.15, slack: int = 64) -> int:
+    """Distinct-cardinality estimate for sizing a filter when the
+    caller didn't pass the known count (the reference's add_count):
+    one ``approx_count_distinct`` pre-pass, scaled by ``headroom`` plus
+    ``slack`` to absorb ACD's ~2% relative error. Array columns count
+    distinct ELEMENTS. The single sizing policy for every builder —
+    callers at scale should pass the known cardinality instead."""
+    is_array = require_key_col(df, col)
+    base = df.select(F.col(col).alias("k")).where(F.col("k").isNotNull())
+    if is_array:
+        base = base.select(F.explode("k").alias("k"))
+    n = base.select(F.approx_count_distinct("k")).first()[0]
+    return int(n * headroom) + int(slack)
+
+
 def aggregate_sketch(
     df: DataFrame,
     col: str,

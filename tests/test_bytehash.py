@@ -197,3 +197,18 @@ def test_chunk_budget_outlier_lengths(monkeypatch):
     for lo, o in bytehash._chunks(off):
         lens = np.diff(o)
         assert lens.size == 1 or int(lens.max()) * lens.size <= 1 << 14
+
+
+def test_sliced_pyarrow_array_input():
+    """A sliced pa.Array keeps offset != 0 through pa.array(); the
+    offsets buffer must be read from the slice window, not position 0
+    (regression: the old guard was a no-op and would hash wrong bytes)."""
+    import pyarrow as pa
+
+    items = [b"alpha", b"bravo charlie", b"", b"delta" * 50, b"echo"]
+    sliced = pa.array(items, type=pa.large_binary()).slice(2)
+    assert pa.array(sliced, type=pa.large_binary()).offset == 2
+    for fn in (spooky_hash64, bob_hash32, murmur2_32, superfast_hash):
+        got = fn(sliced)
+        want = fn(items[2:])
+        assert (got == want).all(), fn.__name__

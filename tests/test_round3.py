@@ -820,3 +820,42 @@ def test_contamination_check(spark):
         assert got[100]["amq_hit_grams"] == n100, (kind, got[100])  # no FN
         assert got[101]["amq_hit_grams"] <= max(2, got[101]["n_grams"] // 10), \
             (kind, got[101])
+
+
+def test_winnow_degenerate_docs_match_oracle(spark):
+    """Zero-word docs (NULL / empty / whitespace text) must fingerprint
+    identically on both engines: Spark emits md5('') & mask; the DuckDB
+    oracle's array_to_string([]) is NULL and needed COALESCE."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from cuckoofilter_spark.ops.text import winnow_fingerprints
+
+    data = [(1, None), (2, ""), (3, "   "), (4, "a b c d e f g h")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {(r.doc_id, r.fp) for r in
+           winnow_fingerprints(df, "doc_id", "text").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    ora = {(r[0], r[1]) for r in
+           con.execute(e.oracle_sql()["winnow_fingerprint"]).fetchall()}
+    assert got == ora, (sorted(got - ora)[:3], sorted(ora - got)[:3])
+    assert {d for d, _ in got} == {1, 2, 3, 4}  # degenerates kept
+
+
+def test_tail_filter_rejects_overflowing_geometry():
+    """lgm + tb + 1 > 64 would wrap the numpy shift in _split and
+    silently corrupt every key/tail (measured 12% FP at a 2^-60 design
+    eps before the guard); construction must refuse."""
+    from cuckoofilter_spark.kernels.tail import TailFilter
+
+    with pytest.raises(ValueError, match="64-bit pair encoding"):
+        TailFilter(lgm=10, epsilon=2.0 ** -60)
+    f = TailFilter(lgm=10, epsilon=2.0 ** -52)  # 10+52+1=63: legal
+    keys = _rand_keys(1000, 3)
+    f.add_many(keys)
+    assert f.contains_many(keys).all()
+    rng = np.random.default_rng(4)
+    neg = rng.integers(0, 1 << 63, size=100_000, dtype=np.uint64)
+    assert f.contains_many(neg).mean() < 0.001
