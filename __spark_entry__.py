@@ -597,6 +597,36 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, kll_within_bound boolean")
 
 
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KLL quantiles (order-price distribution per priority
+    bucket): every (group, q) estimate rank-checked exactly in ONE
+    broadcast-join + aggregation pass. The grouped-sketch protocol's
+    quantile leg in the gate (distinct and heavy-hitter legs:
+    grouped_distinct, tested grouped_mg_topk)."""
+    from cuckoofilter_spark.kernels.kll import KLLSketch
+    from cuckoofilter_spark.sketch.aggregates import grouped_kll_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    qs = (0.25, 0.5, 0.75)
+    est = grouped_kll_quantiles(orders, "o_orderpriority", "o_totalprice",
+                                qs=qs, k=200, seed=SEED).collect()
+    edf = spark.createDataFrame(
+        [(r["o_orderpriority"], r["q"], r["value"]) for r in est],
+        "grp string, q double, v double")
+    eps = KLLSketch(k=200).eps
+    j = orders.select(F.col("o_orderpriority").alias("grp"),
+                      "o_totalprice").join(F.broadcast(edf), "grp")
+    agg = (j.groupBy("grp", "q")
+           .agg(F.count("*").alias("n"),
+                F.sum((F.col("o_totalprice") <= F.col("v")).cast("long"))
+                .alias("le"),
+                F.sum((F.col("o_totalprice") < F.col("v")).cast("long"))
+                .alias("lt")))
+    ok = ((F.col("le") / F.col("n") >= F.col("q") - F.lit(eps))
+          & (F.col("lt") / F.col("n") <= F.col("q") + F.lit(eps)))
+    return agg.select("grp", "q", ok.alias("kll_within_bound"))
+
+
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of l_extendedprice (tail-accurate; companion to
     KLL per the north rule): per-target rank error <= bound, rank
@@ -1134,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cqf_topk_freq": q_cqf_topk_freq,
         "cqf_enumerate": q_cqf_enumerate,
         "kll_quantiles": q_kll_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "match_size": q_match_size,
         "count_distinct": q_count_distinct,
@@ -1327,6 +1358,12 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS kll_within_bound
             FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) AS t(q)
+        """,
+        "grouped_quantiles": """
+            SELECT DISTINCT o_orderpriority AS grp,
+                   CAST(t.q AS DOUBLE) AS q,
+                   TRUE AS kll_within_bound
+            FROM orders, (VALUES (0.25),(0.5),(0.75)) AS t(q)
         """,
         "tdigest_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS tdigest_within_bound

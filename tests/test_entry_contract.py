@@ -105,7 +105,7 @@ ALL_QUERIES = [
     "cf_mixed_probe", "cf_prefilter_join", "cf_prefilter_anti_join",
     "hll_distinct", "hll_overlap", "grouped_distinct", "repetition_stats",
     "cms_topk_freq", "mg_topk_freq", "cqf_topk_freq", "cqf_enumerate",
-    "kll_quantiles",
+    "kll_quantiles", "grouped_quantiles",
     "tdigest_quantiles", "match_size", "count_distinct",
     "has_duplicates", "mixin_sample", "windowed_events", "text_stats",
     "winnow_fingerprint", "spooky_membership",
