@@ -125,6 +125,117 @@ class StreamingSketchState:
         return w.start()
 
 
+class GroupedStreamingSketchState:
+    """Per-GROUP mergeable sketch state for foreachBatch sinks — the
+    streaming leg of ``grouped_aggregate_sketch`` (one sketch per
+    source/language/shard maintained over an unbounded stream).
+
+    Each micro-batch computes distributed per-group partials (the same
+    map-side-combining grouped protocol; only (group, blob) rows reach
+    the driver — bounded by group cardinality, the documented contract
+    of the grouped surface), merges them into the persisted per-group
+    blobs, and commits atomically with the exactly-once batch-id guard
+    of ``StreamingSketchState``. MG summaries compact after every
+    merge so state stays <= k entries per group."""
+
+    def __init__(self, state_dir: str, kind: str, group_col: str,
+                 col: str, **params):
+        if kind not in _KINDS:
+            raise ValueError(f"kind must be one of {sorted(_KINDS)}")
+        self.state_dir = state_dir
+        self.kind = kind
+        self.group_col = group_col
+        self.col = col
+        self.params = params
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _blob_path(self) -> str:
+        return os.path.join(self.state_dir, "groups.pkl")
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_dir, "state.json")
+
+    def load(self) -> dict:
+        """{group_value: kernel} — group values in their original type
+        (the grouped protocol casts back on output); None = NULL group."""
+        import pickle
+
+        cls, _ = _KINDS[self.kind]
+        try:
+            with open(self._blob_path(), "rb") as f:
+                raw = pickle.load(f)
+        except OSError:
+            return {}
+        return {g: cls.from_bytes(b) for g, b in raw.items()}
+
+    def last_batch_id(self) -> int:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _store(self, kerns: dict, batch_id: int) -> None:
+        import pickle
+
+        tmp = self._blob_path() + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({g: k.to_bytes() for g, k in kerns.items()}, f)
+        os.replace(tmp, self._blob_path())
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "updated_at": time.time(),
+                       "kind": self.kind, "group_col": self.group_col,
+                       "col": self.col, "n_groups": len(kerns)}, f)
+        os.replace(tmp, self._meta_path())
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return
+        from ..sketch.aggregates import _is_array_col, _series_to_keys
+        from ..sketch.udaf import grouped_aggregate_sketch
+
+        cls, _build = _KINDS[self.kind]
+        arr = _is_array_col(batch_df, self.col)
+
+        if self.kind == "kll":
+            def upd(k, s):
+                import numpy as _np
+                k.add_many(s.to_numpy(dtype="float64", na_value=_np.nan))
+        else:
+            def upd(k, s):
+                k.add_many(_series_to_keys(s, arr))
+
+        partial_rows = grouped_aggregate_sketch(
+            batch_df, self.group_col, self.col,
+            make=lambda: self._make(cls),
+            update=upd, merge=cls.merge, from_bytes=cls.from_bytes,
+        ).collect()
+        cur = self.load()
+        for r in partial_rows:
+            part = cls.from_bytes(bytes(r["blob"]))
+            g = r["g"]
+            merged = part if g not in cur else cls.merge(cur[g], part)
+            if self.kind == "mg":
+                merged.compact()
+            cur[g] = merged
+        self._store(cur, batch_id)
+
+    def _make(self, cls):
+        if self.kind == "cms":  # CMS sizes from (eps, delta), not (width, depth)
+            return cls.create(**self.params)
+        return cls(**self.params) if self.params else cls()
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str,
+               trigger_available_now: bool = True):
+        w = (stream_df.writeStream
+             .foreachBatch(self.update)
+             .option("checkpointLocation", checkpoint_dir))
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+
 def stream_token_sketches(spark: SparkSession, stream_df: DataFrame,
                           state_root: str, checkpoint_root: str,
                           seed: int = 0x5EED) -> list:

@@ -232,3 +232,37 @@ def test_streaming_mg_state_stays_bounded(spark, tmp_path):
         df = spark.range(b * 1000, b * 1000 + 300).selectExpr("id AS t")
         st.update(df, b)
         assert st.load().keys.size <= k, f"batch {b} leaked state"
+
+
+def test_grouped_streaming_sketch_state(spark, tmp_path):
+    """Per-group streaming HLL: incremental merge over disjoint batches
+    equals the one-shot grouped build bit-exactly; replays are no-ops;
+    MG state stays bounded per group."""
+    from cuckoofilter_spark.sketch.aggregates import grouped_hll_sketch
+    from cuckoofilter_spark.kernels.hll import HyperLogLog
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        GroupedStreamingSketchState)
+
+    df = spark.range(9000).selectExpr(
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE concat('s', id % 3) END AS src",
+        "id % 2000 AS t")
+    b0, b1 = df.where("id < 4500"), df.where("id >= 4500")
+
+    st = GroupedStreamingSketchState(str(tmp_path / "g"), "hll", "src", "t",
+                                     p=12, seed=7)
+    st.update(b0, 0)
+    st.update(b1, 1)
+    st.update(b1, 1)  # replay must be a bit-exact no-op
+    streamed = st.load()
+    whole = {r["src"]: bytes(r["blob"]) for r in
+             grouped_hll_sketch(df, "src", "t", p=12, seed=7).collect()}
+    assert set(streamed) == set(whole) and None in streamed
+    for g, blob in whole.items():
+        assert streamed[g].to_bytes() == blob, g
+
+    mg = GroupedStreamingSketchState(str(tmp_path / "mg"), "mg", "src", "t",
+                                     k=16)
+    for b in range(3):
+        mg.update(spark.range(b * 900, b * 900 + 400).selectExpr(
+            "concat('s', id % 2) AS src", "id AS t"), b)
+        assert all(k.keys.size <= 16 for k in mg.load().values())
