@@ -88,8 +88,12 @@ def _build_xorplus(df, col, capacity, seed, **kw):
 
 def _build_gcs(df, col, capacity, seed, **kw):
     from .gcsfilter import gcs_build
+    from .udaf import require_key_col
 
     _no_capacity("gcs", capacity)
+    if require_key_col(df, col):  # every other family flattens token
+        # arrays implicitly; keep the facade uniform for gcs too
+        df = df.select(F.explode(col).alias(col))
     return gcs_build(df, col, seed=seed, **kw)
 
 

@@ -61,3 +61,20 @@ def test_adversarial_keys_all_families(spark):
         rows = probe.withColumn("hit", contains_col(spark, filt, "k")).collect()
         missing = [r.k for r in rows if r.k in want and not r.hit]
         assert not missing, (kind, missing)
+
+
+def test_array_token_column_all_families(spark):
+    """The input_hint's core shape — tokens: array<int32> — must build
+    through every facade family (arrays flatten in the build) and probe
+    exploded tokens with zero false negatives."""
+    from cuckoofilter_spark.sources.tokens import tokens_table
+
+    toks = tokens_table(spark, 200, seed=5).persist()
+    flat = toks.select(F.explode("tokens").alias("t")).distinct().persist()
+    want = {r[0] for r in flat.collect()}
+    probe = flat.limit(300)
+    for kind in filter_families():
+        filt = build_filter(toks, "tokens", kind=kind)
+        rows = probe.withColumn("hit", contains_col(spark, filt, "t")).collect()
+        fn = [r.t for r in rows if r.t in want and not r.hit]
+        assert not fn, (kind, fn[:5])
