@@ -709,6 +709,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram cross-entropy in exact integer micro-nats (the
+    perplexity-filter quality signal): only vocab+1 float ops in the
+    whole query, everything else integer — bit-exact cross-engine."""
+    from cuckoofilter_spark.ops.text import unigram_xent
+
+    return unigram_xent(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                        vocab_size=10)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition: duplicate word / 3-gram
     fractions as exact integer micro-rates. Pure per-row array
@@ -1173,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
+        "unigram_xent": q_unigram_xent,
         "winnow_fingerprint": q_winnow_fingerprint,
         "spooky_membership": q_spooky_membership,
         "sequence_pack": q_sequence_pack,
@@ -1419,6 +1430,28 @@ def oracle_sql() -> dict[str, str]:
                                / greatest(len(W), 1) >= 0.02 THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS quality,
                    md5(array_to_string(W, ' ')) AS fingerprint
             FROM w
+        """,
+        "unigram_xent": f"""
+            WITH w AS (SELECT doc_id,
+                              COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
+            t AS (SELECT doc_id, unnest(W) AS w FROM w),
+            f AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+            n AS (SELECT sum(cnt) AS N FROM f),
+            v AS (SELECT w, CAST(round(-ln(cnt / CAST(N AS DOUBLE))
+                                       * 1000000) AS BIGINT) AS nats_e6
+                  FROM f, n ORDER BY cnt DESC, w ASC LIMIT 10),
+            fl AS (SELECT CAST(round(-ln(1.0 / CAST(N AS DOUBLE))
+                                     * 1000000) AS BIGINT) AS floor_e6
+                   FROM n),
+            s AS (SELECT t.doc_id, count(*) AS n_words,
+                         sum(COALESCE(v.nats_e6, fl.floor_e6)) AS sum_e6
+                  FROM t LEFT JOIN v USING (w), fl GROUP BY t.doc_id)
+            SELECT w.doc_id AS doc,
+                   CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(s.sum_e6 // greatest(s.n_words, 1), 0)
+                        AS BIGINT) AS xent_e6
+            FROM w LEFT JOIN s ON w.doc_id = s.doc_id
         """,
         "repetition_stats": f"""
             WITH w AS (SELECT doc_id,

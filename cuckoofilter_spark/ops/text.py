@@ -272,6 +272,54 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def unigram_xent(df: DataFrame, id_col: str, text_col: str,
+                 vocab_size: int = 10) -> DataFrame:
+    """Per-document unigram cross-entropy — the perplexity-style
+    quality signal (a doc whose tokens are improbable under the corpus
+    unigram model is noise; one whose tokens are all stopwords is
+    boilerplate): ``mean over tokens of -ln p(token)``, with p from the
+    corpus' top-``vocab_size`` unigram counts and a 1/N floor for
+    out-of-vocab tokens.
+
+    Returns ``(doc, n_words, xent_e6)`` with the mean in INTEGER
+    micro-nats: each distinct vocab word's -ln(cnt/N) is rounded to
+    int64 micro-nats ONCE (only vocab_size + 1 float computations in
+    the whole query — both engines hit identical IEEE doubles there),
+    then per-doc aggregation is pure integer sum + DIV — bit-exact
+    cross-engine, no float accumulation-order sensitivity.
+
+    Scale shape (the vocab_coverage plan): one exploded-word frequency
+    shuffle with map-side combine, a driver-free deterministic top-V,
+    one BROADCAST join of the tiny scored vocab against the exploded
+    stream, and a doc-keyed integer aggregate."""
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.explode_outer(words(
+                         F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
+    freq = toks.where(F.col("w").isNotNull()).groupBy("w") \
+        .agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("N"))
+    vocab = (freq.crossJoin(F.broadcast(total))
+             .orderBy(F.col("cnt").desc(), F.col("w").asc())
+             .limit(int(vocab_size))
+             .select("w", F.expr(
+                 "CAST(round(-ln(cnt / CAST(N AS DOUBLE)) * 1000000) "
+                 "AS BIGINT)").alias("nats_e6")))
+    floor = total.select(F.expr(
+        "CAST(round(-ln(1.0 / CAST(N AS DOUBLE)) * 1000000) AS BIGINT)"
+    ).alias("floor_e6"))
+    return (toks.join(F.broadcast(vocab), "w", "left")
+            .crossJoin(F.broadcast(floor))
+            .groupBy("doc")
+            .agg(F.count("w").alias("n_words"),
+                 F.sum(F.when(F.col("w").isNull(), F.lit(0))
+                       .otherwise(F.coalesce(F.col("nats_e6"),
+                                             F.col("floor_e6"))))
+                 .alias("sum_e6"))
+            .select("doc", "n_words",
+                    F.expr("CAST(coalesce(sum_e6, 0) DIV greatest(n_words, 1)"
+                           " AS BIGINT)").alias("xent_e6")))
+
+
 def vocab_coverage(df: DataFrame, text_col: str, group_col: str,
                    vocab_size: int = 10) -> DataFrame:
     """Tokenizer-vocabulary coverage / OOV rate per group.

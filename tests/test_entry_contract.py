@@ -103,7 +103,7 @@ ALL_QUERIES = [
     "cf_checkpoint_membership", "cf_delete_membership", "bloom_membership",
     "blocked_bloom_membership", "grow_bloom_membership", "gcs_membership",
     "cf_mixed_probe", "cf_prefilter_join", "cf_prefilter_anti_join",
-    "hll_distinct", "hll_overlap", "grouped_distinct", "repetition_stats",
+    "hll_distinct", "hll_overlap", "grouped_distinct", "repetition_stats", "unigram_xent",
     "cms_topk_freq", "mg_topk_freq", "cqf_topk_freq", "cqf_enumerate",
     "kll_quantiles", "grouped_quantiles",
     "tdigest_quantiles", "match_size", "count_distinct",

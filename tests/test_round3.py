@@ -859,3 +859,31 @@ def test_tail_filter_rejects_overflowing_geometry():
     rng = np.random.default_rng(4)
     neg = rng.integers(0, 1 << 63, size=100_000, dtype=np.uint64)
     assert f.contains_many(neg).mean() < 0.001
+
+
+def test_unigram_xent_semantics(spark):
+    """Hand-checkable corpus: common-word docs score low, rare/OOV docs
+    score high (the perplexity-filter direction); NULL/empty docs score
+    (0, 0); values are exact integer micro-nats."""
+    import math
+
+    from cuckoofilter_spark.ops.text import unigram_xent
+
+    # corpus: 'the' x 8, 'cat' x 4, 'sat' x 2, singletons x 2; N = 16
+    docs = [(1, "the the the the the the the the"),
+            (2, "cat cat cat cat"),
+            (3, "sat sat"),
+            (4, "rare1 rare2"),
+            (5, None), (6, "")]
+    out = {r["doc"]: r for r in unigram_xent(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "doc_id", "text", vocab_size=3).collect()}
+    N = 16
+    nat = lambda p: round(-math.log(p) * 1e6)
+    assert out[1]["xent_e6"] == nat(8 / N)      # all 'the'
+    assert out[2]["xent_e6"] == nat(4 / N)
+    assert out[3]["xent_e6"] == nat(2 / N)
+    assert out[4]["xent_e6"] == nat(1 / N)      # OOV floor = 1/N
+    assert out[5]["n_words"] == 0 and out[5]["xent_e6"] == 0
+    assert (out[6]["n_words"], out[6]["xent_e6"]) == (0, 0)
+    assert out[1]["xent_e6"] < out[2]["xent_e6"] < out[4]["xent_e6"]
