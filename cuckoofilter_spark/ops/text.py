@@ -292,11 +292,17 @@ def unigram_xent(df: DataFrame, id_col: str, text_col: str,
     shuffle with map-side combine, a driver-free deterministic top-V,
     one BROADCAST join of the tiny scored vocab against the exploded
     stream, and a doc-keyed integer aggregate."""
+    from .dedup import _scoped_cache
+
     toks = df.select(F.col(id_col).alias("doc"),
                      F.explode_outer(words(
                          F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
-    freq = toks.where(F.col("w").isNotNull()).groupBy("w") \
-        .agg(F.count("*").alias("cnt"))
+    # cached (bounded generations): the word-frequency aggregation feeds
+    # BOTH the total-count scalar and the top-V vocab — without the
+    # cache the corpus-wide groupBy shuffle runs twice
+    freq = _scoped_cache("unigram_freq",
+                         toks.where(F.col("w").isNotNull()).groupBy("w")
+                         .agg(F.count("*").alias("cnt")))
     total = freq.agg(F.sum("cnt").alias("N"))
     vocab = (freq.crossJoin(F.broadcast(total))
              .orderBy(F.col("cnt").desc(), F.col("w").asc())

@@ -45,8 +45,15 @@ _KINDS = {
 }
 
 
-class StreamingSketchState:
-    """Parquet-backed mergeable sketch state for foreachBatch sinks."""
+class _SketchStateBase:
+    """Shared machinery of the streaming sketch states: kind
+    validation, the SINGLE-FILE atomic commit (batch id and blobs ride
+    in one ``os.replace``d pickle, so a crash can never leave the
+    exactly-once guard behind the merged state — a two-file commit
+    would double-merge the batch on replay if it died between the
+    replaces), the replay guard, and the writeStream hookup. A
+    state.json sidecar is written AFTER the commit purely for human
+    inspection; the pickle is the authority."""
 
     def __init__(self, state_dir: str, kind: str, col: str, **params):
         if kind not in _KINDS:
@@ -58,40 +65,71 @@ class StreamingSketchState:
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state io ---------------------------------------------------------
-    def _blob_path(self) -> str:
-        return os.path.join(self.state_dir, "state.blob")
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, "state.pkl")
 
     def _meta_path(self) -> str:
         return os.path.join(self.state_dir, "state.json")
 
-    def load(self):
-        """Current sketch (or a fresh empty one)."""
-        cls, _build = _KINDS[self.kind]
+    def _read(self) -> dict | None:
+        import pickle
+
         try:
-            with open(self._blob_path(), "rb") as f:
-                return cls.from_bytes(f.read())
+            with open(self._state_path(), "rb") as f:
+                return pickle.load(f)
         except OSError:
             return None
 
     def last_batch_id(self) -> int:
-        try:
-            with open(self._meta_path()) as f:
-                return json.load(f)["batch_id"]
-        except (OSError, ValueError, KeyError):
-            return -1
+        d = self._read()
+        return -1 if d is None else d["batch_id"]
 
-    def _store(self, sketch, batch_id: int) -> None:
-        tmp = self._blob_path() + ".tmp"
+    def _commit(self, payload: dict, batch_id: int, **meta) -> None:
+        import pickle
+
+        payload = dict(payload, batch_id=batch_id)
+        tmp = self._state_path() + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(sketch.to_bytes())
-        os.replace(tmp, self._blob_path())
+            pickle.dump(payload, f)
+        os.replace(tmp, self._state_path())  # the ONE atomic commit
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "updated_at": time.time(),
-                       "kind": self.kind, "col": self.col}, f)
+                       "kind": self.kind, "col": self.col, **meta}, f)
         os.replace(tmp, self._meta_path())
 
-    # -- the foreachBatch hook --------------------------------------------
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str,
+               trigger_available_now: bool = True):
+        """Wire this state into a writeStream.foreachBatch query."""
+        w = (stream_df.writeStream
+             .foreachBatch(self.update)
+             .option("checkpointLocation", checkpoint_dir))
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    @staticmethod
+    def _compact_if_mg(kind: str, merged) -> None:
+        if kind == "mg":
+            # MG merge is the exact sparse sum — without the decrement
+            # step the persisted summary would grow by up to k entries
+            # per micro-batch (unlike the fixed-size HLL/CMS/KLL blobs).
+            # Compact-after-merge IS streaming Misra-Gries: the total
+            # undercount stays <= n/(k+1) across the whole stream.
+            merged.compact()
+
+
+class StreamingSketchState(_SketchStateBase):
+    """Single-blob mergeable sketch state for foreachBatch sinks."""
+
+    def load(self):
+        """Current sketch (or None before the first commit)."""
+        d = self._read()
+        if d is None:
+            return None
+        cls, _build = _KINDS[self.kind]
+        return cls.from_bytes(d["blob"])
+
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: exactly-once via the recorded batch id.
 
@@ -105,27 +143,11 @@ class StreamingSketchState:
         partial = build(batch_df, self.col, **self.params)
         cur = self.load()
         merged = partial if cur is None else cls.merge(cur, partial)
-        if self.kind == "mg":
-            # MG merge is the exact sparse sum — without the decrement
-            # step the persisted summary would grow by up to k entries
-            # per micro-batch (unlike the fixed-size HLL/CMS/KLL blobs).
-            # Compact-after-merge IS streaming Misra-Gries: the total
-            # undercount stays <= n/(k+1) across the whole stream.
-            merged.compact()
-        self._store(merged, batch_id)
-
-    def attach(self, stream_df: DataFrame, checkpoint_dir: str,
-               trigger_available_now: bool = True):
-        """Wire this state into a writeStream.foreachBatch query."""
-        w = (stream_df.writeStream
-             .foreachBatch(self.update)
-             .option("checkpointLocation", checkpoint_dir))
-        if trigger_available_now:
-            w = w.trigger(availableNow=True)
-        return w.start()
+        self._compact_if_mg(self.kind, merged)
+        self._commit({"blob": merged.to_bytes()}, batch_id)
 
 
-class GroupedStreamingSketchState:
+class GroupedStreamingSketchState(_SketchStateBase):
     """Per-GROUP mergeable sketch state for foreachBatch sinks — the
     streaming leg of ``grouped_aggregate_sketch`` (one sketch per
     source/language/shard maintained over an unbounded stream).
@@ -134,60 +156,23 @@ class GroupedStreamingSketchState:
     map-side-combining grouped protocol; only (group, blob) rows reach
     the driver — bounded by group cardinality, the documented contract
     of the grouped surface), merges them into the persisted per-group
-    blobs, and commits atomically with the exactly-once batch-id guard
-    of ``StreamingSketchState``. MG summaries compact after every
-    merge so state stays <= k entries per group."""
+    blobs, and commits atomically with the base class' single-file
+    batch-id guard. MG summaries compact after every merge so state
+    stays <= k entries per group."""
 
     def __init__(self, state_dir: str, kind: str, group_col: str,
                  col: str, **params):
-        if kind not in _KINDS:
-            raise ValueError(f"kind must be one of {sorted(_KINDS)}")
-        self.state_dir = state_dir
-        self.kind = kind
+        super().__init__(state_dir, kind, col, **params)
         self.group_col = group_col
-        self.col = col
-        self.params = params
-        os.makedirs(state_dir, exist_ok=True)
-
-    def _blob_path(self) -> str:
-        return os.path.join(self.state_dir, "groups.pkl")
-
-    def _meta_path(self) -> str:
-        return os.path.join(self.state_dir, "state.json")
 
     def load(self) -> dict:
         """{group_value: kernel} — group values in their original type
         (the grouped protocol casts back on output); None = NULL group."""
-        import pickle
-
-        cls, _ = _KINDS[self.kind]
-        try:
-            with open(self._blob_path(), "rb") as f:
-                raw = pickle.load(f)
-        except OSError:
+        d = self._read()
+        if d is None:
             return {}
-        return {g: cls.from_bytes(b) for g, b in raw.items()}
-
-    def last_batch_id(self) -> int:
-        try:
-            with open(self._meta_path()) as f:
-                return json.load(f)["batch_id"]
-        except (OSError, ValueError, KeyError):
-            return -1
-
-    def _store(self, kerns: dict, batch_id: int) -> None:
-        import pickle
-
-        tmp = self._blob_path() + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump({g: k.to_bytes() for g, k in kerns.items()}, f)
-        os.replace(tmp, self._blob_path())
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "updated_at": time.time(),
-                       "kind": self.kind, "group_col": self.group_col,
-                       "col": self.col, "n_groups": len(kerns)}, f)
-        os.replace(tmp, self._meta_path())
+        cls, _ = _KINDS[self.kind]
+        return {g: cls.from_bytes(b) for g, b in d["groups"].items()}
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id():
@@ -196,13 +181,16 @@ class GroupedStreamingSketchState:
         from ..sketch.udaf import grouped_aggregate_sketch
 
         cls, _build = _KINDS[self.kind]
-        arr = _is_array_col(batch_df, self.col)
 
         if self.kind == "kll":
+            # numeric values, not integer keys — do NOT type-gate with
+            # require_key_col (KLL's primary use is double columns)
             def upd(k, s):
                 import numpy as _np
                 k.add_many(s.to_numpy(dtype="float64", na_value=_np.nan))
         else:
+            arr = _is_array_col(batch_df, self.col)
+
             def upd(k, s):
                 k.add_many(_series_to_keys(s, arr))
 
@@ -216,24 +204,15 @@ class GroupedStreamingSketchState:
             part = cls.from_bytes(bytes(r["blob"]))
             g = r["g"]
             merged = part if g not in cur else cls.merge(cur[g], part)
-            if self.kind == "mg":
-                merged.compact()
+            self._compact_if_mg(self.kind, merged)
             cur[g] = merged
-        self._store(cur, batch_id)
+        self._commit({"groups": {g: k.to_bytes() for g, k in cur.items()}},
+                     batch_id, group_col=self.group_col, n_groups=len(cur))
 
     def _make(self, cls):
         if self.kind == "cms":  # CMS sizes from (eps, delta), not (width, depth)
             return cls.create(**self.params)
         return cls(**self.params) if self.params else cls()
-
-    def attach(self, stream_df: DataFrame, checkpoint_dir: str,
-               trigger_available_now: bool = True):
-        w = (stream_df.writeStream
-             .foreachBatch(self.update)
-             .option("checkpointLocation", checkpoint_dir))
-        if trigger_available_now:
-            w = w.trigger(availableNow=True)
-        return w.start()
 
 
 def stream_token_sketches(spark: SparkSession, stream_df: DataFrame,

@@ -266,3 +266,30 @@ def test_grouped_streaming_sketch_state(spark, tmp_path):
         mg.update(spark.range(b * 900, b * 900 + 400).selectExpr(
             "concat('s', id % 2) AS src", "id AS t"), b)
         assert all(k.keys.size <= 16 for k in mg.load().values())
+
+
+def test_grouped_streaming_kll_doubles_and_atomic_commit(spark, tmp_path):
+    """(a) grouped streaming KLL must accept double value columns (its
+    primary use); (b) the batch-id guard rides in the SAME atomic file
+    as the blobs — a stale/corrupt meta sidecar must not affect replay
+    protection (the two-file commit's crash window, fixed)."""
+    import json as _json
+    import os as _os
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        GroupedStreamingSketchState)
+
+    st = GroupedStreamingSketchState(str(tmp_path / "k"), "kll", "src", "v",
+                                     k=200, seed=3)
+    df = spark.range(4000).selectExpr("concat('s', id % 2) AS src",
+                                      "CAST(id % 500 AS DOUBLE) AS v")
+    st.update(df, 0)
+    med = {g: float(k.quantile(0.5)[0]) for g, k in st.load().items()}
+    assert set(med) == {"s0", "s1"} and all(200 < m < 300 for m in med.values())
+    # corrupt the informational sidecar: the guard must still hold
+    with open(_os.path.join(str(tmp_path / "k"), "state.json"), "w") as f:
+        _json.dump({"batch_id": -1}, f)
+    before = st.load()["s0"].to_bytes()
+    st.update(df, 0)  # replay — must be a no-op despite the bad sidecar
+    assert st.load()["s0"].to_bytes() == before
+    assert st.last_batch_id() == 0
