@@ -507,20 +507,30 @@ def cross_doc_duplicate_grams(df: DataFrame, id_col: str, text_col: str,
     relaxation (any shared span of >= 2k-1 words is guaranteed to
     share a full k-gram at every alignment window).
     """
+    from pyspark.sql import Window
+
     ex = word_gram_hashes(df, id_col, text_col, k)
     if min_docs == 2:
-        # "seen in >= 2 distinct docs" == min(doc) != max(doc): one
-        # plain map-side-combining aggregate instead of countDistinct's
-        # two-phase expand (one exchange fewer on the full gram stream)
-        shared = (ex.groupBy("h")
-                  .agg(F.min("doc").alias("_lo"), F.max("doc").alias("_hi"))
-                  .where(F.col("_lo") != F.col("_hi"))
-                  .select("h", F.lit(True).alias("shared")))
-    else:
-        shared = (ex.groupBy("h")
-                  .agg(F.countDistinct("doc").alias("ndocs"))
-                  .where(F.col("ndocs") >= min_docs)
-                  .select("h", F.lit(True).alias("shared")))
+        # "seen in >= 2 distinct docs" == min(doc) != max(doc), computed
+        # as a WINDOW over the gram hash: the whole operator becomes two
+        # exchanges (grams by h, then by doc) — no aggregate+join back
+        # (4 exchanges, measured ~20% slower) and no countDistinct
+        # expand. Skew note: a gram shared by millions of docs puts its
+        # group in one window task, the same hot-key exposure the join
+        # form has on h; WindowExec spills, it does not OOM.
+        w = Window.partitionBy("h")
+        return (ex.withColumn("_lo", F.min("doc").over(w))
+                .withColumn("_hi", F.max("doc").over(w))
+                .groupBy("doc")
+                .agg(F.count("*").alias("n_grams"),
+                     F.sum((F.col("_lo") != F.col("_hi")).cast("long"))
+                     .alias("dup_grams"))
+                .withColumn("dup_frac_e6",
+                            F.expr("dup_grams * 1000000L DIV n_grams")))
+    shared = (ex.groupBy("h")
+              .agg(F.countDistinct("doc").alias("ndocs"))
+              .where(F.col("ndocs") >= min_docs)
+              .select("h", F.lit(True).alias("shared")))
     return (ex.join(shared, "h", "left")
             .groupBy("doc")
             .agg(F.count("*").alias("n_grams"),
