@@ -887,3 +887,35 @@ def test_unigram_xent_semantics(spark):
     assert out[5]["n_words"] == 0 and out[5]["xent_e6"] == 0
     assert (out[6]["n_words"], out[6]["xent_e6"]) == (0, 0)
     assert out[1]["xent_e6"] < out[2]["xent_e6"] < out[4]["xent_e6"]
+
+
+def test_word_gram_hashes_vs_python_reference(spark):
+    """The shared gram pipeline against an independent pure-Python
+    reference (re.split + hashlib.md5 LE64 & 2^62-1) over assorted
+    texts including unicode, repeats, and degenerate docs."""
+    import hashlib
+    import re
+    import struct
+
+    from cuckoofilter_spark.ops.dedup import word_gram_hashes
+
+    def ref(text, k=3):
+        ws = [w for w in re.split(r"\s+", (text or "").strip()) if w]
+        grams = ([" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+                 if len(ws) >= k else [" ".join(ws)])
+        mask = (1 << 62) - 1
+        return sorted(
+            struct.unpack("<Q", hashlib.md5(g.encode()).digest()[:8])[0] & mask
+            for g in grams)
+
+    texts = [None, "", "  ", "one", "one two", "a b c d e",
+             "tab\tand\nnewline  separated words here",
+             "répété répété unicode tökens ünd mòre wörds",
+             "x " * 50]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {}
+    for r in word_gram_hashes(df, "doc_id", "text", k=3).collect():
+        got.setdefault(r["doc"], []).append(r["h"])
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == ref(t), (i, t)
