@@ -497,51 +497,52 @@ def cross_doc_duplicate_grams(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape (all linear, the canonical substring-dedup dataflow):
     per-row gram hashing via materialized-array transforms (no Python,
-    no shuffle), ONE explode of 8-byte hashes + doc ids, a gram-keyed
-    distinct-doc count with map-side partial aggregation, a sort-merge
-    join of the exploded grams against the >= min_docs gram set, and a
-    doc-keyed final aggregate — three shuffles of (hash, id) pairs
-    regardless of document sizes. A suffix-array formulation finds
-    arbitrary-length spans but needs a global sort of every token
-    position; fixed-k gram matching is the standard distributed
-    relaxation (any shared span of >= 2k-1 words is guaranteed to
-    share a full k-gram at every alignment window).
-    """
-    from pyspark.sql import Window
+    no shuffle), ONE explode of 8-byte hashes + doc ids, then pure
+    HASH AGGREGATES — no window anywhere. Round 3 computed the
+    min_docs=2 case as min/max over a ``Window.partitionBy(h)``: two
+    exchanges, but a boilerplate gram appearing in millions of docs
+    serializes its whole group into ONE WindowExec task (spills, and
+    single-task wall time). This form replaces it:
 
+    1. partial: ``groupBy(doc, h).count()`` — the hot gram's rows are
+       spread across docs, so every task's groups stay small and
+       map-side combine compacts repeats within a doc;
+    2. ``groupBy(h).count()`` over the (doc, h) pairs — partial
+       aggregation pre-combines the hot key per map task, so the final
+       reducer sees at most one row per upstream partition (the salted
+       two-level shape, with the map-side combine as the salt);
+    3. one linear join of the (doc, h, c) pairs against the
+       >= min_docs gram set (AQE skew-split applies; each row matches
+       exactly once), and a doc-keyed final aggregate.
+
+    A suffix-array formulation finds arbitrary-length spans but needs
+    a global sort of every token position; fixed-k gram matching is
+    the standard distributed relaxation (any shared span of >= 2k-1
+    words is guaranteed to share a full k-gram at every alignment
+    window).
+    """
     ex = word_gram_hashes(df, id_col, text_col, k)
-    if min_docs == 2:
-        # "seen in >= 2 distinct docs" == min(doc) != max(doc), computed
-        # as a WINDOW over the gram hash: the whole operator becomes two
-        # exchanges (grams by h, then by doc) — no aggregate+join back
-        # (4 exchanges, measured ~20% slower) and no countDistinct
-        # expand. Skew note: a gram shared by millions of docs puts its
-        # group in one window task, the same hot-key exposure the join
-        # form has on h; WindowExec spills, it does not OOM.
-        w = Window.partitionBy("h")
-        return (ex.withColumn("_lo", F.min("doc").over(w))
-                .withColumn("_hi", F.max("doc").over(w))
-                .groupBy("doc")
-                .agg(F.count("*").alias("n_grams"),
-                     F.sum((F.col("_lo") != F.col("_hi")).cast("long"))
-                     .alias("dup_grams"))
-                .withColumn("dup_frac_e6",
-                            F.expr("dup_grams * 1000000L DIV n_grams")))
-    shared = (ex.groupBy("h")
-              .agg(F.countDistinct("doc").alias("ndocs"))
+    # (doc, h) pre-aggregate: bounds every later stage by DISTINCT
+    # pairs, and no single key is hot (doc spreads the boilerplate gram)
+    pairs = ex.groupBy("doc", "h").agg(F.count("*").alias("c"))
+    # rows are distinct per (doc, h), so count(*) == countDistinct(doc)
+    # without the expand
+    shared = (pairs.groupBy("h")
+              .agg(F.count("*").alias("ndocs"))
               .where(F.col("ndocs") >= min_docs)
               .select("h", F.lit(True).alias("shared")))
-    return (ex.join(shared, "h", "left")
+    return (pairs.join(shared, "h", "left")
             .groupBy("doc")
-            .agg(F.count("*").alias("n_grams"),
-                 F.count("shared").alias("dup_grams"))
+            .agg(F.sum("c").alias("n_grams"),
+                 F.coalesce(F.sum(F.when(F.col("shared"), F.col("c"))),
+                            F.lit(0)).alias("dup_grams"))
             .withColumn("dup_frac_e6",
                         F.expr("dup_grams * 1000000L DIV n_grams")))
 
 
 def contamination_check(train_df: DataFrame, test_df: DataFrame,
                         id_col: str, text_col: str, k: int = 8,
-                        kind: str = "xor") -> DataFrame:
+                        kind: str = "xor_sharded") -> DataFrame:
     """Benchmark decontamination: per EVAL doc, the fraction of its
     word ``k``-grams that appear verbatim anywhere in the TRAIN corpus
     (the n-gram overlap rule used to decontaminate training data
@@ -556,13 +557,23 @@ def contamination_check(train_df: DataFrame, test_df: DataFrame,
     positives bounded by the family's eps, so the reported fraction is
     a tight upper bound.
 
+    The default family is the SHARDED xor build: each key shard's peel
+    (xorfilter.h:122-279) runs inside its own groupBy(shard) task, so
+    the driver never materializes the distinct gram set — a 100-TB
+    train corpus has ~10^10-10^11 distinct 8-grams, far past any
+    driver collect. Single-blob kinds (plain ``xor``) remain available
+    for small train sets.
+
     Returns ``(doc, n_grams, amq_hit_grams, amq_frac_e6)``.
     """
     from ..sketch.api import build_filter, contains_col
 
     spark = train_df.sparkSession
-    train_grams = word_gram_hashes(train_df, id_col, text_col, k) \
-        .select("h").distinct()
+    # no .distinct() pre-pass: every build path dedupes inside its own
+    # shard tasks (sharded builds np.unique per shard; the driver-peel
+    # path dedupes in distinct_keys_u64) — a distinct() here would be a
+    # second full shuffle of the same gram set
+    train_grams = word_gram_hashes(train_df, id_col, text_col, k).select("h")
     filt = build_filter(train_grams, "h", kind=kind)
     probed = word_gram_hashes(test_df, id_col, text_col, k) \
         .withColumn("hit", contains_col(spark, filt, "h"))

@@ -79,6 +79,13 @@ def _build_xor(df, col, capacity, seed, **kw):
     return xor_build(df, col, seed=seed, **kw)
 
 
+def _build_xor_sharded(df, col, capacity, seed, **kw):
+    from .membership import xor_build_sharded
+
+    _no_capacity("xor_sharded", capacity)
+    return xor_build_sharded(df, col, seed=seed, **kw)
+
+
 def _build_xorplus(df, col, capacity, seed, **kw):
     from .membership import xorplus_build
 
@@ -127,6 +134,7 @@ _BUILDERS = {
     "blocked_bloom": _build_blocked_bloom,
     "grow_bloom": _build_grow_bloom,
     "xor": _build_xor,
+    "xor_sharded": _build_xor_sharded,
     "xorplus": _build_xorplus,
     "gcs": _build_gcs,
     "shingle": _build_shingle,
@@ -171,6 +179,7 @@ def contains_col(spark: SparkSession, filt, col) -> Column:
         (mem.ShardedShingleFilter, mem.shingle_contains_col),
         (mem.ShardedTailFilter, mem.tail_contains_col),
         (mem.ShardedCrateFilter, mem.crate_contains_col),
+        (mem.ShardedXorFilter, mem.xor_sharded_contains_col),
         (XorFilterPlus, mem.xorplus_contains_col),
         (XorFilter, mem.xor_contains_col),
         (GcsFilter, gcsfilter.gcs_contains_col),
@@ -182,3 +191,17 @@ def contains_col(spark: SparkSession, filt, col) -> Column:
         if isinstance(filt, cls):
             return fn(spark, filt, col)
     raise TypeError(f"no probe registered for {type(filt).__name__}")
+
+
+def contains_sharded(df: DataFrame, col: str, filt,
+                     out_col: str = "member") -> DataFrame:
+    """Shard-partitioned membership probe — the no-broadcast scale path.
+
+    Returns ``df`` + boolean ``out_col``. Works for every sharded
+    family (cuckoo/shingle/tail/crate/xor_sharded); per-task memory is
+    ONE shard's table + one probe group, regardless of total filter
+    size. See ``sketch.membership.contains_sharded``.
+    """
+    from .membership import contains_sharded as _impl
+
+    return _impl(df, col, filt, out_col=out_col)

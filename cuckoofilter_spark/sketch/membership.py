@@ -429,6 +429,228 @@ def distinct_keys_u64(df: DataFrame, col: str, num_shards: int = 64) -> np.ndarr
         [np.frombuffer(bytes(r["keys"]), dtype=np.uint64) for r in rows]))
 
 
+class ShardedXorFilter:
+    """num_shards independent xor filters addressed by a key hash.
+
+    The scale form of the static xor build: the peel
+    (xorfilter.h:122-279) is sequential *per filter*, but nothing says
+    there must be one filter — sharding by key gives each shard an
+    independent peel that runs INSIDE its groupBy(shard) task, so the
+    driver never materializes the key set (the ``xor_build`` driver
+    peel collects every distinct key; at 10^10+ distinct grams neither
+    the collect nor a single-machine peel survives). Space is unchanged
+    (1.23n cells per shard sums to 1.23n) and probes stay 3 gathers —
+    routed to the owning shard's fingerprint array.
+
+    Per-shard peels retry independently (seed + attempt recorded in
+    each blob header), so shards may settle on different attempts; a
+    probe always uses the blob's own recorded hasher.
+    """
+
+    def __init__(self, blobs: list[bytes], seed: int):
+        from ..kernels.xor import XorFilter
+
+        self.num_shards = len(blobs)
+        if self.num_shards & (self.num_shards - 1):
+            raise ValueError("num_shards must be a power of two")
+        self.seed = seed
+        self.blobs = blobs
+        self._filters: list | None = None
+        self._cls = XorFilter
+
+    def _load(self):
+        if self._filters is None:
+            self._filters = [self._cls.from_bytes(b) for b in self.blobs]
+        return self._filters
+
+    def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        filters = self._load()
+        sh = shard_of(keys, self.num_shards)
+        out = np.zeros(keys.size, dtype=bool)
+        for s in np.unique(sh):
+            m = sh == s
+            out[m] = filters[int(s)].contains_many(keys[m])
+        return out
+
+    def num_items(self) -> int:
+        return sum(f.size for f in self._load())
+
+    def size_in_bytes(self) -> int:
+        return sum(len(b) for b in self.blobs)
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.num_items())
+
+    def expected_fpp(self) -> float:
+        fs = self._load()
+        return sum(f.expected_fpp() for f in fs) / max(1, len(fs))
+
+
+def xor_build_sharded(df: DataFrame, col: str, fp_bits: int = 8,
+                      seed: int = 0x5EED,
+                      num_shards: int = 32) -> ShardedXorFilter:
+    """Task-local xor peel per key shard — no driver-side key set.
+
+    Same plan shape as ``cuckoo_build`` (one groupBy(shard) shuffle of
+    packed per-partition key blobs); each shard task np.unique-dedupes
+    its keys (global dedupe is free: sharding is by key) and runs the
+    full AddAll peel (xorfilter.h:122-279) privately. The driver
+    collects num_shards fingerprint blobs — never keys.
+    """
+    from ..kernels.xor import XorFilter
+
+    def make_shard(keys: np.ndarray):
+        return XorFilter.build(keys, fp_bits=fp_bits, seed=seed)
+
+    empty = XorFilter.build(np.empty(0, dtype=np.uint64), fp_bits=fp_bits,
+                            seed=seed).to_bytes()
+    blobs = _sharded_build_blobs(df, col, num_shards, make_shard, empty)
+    return ShardedXorFilter(blobs, seed=seed)
+
+
+def xor_sharded_contains_col(spark: SparkSession, filt: ShardedXorFilter,
+                             col) -> Column:
+    """Broadcast-probe Column for a sharded xor filter (route by shard,
+    3 gathers in the owning shard's fingerprint array)."""
+    bc = spark.sparkContext.broadcast((filt.blobs, filt.seed))
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = _cached_probe(bc, lambda v: ShardedXorFilter(v[0], v[1]))
+        for s in it:
+            yield pd.Series(local.contains_u64(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
+# -- shard-partitioned probe (no whole-filter broadcast) ---------------------
+#
+# The broadcast probe (_FlatProbe and friends) ships EVERY shard's table
+# to EVERY executor — correct whenever the filter fits the broadcast
+# budget, but at 12.6 bits/key a 10^10-key filter is ~15 GB per
+# executor. The shard-partitioned probe is the scale-safe complement:
+# repartition probe rows by shard_of(key) and have each task
+# deserialize ONLY its shard's blob, delivered as a DataFrame row
+# through the same exchange (a cogroup — the build-side-partitioned
+# join). Per-task memory = one shard's table + that shard's probe rows;
+# both shrink as num_shards grows. This is the distributed answer to
+# the reference's batched probe (cuckoo-batch-prefetch.h:109-139): the
+# batch there hides DRAM latency, the shard route here hides the
+# broadcast ceiling.
+#
+# Probe functions are module-level (picklable by reference through the
+# shipped package zip — never by value) taking (blob, raw keys, seed).
+
+def _probe_blob_cuckoo(blob: bytes, keys: np.ndarray, seed: int) -> np.ndarray:
+    return CuckooFilter.from_bytes(blob).contains_many(keys)
+
+
+def _probe_blob_shingle(blob: bytes, keys: np.ndarray, seed: int) -> np.ndarray:
+    from ..kernels.shingle import ShingleFilter
+
+    return ShingleFilter.from_bytes(blob).contains_many(keys)
+
+
+def _probe_blob_tail(blob: bytes, keys: np.ndarray, seed: int) -> np.ndarray:
+    from ..kernels.hashing import simple_mix_split
+    from ..kernels.tail import TailFilter
+
+    return TailFilter.from_bytes(blob).contains_many(
+        simple_mix_split(keys, seed))
+
+
+def _probe_blob_crate(blob: bytes, keys: np.ndarray, seed: int) -> np.ndarray:
+    from ..kernels.hashing import simple_mix_split
+    from ..kernels.crate import CrateFilter
+
+    return CrateFilter.from_bytes(blob).contains_many(
+        simple_mix_split(keys, seed))
+
+
+def _probe_blob_xor(blob: bytes, keys: np.ndarray, seed: int) -> np.ndarray:
+    from ..kernels.xor import XorFilter
+
+    return XorFilter.from_bytes(blob).contains_many(keys)
+
+
+_SHARD_PROBES = {
+    "cuckoo": _probe_blob_cuckoo,
+    "shingle": _probe_blob_shingle,
+    "tail": _probe_blob_tail,
+    "crate": _probe_blob_crate,
+    "xor": _probe_blob_xor,
+}
+
+
+def _shard_probe_kind(filt) -> str:
+    if isinstance(filt, ShardedCuckooFilter):
+        return "cuckoo"
+    if isinstance(filt, ShardedShingleFilter):
+        return "shingle"
+    if isinstance(filt, ShardedTailFilter):
+        return "tail"
+    if isinstance(filt, ShardedCrateFilter):
+        return "crate"
+    if isinstance(filt, ShardedXorFilter):
+        return "xor"
+    raise TypeError(
+        f"no shard-partitioned probe for {type(filt).__name__}")
+
+
+def contains_sharded(df: DataFrame, col: str, filt,
+                     out_col: str = "member") -> DataFrame:
+    """``df`` + boolean ``out_col``: membership of ``col``, probed
+    shard-partitioned — NO whole-filter broadcast anywhere.
+
+    Plan: one pandas stage computes ``shard_of(key)`` (splitmix64 is
+    not a JVM builtin), then a cogroup on the shard id joins each probe
+    group with exactly its shard's blob row; the task deserializes that
+    ONE blob and answers its rows. Any Sharded* family (cuckoo,
+    shingle, tail, crate, xor) works.
+
+    Trade vs the broadcast probe: rows cross one exchange (hash by
+    shard) and each task holds one probe group in memory — size
+    ``rows / num_shards``; pick num_shards so both the shard table and
+    its probe group fit a task. Use the broadcast probe when the whole
+    filter comfortably fits an executor; use this when it doesn't.
+    """
+    kind = _shard_probe_kind(filt)
+    seed = int(getattr(filt, "seed", 0))
+    num_shards = filt.num_shards
+    if "_shard" in df.columns:
+        raise ValueError("df already has a _shard column")
+    spark = df.sparkSession
+    blob_df = spark.createDataFrame(
+        [(s, bytearray(b)) for s, b in enumerate(filt.blobs)],
+        "shard int, blob binary")
+
+    @F.pandas_udf(T.IntegerType())
+    def shard_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield pd.Series(
+                shard_of(keys_to_u64(s), num_shards).astype(np.int32))
+
+    keyed = df.withColumn("_shard", shard_udf(F.col(col).cast("long")))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BooleanType())])
+    colname = col
+
+    def probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left.drop(columns=["_shard"])
+        if len(left) and len(right):
+            fn = _SHARD_PROBES[kind]
+            hit = fn(bytes(right["blob"].iloc[0]),
+                     keys_to_u64(left[colname]), seed)
+        else:
+            hit = np.zeros(len(out), dtype=bool)
+        out[out_col] = pd.Series(hit, index=out.index, dtype=bool)
+        return out
+
+    return (keyed.groupBy("_shard")
+            .cogroup(blob_df.groupBy("shard"))
+            .applyInPandas(probe_group, out_schema))
+
+
 def xor_build(df: DataFrame, col: str, fp_bits: int = 8, seed: int = 0x5EED):
     """Distributed-dedupe + driver-peel static xor filter build.
 

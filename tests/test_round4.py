@@ -1,0 +1,224 @@
+"""Round-4 surfaces: shard-partitioned probe (no whole-filter
+broadcast), sharded xor build (no driver-side key set), skew-safe
+dup_spans aggregate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _probe_frames(spark, n_mem=20000, n_probe=40000):
+    keys = spark.range(0, n_mem).select(F.col("id").alias("k"))
+    probe = spark.range(0, n_probe).select(F.col("id").alias("k"))
+    return keys, probe
+
+
+FAMILIES = ["cuckoo", "shingle", "tail", "crate", "xor_sharded"]
+
+
+@pytest.mark.parametrize("kind", FAMILIES)
+def test_contains_sharded_matches_broadcast(spark, kind):
+    """The shard-partitioned probe answers bit-identically to the
+    broadcast probe for every sharded family — same blobs, same hash
+    route, different delivery (cogroup vs broadcast)."""
+    from cuckoofilter_spark.sketch.api import (build_filter, contains_col,
+                                               contains_sharded)
+
+    keys, probe = _probe_frames(spark)
+    filt = build_filter(keys, "k", kind=kind)
+    b = [r["m"] for r in
+         probe.withColumn("m", contains_col(spark, filt, "k"))
+         .orderBy("k").collect()]
+    s = [r["m"] for r in
+         contains_sharded(probe, "k", filt, out_col="m")
+         .orderBy("k").collect()]
+    assert b == s
+    assert all(b[:20000])  # no false negatives through either path
+    fpr = sum(b[20000:]) / 20000
+    assert fpr <= 3 * filt.expected_fpp() + 1e-3
+
+
+def test_contains_sharded_never_broadcasts(spark):
+    """The scale guarantee itself: the sharded probe never calls
+    sc.broadcast — blobs travel as DataFrame rows through the cogroup
+    exchange, one blob row to exactly its shard's task."""
+    from cuckoofilter_spark.sketch.api import build_filter, contains_sharded
+
+    keys, probe = _probe_frames(spark, 5000, 8000)
+    filt = build_filter(keys, "k", kind="cuckoo", capacity=5000)
+    sc = spark.sparkContext
+    real = sc.broadcast
+
+    def boom(*a, **kw):
+        raise AssertionError("contains_sharded must not broadcast")
+
+    sc.broadcast = boom
+    try:
+        out = contains_sharded(probe, "k", filt, out_col="m")
+        hits = out.where("m").count()
+    finally:
+        sc.broadcast = real
+    assert hits >= 5000  # all members + eps false positives
+
+
+def test_contains_sharded_plan_is_cogroup(spark):
+    """Plan shape: one FlatMapCoGroupsInPandas over hash exchanges on
+    the shard id; no BroadcastExchange anywhere."""
+    from cuckoofilter_spark.sketch.api import build_filter, contains_sharded
+
+    keys, probe = _probe_frames(spark, 2000, 2000)
+    filt = build_filter(keys, "k", kind="cuckoo", capacity=2000)
+    plan = (contains_sharded(probe, "k", filt, out_col="m")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_contains_sharded_preserves_columns(spark):
+    """Extra fact-table columns ride through the cogroup unchanged."""
+    from cuckoofilter_spark.sketch.api import build_filter, contains_sharded
+
+    keys, _ = _probe_frames(spark, 1000, 1000)
+    filt = build_filter(keys, "k", kind="cuckoo", capacity=1000)
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7).alias("payload"),
+        F.concat(F.lit("row"), F.col("id")).alias("tag"))
+    out = contains_sharded(fact, "k", filt, out_col="m")
+    assert out.columns == ["k", "payload", "tag", "m"]
+    rows = {r["k"]: r for r in out.collect()}
+    assert len(rows) == 2000
+    assert rows[42]["payload"] == 294 and rows[42]["tag"] == "row42"
+    assert rows[42]["m"] is True
+
+
+def test_sharded_xor_build_no_driver_key_set(spark):
+    """xor_build_sharded must never materialize the distinct key set on
+    the driver (the r3 scale-killer): distinct_keys_u64 is poisoned for
+    the duration and the build must still succeed."""
+    from cuckoofilter_spark.sketch import membership as mem
+
+    keys, probe = _probe_frames(spark, 10000, 20000)
+    real = mem.distinct_keys_u64
+
+    def boom(*a, **kw):
+        raise AssertionError("sharded xor build must not collect keys")
+
+    mem.distinct_keys_u64 = boom
+    try:
+        filt = mem.xor_build_sharded(keys, "k", num_shards=16)
+    finally:
+        mem.distinct_keys_u64 = real
+    got = filt.contains_u64(np.arange(20000, dtype=np.uint64))
+    assert got[:10000].all()  # static filter: zero false negatives
+    assert got[10000:].mean() <= 3 * filt.expected_fpp() + 1e-3
+    # space parity with the driver-peel xor8 (~9.84 bits/item + shard
+    # rounding slack)
+    assert filt.bits_per_item() < 12.0
+
+
+def test_sharded_xor_empty_and_skewed_shards(spark):
+    """Tiny key sets leave most shards empty; each blob still probes."""
+    from cuckoofilter_spark.sketch.membership import xor_build_sharded
+
+    keys = spark.range(0, 5).select(F.col("id").alias("k"))
+    filt = xor_build_sharded(keys, "k", num_shards=32)
+    got = filt.contains_u64(np.arange(50, dtype=np.uint64))
+    assert got[:5].all()
+    assert got[5:].sum() <= 3  # eps-level noise only
+
+
+def test_contamination_check_sharded_no_driver_collect(spark):
+    """contamination_check's default family is now the sharded xor:
+    the driver-peel path (distinct_keys_u64) must never run."""
+    from cuckoofilter_spark.ops.dedup import contamination_check
+    from cuckoofilter_spark.sketch import membership as mem
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 4 + f"doc {i}") for i in range(40)],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta " * 4),  # fully contaminated
+         (101, "zeta eta theta iota kappa " * 4)],  # clean
+        "doc_id long, text string")
+    real = mem.distinct_keys_u64
+
+    def boom(*a, **kw):
+        raise AssertionError("contamination_check must not collect keys")
+
+    mem.distinct_keys_u64 = boom
+    try:
+        out = {r["doc"]: r for r in contamination_check(
+            train, test, "doc_id", "text", k=4).collect()}
+    finally:
+        mem.distinct_keys_u64 = real
+    # contaminated doc: every 4-gram of the repeated phrase is in train
+    assert out[100]["amq_frac_e6"] == 1_000_000
+    # clean doc: no false negatives needed; FP-bounded overcount only
+    assert out[101]["amq_hit_grams"] <= max(3, len(out) * 2)
+
+
+def test_contamination_fp_bound_3sigma(spark):
+    """The statistically tight FP bound (3 sigma) as a pytest
+    invariant — the driver gate's amq_fp_ok flag uses a fatter
+    deterministic-ish slack (ADVICE r3: a gate constant must not
+    flake), so the tight check lives here where a failure is visible
+    as a seed/data regression, not a red gate row."""
+    from cuckoofilter_spark.ops.dedup import contamination_check, \
+        word_gram_hashes
+
+    rng = np.random.default_rng(7)
+    train = spark.createDataFrame(
+        [(i, " ".join(str(x) for x in rng.integers(0, 5000, 60)))
+         for i in range(200)], "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(1000 + i, " ".join(str(x) for x in rng.integers(6000, 12000, 60)))
+         for i in range(50)], "doc_id long, text string")
+    out = contamination_check(train, test, "doc_id", "text", k=4)
+    agg = out.agg(F.sum("n_grams").alias("n"),
+                  F.sum("amq_hit_grams").alias("fp")).collect()[0]
+    eps = 2.0 ** -8  # xor8
+    mu = eps * agg["n"]
+    assert agg["fp"] <= mu + 3 * np.sqrt(mu) + 3
+
+
+def test_dup_spans_no_window_and_hot_gram_bounded(spark):
+    """The min_docs=2 path is pure hash aggregates (no WindowExec to
+    serialize a hot gram's group into one task), and a planted
+    boilerplate gram shared by every doc is still counted exactly."""
+    from cuckoofilter_spark.ops.dedup import cross_doc_duplicate_grams
+
+    boiler = "copyright notice all rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} body{i} text{i} content{i}")
+         for i in range(500)], "doc_id long, text string")
+    out = cross_doc_duplicate_grams(docs, "doc_id", "text", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    rows = {r["doc"]: r for r in out.collect()}
+    assert len(rows) == 500
+    # each doc has 5 grams (9 words, k=5); the first gram (pure
+    # boilerplate) is shared by all 500 docs, the rest are unique
+    r0 = rows[0]
+    assert r0["n_grams"] == 5 and r0["dup_grams"] == 1
+    assert r0["dup_frac_e6"] == 200000
+
+
+def test_dup_spans_min_docs_general(spark):
+    """min_docs > 2 through the same unified aggregate path."""
+    from cuckoofilter_spark.ops.dedup import cross_doc_duplicate_grams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e shared phrase here now ok"),
+         (2, "f g h i j shared phrase here now ok"),
+         (3, "k l m n o shared phrase here now ok"),
+         (4, "p q r s t unique tail words go here")],
+        "doc_id long, text string")
+    out3 = {r["doc"]: r["dup_grams"] for r in cross_doc_duplicate_grams(
+        docs, "doc_id", "text", k=5, min_docs=3).collect()}
+    out2 = {r["doc"]: r["dup_grams"] for r in cross_doc_duplicate_grams(
+        docs, "doc_id", "text", k=5, min_docs=2).collect()}
+    # grams fully inside "shared phrase here now ok" appear in 3 docs
+    assert out3[1] >= 1 and out3[4] == 0
+    assert all(out2[d] >= out3[d] for d in out2)
