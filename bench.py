@@ -169,6 +169,22 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
     out["cf_observed_fpp"] = fp / NEG_PROBES
     out["cf_fpp_bound"] = 2.0 * 4 / (1 << 12)  # 2b/2^f, cuckoofilter.h analysis
 
+    # shard-partitioned probe row (round 4): same filter, same probe
+    # volume, NO whole-filter broadcast — rows route by shard_of(key)
+    # through a cogroup and each task deserializes only its shard's
+    # blob. Pays one hash exchange of the probe rows; the comparable
+    # figure for the broadcast-ceiling-free path (target: within 2x of
+    # the broadcast probe above).
+    from cuckoofilter_spark.sketch.membership import contains_sharded
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    try:
+        timed2("cf_probe_sharded", lambda: contains_sharded(
+            probes, "id", cf, out_col="hit").where("hit").count(), runs=2)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+    out["cf_sharded_probes_per_sec"] = round(
+        NEG_PROBES / max(out["cf_probe_sharded_build_sec"], 1e-9), 1)
+
     # sort baseline (bulk-insert-and-query.cc:891-896, the harness's
     # "Sort" context row): full distributed sort of the token stream,
     # discarded via the noop sink so only the sort is timed. Skipped when
@@ -455,9 +471,23 @@ def run_scaling() -> dict:
     }
 
 
+def _write_detail(payload: dict, fname: str) -> None:
+    """Durable per-query record (round 4): the driver captures only the
+    last 2000 stdout chars, which truncated the r3 per-query table —
+    the full result JSON is also written to a committed repo file so
+    per-query regressions stay auditable regardless of capture."""
+    try:
+        path = pathlib.Path(_REPO) / fname
+        path.write_text(json.dumps(payload, indent=1) + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        res = run_scaling()
+        _write_detail(res, "BENCH_SCALING.json")
+        print(json.dumps(res))
     elif "--families" in sys.argv:
         # filter-family table only (quick re-measure without the full run)
         from cuckoofilter_spark.session import get_spark
@@ -466,4 +496,8 @@ if __name__ == "__main__":
         print(json.dumps({"filter_families": filter_family_suite(_spark)}))
         _spark.stop()
     else:
-        print(json.dumps(run_bench(build_only="--build-only" in sys.argv)))
+        build_only = "--build-only" in sys.argv
+        res = run_bench(build_only=build_only)
+        if not build_only:  # the driver-mode run is the auditable one
+            _write_detail(res, "BENCH_DETAIL.json")
+        print(json.dumps(res))

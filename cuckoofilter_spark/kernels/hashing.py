@@ -123,6 +123,37 @@ def sorted_member(arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     return res
 
 
+_XXP1 = U64(0x9E3779B185EBCA87)
+_XXP2 = U64(0xC2B2AE3D27D4EB4F)
+_XXP3 = U64(0x165667B19E3779F9)
+_XXP4 = U64(0x85EBCA77C2B2AE63)
+_XXP5 = U64(0x27D4EB2F165667C5)
+
+
+def xxhash64_long(x, seed: int = 42) -> np.ndarray:
+    """XXH64 of a single 64-bit value — BIT-EXACT twin of Spark's
+    ``F.xxhash64(long_col)`` (default seed 42), so shard routing can be
+    computed EITHER as whole-stage-codegen JVM arithmetic or as this
+    numpy pass and agree everywhere. This is the shard function of
+    every sharded build/probe: keeping it JVM-expressible removes a
+    Python stage (and its two Arrow crossings) from the
+    shard-partitioned probe plan. Public XXH64 spec (Collet); the
+    8-byte-input path only.
+    """
+    v = _as_u64(x)
+    acc = U64(seed) + _XXP5 + U64(8)
+    k1 = v * _XXP2
+    k1 = ((k1 << U64(31)) | (k1 >> U64(33))) * _XXP1
+    acc = acc ^ k1
+    acc = ((acc << U64(27)) | (acc >> U64(37))) * _XXP1 + _XXP4
+    acc ^= acc >> U64(33)
+    acc *= _XXP2
+    acc ^= acc >> U64(29)
+    acc *= _XXP3
+    acc ^= acc >> U64(32)
+    return acc
+
+
 def rotl64(x, r: int) -> np.ndarray:
     """Rotate-left — adversarial key fixtures (bulk-insert-and-query.cc:747-767)."""
     v = _as_u64(x)

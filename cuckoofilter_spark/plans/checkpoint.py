@@ -138,11 +138,22 @@ def cuckoo_build_checkpointed(
         # refuses resume when the file-backed source changed underneath
         # the checkpoint (see source_fingerprint for the non-file caveat)
         "source": source_fingerprint(df),
+        # shard routing function version: partials are packed BY SHARD,
+        # so resuming them under a different shard_of silently
+        # mis-routes every key. Round 4 switched splitmix64 -> xxh64;
+        # manifests WITHOUT the field are pre-switch and must refuse.
+        "shard_fn": "xxh64",
     }
     manifest = _read_manifest(ckpt_dir)
     partials = _partials_path(ckpt_dir)
 
     if manifest is not None:
+        if manifest.get("shard_fn", "splitmix64") != params["shard_fn"]:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} was packed under shard_fn="
+                f"{manifest.get('shard_fn', 'splitmix64')!r}; this build "
+                f"routes by {params['shard_fn']!r} — resuming would "
+                "mis-route every key. Rebuild from source.")
         stale = {k: v for k, v in manifest.items() if k in params and params[k] != v}
         if stale:
             raise ValueError(

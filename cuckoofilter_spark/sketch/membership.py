@@ -5,9 +5,11 @@ Bloom), so the distributed build does NOT use the generic partial-merge
 protocol. Instead it uses the distribution insight the reference lacks
 (it is single-threaded, SURVEY.md §3.4): **shard by key**.
 
-- ``shard_of(key) = splitmix64(key ^ shard_salt) & (num_shards - 1)``
-  is a pure key function, so both candidate buckets of a key live in
-  the same shard's private table and kick chains never cross shards.
+- ``shard_of(key) = xxhash64(key) & (num_shards - 1)`` is a pure key
+  function (bit-exact between numpy and Spark's ``F.xxhash64``, so the
+  route can be computed JVM-side), so both candidate buckets of a key
+  live in the same shard's private table and kick chains never cross
+  shards.
 - Build = ONE shuffle: ``groupBy(shard).applyInPandas`` where each task
   np.unique-dedupes its keys (global dedup is free because sharding is
   by key) and bulk-inserts into a private numpy cuckoo table sized
@@ -38,15 +40,28 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from ..kernels.cuckoo import CuckooFilter
-from ..kernels.hashing import U64, splitmix64
+from ..kernels.hashing import U64, xxhash64_long
 from .udaf import keys_to_u64
 
-_SHARD_SALT = U64(0xC0FFEE12D00D5EED)
 _CHUNK = 1 << 18  # all kernels chunked: sandbox DRAM bandwidth saturates fast
 
 
 def shard_of(keys_u64: np.ndarray, num_shards: int) -> np.ndarray:
-    return (splitmix64(keys_u64 ^ _SHARD_SALT) & U64(num_shards - 1)).astype(np.int64)
+    """Shard route of a key — XXH64 low bits, BIT-EXACT to the JVM
+    expression ``shard_col`` below (round 4: was splitmix64, which only
+    Python could evaluate; xxhash64 lets the shard-partitioned probe
+    compute routing in whole-stage codegen). Decorrelated from the
+    fingerprint domain (simple_mix_split) by construction."""
+    return (xxhash64_long(keys_u64) & U64(num_shards - 1)).astype(np.int64)
+
+
+def shard_col(col, num_shards: int) -> Column:
+    """JVM-side twin of ``shard_of``: F.xxhash64 over the long key,
+    masked to the shard count — whole-stage codegen, no Python.
+    Bit-exactness is pinned by tests/test_round4.py."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.xxhash64(c.cast("long"))
+            .bitwiseAND(F.lit(num_shards - 1)).cast("int"))
 
 
 def _check_blob_seeds(kernel_cls, blobs: list[bytes], seed: int) -> None:
@@ -602,11 +617,12 @@ def contains_sharded(df: DataFrame, col: str, filt,
     """``df`` + boolean ``out_col``: membership of ``col``, probed
     shard-partitioned — NO whole-filter broadcast anywhere.
 
-    Plan: one pandas stage computes ``shard_of(key)`` (splitmix64 is
-    not a JVM builtin), then a cogroup on the shard id joins each probe
-    group with exactly its shard's blob row; the task deserializes that
-    ONE blob and answers its rows. Any Sharded* family (cuckoo,
-    shingle, tail, crate, xor) works.
+    Plan: the shard id is JVM arithmetic (``shard_col`` —
+    whole-stage codegen, bit-exact with numpy ``shard_of``), then a
+    cogroup on the shard id joins each probe group with exactly its
+    shard's blob row; the task deserializes that ONE blob and answers
+    its rows. Any Sharded* family (cuckoo, shingle, tail, crate, xor)
+    works; the one Python crossing in the plan is the probe itself.
 
     Trade vs the broadcast probe: rows cross one exchange (hash by
     shard) and each task holds one probe group in memory — size
@@ -624,13 +640,9 @@ def contains_sharded(df: DataFrame, col: str, filt,
         [(s, bytearray(b)) for s, b in enumerate(filt.blobs)],
         "shard int, blob binary")
 
-    @F.pandas_udf(T.IntegerType())
-    def shard_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            yield pd.Series(
-                shard_of(keys_to_u64(s), num_shards).astype(np.int32))
-
-    keyed = df.withColumn("_shard", shard_udf(F.col(col).cast("long")))
+    # shard id is pure JVM arithmetic (shard_col == shard_of bit-exact),
+    # so the only Python crossing in the whole plan is the cogroup probe
+    keyed = df.withColumn("_shard", shard_col(col, num_shards))
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.BooleanType())])
     colname = col

@@ -38,6 +38,53 @@ def test_contains_sharded_matches_broadcast(spark, kind):
     assert fpr <= 3 * filt.expected_fpp() + 1e-3
 
 
+def test_shard_col_bitexact_with_shard_of(spark):
+    """The JVM shard route (F.xxhash64 & mask) must equal numpy
+    shard_of for every key pattern — including negative int64, the
+    adversarial extremes, and int32 inputs (cast to long first)."""
+    from cuckoofilter_spark.kernels.hashing import xxhash64_long
+    from cuckoofilter_spark.sketch.membership import shard_of
+
+    ks = np.concatenate([
+        np.arange(-500, 500, dtype=np.int64),
+        np.array([0, 1, -1, 2**63 - 1, -2**63, 0x5EED], dtype=np.int64),
+        (np.uint64(0x9E3779B97F4A7C15)
+         * np.arange(100, dtype=np.uint64)).view(np.int64),
+    ])
+    df = spark.createDataFrame([(int(k),) for k in ks], "k long")
+    got = {r["k"]: r["h"] for r in df.select(
+        "k", F.xxhash64("k").alias("h")).collect()}
+    mine = xxhash64_long(ks.view(np.uint64)).view(np.int64)
+    assert all(got[int(k)] == int(m) for k, m in zip(ks, mine))
+    for ns in (8, 32, 64):
+        sh = shard_of(ks.view(np.uint64), ns)
+        jvm = {r["k"]: r["s"] for r in df.select("k", F.xxhash64(
+            F.col("k")).bitwiseAND(F.lit(ns - 1)).cast("int").alias("s"))
+            .collect()}
+        assert all(jvm[int(k)] == int(s) for k, s in zip(ks, sh))
+
+
+def test_checkpoint_refuses_pre_xxh64_manifest(spark, tmp_path):
+    """A checkpoint packed under the old splitmix64 shard routing (no
+    shard_fn field in the manifest) must refuse to resume — resuming
+    would mis-route every key."""
+    import json
+
+    from cuckoofilter_spark.plans.checkpoint import cuckoo_build_checkpointed
+
+    ckpt = str(tmp_path / "ckpt")
+    keys = spark.range(0, 1000).select(F.col("id").alias("k"))
+    filt = cuckoo_build_checkpointed(spark, keys, "k", ckpt, capacity=1000)
+    assert filt.contains_u64(np.arange(1000, dtype=np.uint64)).all()
+    # forge a pre-switch manifest: drop the shard_fn field
+    mpath = f"{ckpt}/manifest.json"
+    m = json.load(open(mpath))
+    del m["shard_fn"]
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="shard_fn"):
+        cuckoo_build_checkpointed(spark, keys, "k", ckpt, capacity=1000)
+
+
 def test_contains_sharded_never_broadcasts(spark):
     """The scale guarantee itself: the sharded probe never calls
     sc.broadcast — blobs travel as DataFrame rows through the cogroup
