@@ -89,11 +89,13 @@ def q_cf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cf_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cuckoo-filter semi-join through the SHARD-PARTITIONED probe: the
-    no-broadcast scale path (probe rows route by shard_of(key) via a
-    cogroup; each task deserializes only its shard's blob — per-task
-    memory is one shard regardless of total filter size). Same answer
-    as cf_membership's broadcast probe at 16-bit tags (zero FP on this
-    keyspace for SEED). SURVEY §2.1 #5 at 100-TB shape."""
+    no-broadcast scale path (blobs persist as one file per shard via
+    sketch.store; each task lazily loads + LRU-caches only the shards
+    its batches touch — per-worker filter memory is bounded by the
+    cache cap regardless of total filter size; a cogroup delivery is
+    the no-shared-FS fallback). Same answer as cf_membership's
+    broadcast probe at 16-bit tags (zero FP on this keyspace for
+    SEED). SURVEY §2.1 #5 at 100-TB shape."""
     from cuckoofilter_spark.sketch.api import contains_sharded
     from cuckoofilter_spark.sketch.membership import cuckoo_build
 

@@ -170,11 +170,11 @@ def token_build_suite(spark, sf: float, num_docs: int | None = None,
     out["cf_fpp_bound"] = 2.0 * 4 / (1 << 12)  # 2b/2^f, cuckoofilter.h analysis
 
     # shard-partitioned probe row (round 4): same filter, same probe
-    # volume, NO whole-filter broadcast — rows route by shard_of(key)
-    # through a cogroup and each task deserializes only its shard's
-    # blob. Pays one hash exchange of the probe rows; the comparable
-    # figure for the broadcast-ceiling-free path (target: within 2x of
-    # the broadcast probe above).
+    # volume, NO whole-filter broadcast — blobs persist one-file-per-
+    # shard (sketch.store) and each task lazily loads + LRU-caches only
+    # the shards its batches touch. The comparable figure for the
+    # broadcast-ceiling-free path (target: within 2x of the broadcast
+    # probe above).
     from cuckoofilter_spark.sketch.membership import contains_sharded
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     try:

@@ -194,14 +194,20 @@ def contains_col(spark: SparkSession, filt, col) -> Column:
 
 
 def contains_sharded(df: DataFrame, col: str, filt,
-                     out_col: str = "member") -> DataFrame:
+                     out_col: str = "member",
+                     store: str | None = None,
+                     max_cached_shards: int | None = None,
+                     colocate: bool = False) -> DataFrame:
     """Shard-partitioned membership probe — the no-broadcast scale path.
 
     Returns ``df`` + boolean ``out_col``. Works for every sharded
-    family (cuckoo/shingle/tail/crate/xor_sharded); per-task memory is
-    ONE shard's table + one probe group, regardless of total filter
-    size. See ``sketch.membership.contains_sharded``.
+    family (cuckoo/shingle/tail/crate/xor_sharded); with a blob
+    ``store`` (shared-FS path; auto temp dir in local mode) per-worker
+    filter memory is bounded by ``max_cached_shards`` and
+    ``colocate=True`` bounds each task to O(1) shards — regardless of
+    total filter size. See ``sketch.membership.contains_sharded``.
     """
     from .membership import contains_sharded as _impl
 
-    return _impl(df, col, filt, out_col=out_col)
+    return _impl(df, col, filt, out_col=out_col, store=store,
+                 max_cached_shards=max_cached_shards, colocate=colocate)

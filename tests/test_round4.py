@@ -108,17 +108,134 @@ def test_contains_sharded_never_broadcasts(spark):
     assert hits >= 5000  # all members + eps false positives
 
 
-def test_contains_sharded_plan_is_cogroup(spark):
-    """Plan shape: one FlatMapCoGroupsInPandas over hash exchanges on
-    the shard id; no BroadcastExchange anywhere."""
+def test_contains_sharded_store_plan_zero_exchange(spark):
+    """Plan shape of the store delivery (the local/shared-FS default):
+    a plain ArrowEvalPython projection — NO exchange of any kind, no
+    BroadcastExchange, no cogroup. Blobs travel via the store files,
+    never through the plan."""
     from cuckoofilter_spark.sketch.api import build_filter, contains_sharded
 
     keys, probe = _probe_frames(spark, 2000, 2000)
     filt = build_filter(keys, "k", kind="cuckoo", capacity=2000)
     plan = (contains_sharded(probe, "k", filt, out_col="m")
             ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan  # covers Broadcast + shuffle
+    assert "FlatMapCoGroupsInPandas" not in plan
+
+
+def test_contains_sharded_cogroup_plan(spark):
+    """Plan shape of the cogroup fallback (no shared FS): one
+    FlatMapCoGroupsInPandas over hash exchanges on the shard id; no
+    BroadcastExchange anywhere."""
+    from cuckoofilter_spark.sketch.api import build_filter
+    from cuckoofilter_spark.sketch.membership import \
+        _contains_sharded_cogroup
+
+    keys, probe = _probe_frames(spark, 2000, 2000)
+    filt = build_filter(keys, "k", kind="cuckoo", capacity=2000)
+    plan = (_contains_sharded_cogroup(probe, "k", filt, out_col="m")
+            ._jdf.queryExecution().executedPlan().toString())
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BroadcastExchange" not in plan
+
+
+@pytest.mark.parametrize("kind", FAMILIES)
+def test_cogroup_fallback_matches_store(spark, kind):
+    """Both sharded deliveries answer bit-identically for every
+    family — the cogroup fallback is the same route + same blobs."""
+    from cuckoofilter_spark.sketch.api import build_filter, contains_sharded
+    from cuckoofilter_spark.sketch.membership import \
+        _contains_sharded_cogroup
+
+    keys, probe = _probe_frames(spark, 3000, 6000)
+    filt = build_filter(keys, "k", kind=kind)
+    st = [r["m"] for r in contains_sharded(probe, "k", filt, out_col="m")
+          .orderBy("k").collect()]
+    cg = [r["m"] for r in _contains_sharded_cogroup(probe, "k", filt, "m")
+          .orderBy("k").collect()]
+    assert st == cg
+
+
+def test_store_write_open_idempotent(spark, tmp_path):
+    """Writing the same filter to the same path is a no-op; a DIFFERENT
+    filter at that path refuses rather than silently overwriting; open()
+    round-trips the manifest."""
+    from cuckoofilter_spark.sketch.api import build_filter
+    from cuckoofilter_spark.sketch.store import ShardBlobStore
+
+    keys, _ = _probe_frames(spark, 1000, 1000)
+    filt = build_filter(keys, "k", kind="cuckoo", capacity=1000)
+    p = str(tmp_path / "store")
+    s1 = ShardBlobStore.write(filt, p)
+    s2 = ShardBlobStore.write(filt, p)
+    assert s1.store_id == s2.store_id
+    s3 = ShardBlobStore.open(p)
+    assert s3.store_id == s1.store_id and s3.num_shards == filt.num_shards
+
+    other = build_filter(
+        spark.range(5000, 7000).select(F.col("id").alias("k")),
+        "k", kind="cuckoo", capacity=2000)
+    with pytest.raises(ValueError, match="different filter store"):
+        ShardBlobStore.write(other, p)
+
+
+def test_store_detects_tampered_shard(spark, tmp_path):
+    """A shard blob modified after write fails its manifest sha check
+    at probe time instead of silently answering from corrupt bits."""
+    import glob
+    import os
+
+    from cuckoofilter_spark.sketch.api import build_filter
+    from cuckoofilter_spark.sketch.store import ShardBlobStore, \
+        contains_store
+
+    keys, probe = _probe_frames(spark, 1000, 1000)
+    filt = build_filter(keys, "k", kind="cuckoo", capacity=1000)
+    p = str(tmp_path / "store")
+    st = ShardBlobStore.write(filt, p)
+    victim = sorted(glob.glob(os.path.join(p, "shard_*.blob")))[0]
+    blob = bytearray(open(victim, "rb").read())
+    blob[-1] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="manifest sha"):
+        contains_store(probe, "k", st, out_col="m").where("m").count()
+
+
+def test_store_cache_cap_and_colocate(spark):
+    """max_cached_shards=1 (worst-case thrash) and colocate=True both
+    still answer identically to the unbounded store probe."""
+    from cuckoofilter_spark.sketch.api import build_filter, contains_sharded
+
+    keys, probe = _probe_frames(spark, 8000, 16000)
+    filt = build_filter(keys, "k", kind="cuckoo", capacity=8000)
+    base = [r["m"] for r in contains_sharded(probe, "k", filt, out_col="m")
+            .orderBy("k").collect()]
+    capped = [r["m"] for r in contains_sharded(
+        probe, "k", filt, out_col="m", max_cached_shards=1)
+        .orderBy("k").collect()]
+    coloc = [r["m"] for r in contains_sharded(
+        probe, "k", filt, out_col="m", colocate=True,
+        max_cached_shards=2).orderBy("k").collect()]
+    assert base == capped == coloc
+    assert all(base[:8000])
+
+
+def test_store_accepts_path_string(spark, tmp_path):
+    """contains_store takes a bare path (probe from a session that
+    never saw the build — the resume/cross-job form)."""
+    from cuckoofilter_spark.sketch.api import build_filter
+    from cuckoofilter_spark.sketch.store import ShardBlobStore, \
+        contains_store
+
+    keys, probe = _probe_frames(spark, 2000, 4000)
+    filt = build_filter(keys, "k", kind="xor_sharded")
+    p = str(tmp_path / "xstore")
+    ShardBlobStore.write(filt, p)
+    out = contains_store(probe, "k", p, out_col="m")
+    got = [r["m"] for r in out.orderBy("k").collect()]
+    assert all(got[:2000])
+    assert sum(got[2000:]) / 2000 <= 3 * filt.expected_fpp() + 1e-3
 
 
 def test_contains_sharded_preserves_columns(spark):
