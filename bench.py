@@ -24,6 +24,7 @@ import pathlib
 import subprocess
 import sys
 import time
+from typing import Iterator  # noqa: F401 (pandas_udf hint resolution)
 
 _REPO = str(pathlib.Path(__file__).resolve().parent)
 if _REPO not in sys.path:
@@ -220,8 +221,10 @@ def filter_family_suite(spark) -> dict:
     from pyspark.sql import functions as F
 
     from cuckoofilter_spark.sketch.aggregates import (
+        blocked_bloom64_contains_col, blocked_bloom64_sketch,
         blocked_bloom_contains_col, blocked_bloom_sketch, bloom_contains_col,
-        bloom_sketch)
+        bloom_sketch, fixed_blocked_bloom_contains_col,
+        fixed_blocked_bloom_sketch)
     from cuckoofilter_spark.sketch.gcsfilter import gcs_build, gcs_contains_col
     from cuckoofilter_spark.sketch.membership import (
         crate_build, crate_contains_col, shingle_build,
@@ -229,7 +232,12 @@ def filter_family_suite(spark) -> dict:
         xor_contains_col, xorplus_build, xorplus_contains_col)
 
     n = 1_000_000
-    probes_n = 10_000_000
+    # 40M probes: the probe stage has a ~0.5s fixed pipeline cost
+    # (measured: a 10M-probe pass took 0.50s while the same filter at
+    # 40M took 0.88s — so 10M rows were floor-bound at ~20M finds/s no
+    # matter the kernel). 40M amortizes the floor 4x so the family rows
+    # measure the kernels.
+    probes_n = 40_000_000
     keys = spark.range(n)
     probes = spark.range(n, n + probes_n)  # guaranteed negatives
     out: dict = {"note": (
@@ -240,6 +248,24 @@ def filter_family_suite(spark) -> dict:
         "comparable columns")}
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     try:
+        # pipe-floor context row: the same probe volume through a
+        # constant-true pandas_udf — the Arrow round-trip + filter +
+        # count with ZERO kernel work. Subtract this from any family's
+        # probe time to isolate its kernel.
+        import pandas as pd
+        globals().setdefault("pd", pd)  # hint resolution under PEP 563
+        from pyspark.sql import types as _T
+
+        @F.pandas_udf(_T.BooleanType())
+        def _const_true(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+            for s in it:
+                yield pd.Series(True, index=s.index)
+
+        floor_fn = lambda: probes.where(_const_true("id")).count()  # noqa: E731
+        floor_fn()
+        t0 = _t.time()
+        floor_fn()
+        out["probe_pipe_floor_sec"] = round(_t.time() - t0, 3)
         # blocked-bloom at the reference benchmark's own operating point:
         # bulk-insert-and-query.cc:242 allocates 2^ceil(log2(n)) heap
         # bytes (8-16 bits/item after the pow2 round); n=655360 with
@@ -255,6 +281,15 @@ def filter_family_suite(spark) -> dict:
             ("blocked_bloom", lambda: blocked_bloom_sketch(
                 keys_bb, "id", capacity=n_bb, seed=SEED, bits_per_key=8),
              blocked_bloom_contains_col, n_bb),
+            # 64-byte-block variant at the same 12.8 b/i pow2 point
+            # (655360*8/512 rounds to 16384 512-bit buckets)
+            ("blocked_bloom64", lambda: blocked_bloom64_sketch(
+                keys_bb, "id", capacity=n_bb, seed=SEED, bits_per_key=8),
+             blocked_bloom64_contains_col, n_bb),
+            # fixed-fpp variant: exact 12.0 b/i spend, non-pow2 directory
+            ("blocked_bloom_fixed", lambda: fixed_blocked_bloom_sketch(
+                keys, "id", capacity=n, seed=SEED, bits_per_key=12),
+             fixed_blocked_bloom_contains_col, n),
             ("xor8", lambda: xor_build(keys, "id", fp_bits=8, seed=SEED),
              xor_contains_col, n),
             ("xor16", lambda: xor_build(keys, "id", fp_bits=16, seed=SEED),

@@ -301,6 +301,79 @@ def blocked_bloom_contains_col(spark: SparkSession, filt, col) -> Column:
     return probe(F.col(col).cast("long") if isinstance(col, str) else col)
 
 
+def blocked_bloom64_sketch(df: DataFrame, col: str, capacity: int,
+                           seed: int = 0x5EED, fanout: int = 16,
+                           bits_per_key: int | None = None
+                           ) -> "BlockedBloomFilter64":
+    """Distributed 64-byte-block blocked-Bloom build (SimdBlockFilter64,
+    simd-block.h:213-375): 512-bit buckets, 8 one-bit probes one per
+    64-bit lane; OR-mergeable like the 256-bit variant."""
+    from ..kernels.blocked_bloom import BlockedBloomFilter64
+
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: BlockedBloomFilter64.create(capacity, seed=seed,
+                                                 bits_per_key=bits_per_key),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=BlockedBloomFilter64.merge,
+        from_bytes=BlockedBloomFilter64.from_bytes,
+        fanout=fanout,
+    )
+
+
+def blocked_bloom64_contains_col(spark: SparkSession, filt, col) -> Column:
+    """Boolean membership Column against a broadcast 64B-block blob."""
+    bc = spark.sparkContext.broadcast(filt.to_bytes())
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..kernels.blocked_bloom import BlockedBloomFilter64
+
+        local = BlockedBloomFilter64.from_bytes(bc.value)
+        for s in it:
+            yield pd.Series(local.contains_many(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
+def fixed_blocked_bloom_sketch(df: DataFrame, col: str, capacity: int,
+                               seed: int = 0x5EED, fanout: int = 16,
+                               bits_per_key: int = 12
+                               ) -> "FixedBlockedBloomFilter":
+    """Distributed fixed-fpp blocked-Bloom build (SimdBlockFilterFixed,
+    simd-block-fixed-fpp.h:43-138): exact non-pow2 directory sized at
+    ``capacity * bits_per_key`` bits, Lemire-reduced bucket index."""
+    from ..kernels.blocked_bloom import FixedBlockedBloomFilter
+
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: FixedBlockedBloomFilter.create(
+            capacity, seed=seed, bits_per_key=bits_per_key),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=FixedBlockedBloomFilter.merge,
+        from_bytes=FixedBlockedBloomFilter.from_bytes,
+        fanout=fanout,
+    )
+
+
+def fixed_blocked_bloom_contains_col(spark: SparkSession, filt,
+                                     col) -> Column:
+    """Boolean membership Column against a broadcast fixed-fpp blob."""
+    bc = spark.sparkContext.broadcast(filt.to_bytes())
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..kernels.blocked_bloom import FixedBlockedBloomFilter
+
+        local = FixedBlockedBloomFilter.from_bytes(bc.value)
+        for s in it:
+            yield pd.Series(local.contains_many(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
 def grow_blocked_bloom_sketch(df: DataFrame, col: str,
                               initial_capacity: int = 1024,
                               seed: int = 0x5EED) -> "GrowBlockedBloomFilter":

@@ -64,6 +64,20 @@ def _build_blocked_bloom(df, col, capacity, seed, **kw):
         df, col, capacity=_need_capacity(df, col, capacity), seed=seed, **kw)
 
 
+def _build_blocked_bloom64(df, col, capacity, seed, **kw):
+    from .aggregates import blocked_bloom64_sketch
+
+    return blocked_bloom64_sketch(
+        df, col, capacity=_need_capacity(df, col, capacity), seed=seed, **kw)
+
+
+def _build_fixed_blocked_bloom(df, col, capacity, seed, **kw):
+    from .aggregates import fixed_blocked_bloom_sketch
+
+    return fixed_blocked_bloom_sketch(
+        df, col, capacity=_need_capacity(df, col, capacity), seed=seed, **kw)
+
+
 def _build_grow_bloom(df, col, capacity, seed, **kw):
     from .aggregates import grow_blocked_bloom_sketch
 
@@ -132,6 +146,8 @@ _BUILDERS = {
         _build_cuckoo(df, col, capacity, seed, stable=True, **kw),
     "bloom": _build_bloom,
     "blocked_bloom": _build_blocked_bloom,
+    "blocked_bloom64": _build_blocked_bloom64,
+    "fixed_blocked_bloom": _build_fixed_blocked_bloom,
     "grow_bloom": _build_grow_bloom,
     "xor": _build_xor,
     "xor_sharded": _build_xor_sharded,
@@ -167,6 +183,7 @@ def contains_col(spark: SparkSession, filt, col) -> Column:
     """Membership probe Column for any object ``build_filter`` returns
     (dispatch on type — the FilterAPI Contain leg)."""
     from ..kernels.blocked_bloom import BlockedBloomFilter, \
+        BlockedBloomFilter64, FixedBlockedBloomFilter, \
         GrowBlockedBloomFilter
     from ..kernels.bloom import BloomFilter
     from ..kernels.gcs import GcsFilter
@@ -184,6 +201,8 @@ def contains_col(spark: SparkSession, filt, col) -> Column:
         (XorFilter, mem.xor_contains_col),
         (GcsFilter, gcsfilter.gcs_contains_col),
         (GrowBlockedBloomFilter, agg.grow_blocked_bloom_contains_col),
+        (BlockedBloomFilter64, agg.blocked_bloom64_contains_col),
+        (FixedBlockedBloomFilter, agg.fixed_blocked_bloom_contains_col),
         (BlockedBloomFilter, agg.blocked_bloom_contains_col),
         (BloomFilter, agg.bloom_contains_col),
     )

@@ -369,6 +369,60 @@ def test_dup_spans_no_window_and_hot_gram_bounded(spark):
     assert r0["dup_frac_e6"] == 200000
 
 
+@pytest.mark.parametrize("cls_name,bpk,bits_expected", [
+    ("BlockedBloomFilter64", 12, None),   # pow2-rounded 64B blocks
+    ("FixedBlockedBloomFilter", 12, 12.0),  # exact non-pow2 spend
+])
+def test_blocked_bloom_variants_kernel(cls_name, bpk, bits_expected):
+    """SimdBlockFilter64 (simd-block.h:213-375) and SimdBlockFilterFixed
+    (simd-block-fixed-fpp.h:43-138) re-expressions: no false negatives,
+    fpp in the published neighborhood, blob round-trip, exact merge
+    associativity, and — for the fixed variant — bits/item spent
+    EXACTLY as asked (no pow2 round)."""
+    import numpy as np
+
+    from cuckoofilter_spark.kernels import blocked_bloom as bb
+
+    cls = getattr(bb, cls_name)
+    n = 200_000
+    f = cls.create(n, seed=0x5EED, bits_per_key=bpk)
+    keys = np.arange(n, dtype=np.uint64)
+    f.add_many(keys)
+    assert f.contains_many(keys).all()
+    neg = np.arange(n, n + 500_000, dtype=np.uint64)
+    fp = f.contains_many(neg).mean()
+    assert fp < 0.02, (cls_name, fp)  # published tables: sub-1% regime
+    if bits_expected is not None:
+        bpi = 8.0 * f.size_in_bytes() / n
+        assert abs(bpi - bits_expected) < 0.02  # whole-bucket round only
+        assert f.num_buckets & (f.num_buckets - 1)  # genuinely non-pow2
+    g = cls.from_bytes(f.to_bytes())
+    assert (g.buckets == f.buckets).all()
+    assert g.contains_many(keys[:5000]).all()
+    a, b, c = (cls(f.num_buckets, f.seed) for _ in range(3))
+    a.add_many(keys[:500]); b.add_many(keys[500:1000]); c.add_many(keys[1000:1500])
+    m1, m2 = cls.merge(cls.merge(a, b), c), cls.merge(a, cls.merge(b, c))
+    assert (m1.buckets == m2.buckets).all()
+    with pytest.raises(ValueError, match="incompatible"):
+        cls.merge(f, cls(f.num_buckets * 2, f.seed))
+
+
+def test_blocked_bloom64_one_bit_per_u64_lane(spark):
+    """Structure check: each add sets at most 8 bits, exactly one per
+    64-bit lane of the 64-byte block (simd-block.h MakeMask out1/out2
+    shape)."""
+    import numpy as np
+
+    from cuckoofilter_spark.kernels.blocked_bloom import BlockedBloomFilter64
+
+    f = BlockedBloomFilter64(64, seed=1)
+    f.add_many(np.array([12345], dtype=np.uint64))
+    nz = f.buckets[f.buckets.any(axis=1)]
+    assert nz.shape == (1, 8)
+    # one bit per lane: every lane is a power of two
+    assert all(int(x) & (int(x) - 1) == 0 and x > 0 for x in nz[0])
+
+
 def test_dup_spans_min_docs_general(spark):
     """min_docs > 2 through the same unified aggregate path."""
     from cuckoofilter_spark.ops.dedup import cross_doc_duplicate_grams
