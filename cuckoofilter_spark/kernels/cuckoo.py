@@ -138,14 +138,19 @@ class CuckooFilter:
         if mode not in ("single", "semisort"):
             raise ValueError(f"unknown mode {mode!r}")
         self.stable = bool(stable)
-        if mode == "semisort" and bits != 13:
-            # the reference ships/tests the 13-bit PackedTable config
-            # (example/test1.cc:38, packedtable.h codeword case bits=13)
-            raise ValueError("semisort mode supports bits=13 only")
-        if mode == "single" and bits == 13:
+        if mode == "semisort":
+            from .packed import SEMISORT_WIDTHS
+            if bits not in SEMISORT_WIDTHS:
+                # the reference enumerates direct-bit layouts for exactly
+                # these tag widths (packedtable.h:128-191); 13 is the
+                # shipped/tested config (example/test1.cc:38)
+                raise ValueError(
+                    f"semisort mode supports bits in {SEMISORT_WIDTHS}")
+        elif bits not in (4, 8, 12, 16, 32):
             # reject at construction, not at to_bytes: single-table packing
-            # has no 13-bit layout (pack_tags would raise much later)
-            raise ValueError("bits=13 requires mode='semisort' (PackedTable)")
+            # has layouts only for the singletable.h widths
+            raise ValueError(
+                f"bits={bits} requires mode='semisort' (PackedTable)")
         self.mode = mode
         self.num_buckets = int(num_buckets)
         self.bits = int(bits)
@@ -400,10 +405,10 @@ class CuckooFilter:
         semi-sort saves 1 bit/tag -> 6-byte buckets at bits=13)."""
         ntags = self.size_in_tags()
         if self.mode == "semisort":
-            from .packed import BUCKET_BYTES_13
-            return self.num_buckets * BUCKET_BYTES_13
+            from .packed import packed_table_bytes
+            return packed_table_bytes(self.num_buckets, self.bits)
         return {4: ntags // 2, 8: ntags, 12: ntags * 3 // 2,
-                13: ntags * 2, 16: ntags * 2, 32: ntags * 4}[self.bits]
+                16: ntags * 2, 32: ntags * 4}[self.bits]
 
     def load_factor(self) -> float:
         return self.num_items / self.size_in_tags()  # cuckoofilter.h:86
@@ -444,8 +449,8 @@ class CuckooFilter:
             int(self.victim_used), self.victim_index, self.victim_tag,
         )
         if self.mode == "semisort":
-            from .packed import pack_buckets_13
-            return hdr + pack_buckets_13(self.table)
+            from .packed import pack_buckets
+            return hdr + pack_buckets(self.table, self.bits)
         return hdr + pack_tags(self.table.reshape(-1), self.bits)
 
     @classmethod
@@ -461,8 +466,8 @@ class CuckooFilter:
         f.victim_index = vindex
         f.victim_tag = vtag
         if f.mode == "semisort":
-            from .packed import unpack_buckets_13
-            f.table = unpack_buckets_13(blob[_HDR_SIZE:], f.num_buckets)
+            from .packed import unpack_buckets
+            f.table = unpack_buckets(blob[_HDR_SIZE:], f.num_buckets, bits)
         else:
             f.table = unpack_tags(blob[_HDR_SIZE:], bits, f.size_in_tags()).reshape(
                 f.num_buckets, ASSOC)

@@ -65,34 +65,88 @@ def sort_tags(tags: np.ndarray) -> np.ndarray:
     return np.take_along_axis(tags, order, axis=1)
 
 
+# packedtable.h enumerates direct-bit layouts for these tag widths
+# (packedtable.h:128-191: cases 5, 6, 7, 8, 9, 13, 17)
+SEMISORT_WIDTHS = (5, 6, 7, 8, 9, 13, 17)
+
+
+def bucket_bits(bits: int) -> int:
+    """Encoded bucket width: 12 codeword bits + 4 direct-bit fields
+    (packedtable.h kBitsPerBucket = (3 + kDirBitsPerTag) * 4)."""
+    if bits not in SEMISORT_WIDTHS:
+        raise ValueError(
+            f"semisort tag width must be one of {SEMISORT_WIDTHS}, got {bits}")
+    return 12 + 4 * (bits - 4)
+
+
+def packed_table_bytes(num_buckets: int, bits: int) -> int:
+    """Blob bytes for the whole table, bit-packed contiguously (the
+    reference packs buckets at bit granularity for odd widths —
+    packedtable.h ReadBucket's per-width offset arithmetic)."""
+    return (num_buckets * bucket_bits(bits) + 7) // 8
+
+
+def _encode_words(table: np.ndarray, bits: int) -> np.ndarray:
+    """(num_buckets, 4) tags -> per-bucket uint64 codeword|direct words."""
+    d = bits - 4
+    t = sort_tags(table.astype(np.uint32))
+    nib = t & 0xF
+    packed_nib = nib[:, 0] | (nib[:, 1] << 4) | (nib[:, 2] << 8) | (nib[:, 3] << 12)
+    word = ENC_TABLE[packed_nib].astype(np.uint64)  # 12 bits
+    direct = (t >> 4).astype(np.uint64)
+    for j in range(4):
+        word |= direct[:, j] << np.uint64(12 + d * j)
+    return word
+
+
+def _decode_words(word: np.ndarray, bits: int) -> np.ndarray:
+    d = bits - 4
+    codeword = (word & np.uint64(0xFFF)).astype(np.int64)
+    nib = DEC_TABLE[codeword]  # (n, 4) uint8
+    # match the live table dtype (kernels.cuckoo._dtype_for)
+    dt = np.uint8 if bits <= 8 else np.uint16 if bits <= 16 else np.uint32
+    out = np.empty((word.size, 4), dtype=dt)
+    dmask = np.uint64((1 << d) - 1)
+    for j in range(4):
+        direct = ((word >> np.uint64(12 + d * j)) & dmask).astype(dt)
+        out[:, j] = (direct << dt(4)) | nib[:, j]
+    return out
+
+
+def pack_buckets(table: np.ndarray, bits: int = 13) -> bytes:
+    """(num_buckets, 4) tags -> bit-packed semi-sorted blob for any
+    reference width. Buckets pack contiguously at bit granularity
+    (byte-aligned widths land on whole bytes automatically)."""
+    w = bucket_bits(bits)
+    word = _encode_words(table, bits)
+    # lay each bucket's w bits into the stream via little-endian
+    # unpack/pack: exact for every width, vectorized end to end
+    wb = np.unpackbits(word.astype("<u8").view(np.uint8).reshape(-1, 8),
+                       axis=1, bitorder="little")[:, :w]
+    return np.packbits(wb.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack_buckets(buf: bytes, num_buckets: int, bits: int = 13) -> np.ndarray:
+    """Inverse of pack_buckets -> (num_buckets, 4) tags in canonical
+    (nibble-sorted) order."""
+    w = bucket_bits(bits)
+    raw = np.frombuffer(buf, dtype=np.uint8,
+                        count=packed_table_bytes(num_buckets, bits))
+    stream = np.unpackbits(raw, bitorder="little",
+                           count=num_buckets * w).reshape(-1, w)
+    padded = np.zeros((num_buckets, 64), dtype=np.uint8)
+    padded[:, :w] = stream
+    word = np.packbits(padded.reshape(-1), bitorder="little") \
+        .view("<u8").astype(np.uint64)
+    return _decode_words(word, bits)
+
+
 def pack_buckets_13(table: np.ndarray) -> bytes:
     """(num_buckets, 4) uint16 tags (13-bit) -> 6-byte packed buckets."""
-    t = sort_tags(table.astype(np.uint16))
-    nib = (t & 0xF).astype(np.uint32)
-    packed_nib = nib[:, 0] | (nib[:, 1] << 4) | (nib[:, 2] << 8) | (nib[:, 3] << 12)
-    codeword = ENC_TABLE[packed_nib].astype(np.uint64)  # 12 bits
-    direct = (t >> 4).astype(np.uint64)  # 9 bits each
-    word = (codeword
-            | (direct[:, 0] << np.uint64(12))
-            | (direct[:, 1] << np.uint64(21))
-            | (direct[:, 2] << np.uint64(30))
-            | (direct[:, 3] << np.uint64(39)))  # 48 bits used
-    le = word[:, None] >> (np.uint64(8) * np.arange(6, dtype=np.uint64))[None, :]
-    return (le & np.uint64(0xFF)).astype(np.uint8).tobytes()
+    return pack_buckets(table, 13)
 
 
 def unpack_buckets_13(buf: bytes, num_buckets: int) -> np.ndarray:
     """Inverse of pack_buckets_13 -> (num_buckets, 4) uint16 tags in
     canonical (nibble-sorted) order."""
-    raw = np.frombuffer(buf, dtype=np.uint8,
-                        count=num_buckets * BUCKET_BYTES_13).reshape(-1, 6)
-    word = (raw.astype(np.uint64)
-            << (np.uint64(8) * np.arange(6, dtype=np.uint64))[None, :]).sum(
-                axis=1, dtype=np.uint64)
-    codeword = (word & np.uint64(0xFFF)).astype(np.int64)
-    nib = DEC_TABLE[codeword].astype(np.uint16)  # (n, 4)
-    out = np.empty((num_buckets, 4), dtype=np.uint16)
-    for j in range(4):
-        direct = ((word >> np.uint64(12 + 9 * j)) & np.uint64(0x1FF)).astype(np.uint16)
-        out[:, j] = (direct << 4) | nib[:, j]
-    return out
+    return unpack_buckets(buf, num_buckets, 13)

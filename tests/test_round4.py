@@ -423,6 +423,47 @@ def test_blocked_bloom64_one_bit_per_u64_lane(spark):
     assert all(int(x) & (int(x) - 1) == 0 and x > 0 for x in nz[0])
 
 
+@pytest.mark.parametrize("bits", [5, 6, 7, 8, 9, 13, 17])
+def test_semisort_width_sweep(bits):
+    """PackedTable codec at every reference-enumerated tag width
+    (packedtable.h:128-191 cases 5,6,7,8,9,13,17): blob size is exactly
+    ceil(num_buckets * (12 + 4*(bits-4)) / 8), round-trip preserves the
+    canonical bucket, and a built filter answers identically after
+    serialize/deserialize (including the odd bit-packed widths 6, 8)."""
+    import numpy as np
+
+    from cuckoofilter_spark.kernels.cuckoo import CuckooFilter
+    from cuckoofilter_spark.kernels.packed import (bucket_bits,
+                                                   pack_buckets, sort_tags,
+                                                   unpack_buckets)
+
+    rng = np.random.default_rng(bits)
+    nb = 2048
+    tags = rng.integers(0, 1 << bits, size=(nb, 4)).astype(np.uint32)
+    blob = pack_buckets(tags, bits)
+    assert len(blob) == (nb * bucket_bits(bits) + 7) // 8
+    assert (unpack_buckets(blob, nb, bits).astype(np.uint32)
+            == sort_tags(tags)).all()
+
+    f = CuckooFilter.create(8000, bits=bits, mode="semisort", seed=7)
+    keys = np.arange(8000, dtype=np.uint64)
+    f.add_many(keys)
+    assert f.contains_many(keys).all()
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    neg = np.arange(10**6, 10**6 + 100_000, dtype=np.uint64)
+    assert (g.contains_many(neg) == f.contains_many(neg)).all()
+    assert g.contains_many(keys).all()
+
+
+def test_semisort_rejects_unenumerated_width():
+    from cuckoofilter_spark.kernels.cuckoo import CuckooFilter
+
+    with pytest.raises(ValueError, match="semisort"):
+        CuckooFilter.create(1000, bits=10, mode="semisort")
+    with pytest.raises(ValueError, match="semisort"):
+        CuckooFilter.create(1000, bits=9, mode="single")
+
+
 def test_dup_spans_min_docs_general(spark):
     """min_docs > 2 through the same unified aggregate path."""
     from cuckoofilter_spark.ops.dedup import cross_doc_duplicate_grams
