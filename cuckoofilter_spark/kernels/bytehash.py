@@ -27,8 +27,13 @@ References: hashutil.cc:60-317 (lookup3 hashlittle), :319-577
 :704-715 (NullHash); SpookyV2.cpp:21-118 (Short), :127-186 (Hash128),
 SpookyV2.hpp:133-270 (Mix/End/ShortMix/ShortEnd). lookup3 and SpookyV2
 are public domain (Bob Jenkins); MurmurHash2 is public domain (Austin
-Appleby); SuperFastHash is re-expressed from Paul Hsieh's published
-algorithm description.
+Appleby). SuperFastHash: the reference vendors Hsieh's code under GPL
+2.0 (hashutil.cc:651 marking); this module does NOT copy that code —
+it re-expresses the algorithm from Paul Hsieh's published description
+(www.azillionmonkeys.com/qed/hash.html), which the author also offers
+under non-GPL terms (LGPL 2.1 and the "Paul Hsieh derivative license").
+Bit-exactness is verified against golden vectors generated FROM the
+compiled reference (an output comparison, not a code derivation).
 """
 
 from __future__ import annotations
@@ -71,6 +76,13 @@ def _as_flat(items) -> tuple[np.ndarray, np.ndarray]:
         first = next((x for x in items if x is not None), b"")
         typ = pa.large_string() if isinstance(first, str) else pa.large_binary()
         arr = pa.array(items, type=typ)
+        if arr.null_count:
+            # refuse rather than silently hash None as b'' (a null slot
+            # gets zero-length offsets); the strhash UDF layer masks
+            # NULLs before the kernel — direct callers must too
+            raise ValueError(
+                "byte-hash kernels do not accept None items; mask or "
+                "fill nulls before hashing")
         if typ == pa.large_string():
             arr = arr.cast(pa.large_binary())
         bufs = arr.buffers()

@@ -45,15 +45,47 @@ _KINDS = {
 }
 
 
+_STATE_MAGIC = b"CFS1"
+
+# group-key codec for the envelope header: JSON-safe (type_tag, value)
+# pairs so loading state NEVER executes anything (no pickle). Only the
+# scalar types the grouped protocol emits are representable; anything
+# else fails the commit loudly rather than the load silently.
+_KEY_TAGS = {type(None): "n", bool: "b", int: "i", float: "f", str: "s"}
+
+
+def _tag_key(g):
+    tag = _KEY_TAGS.get(type(g))
+    if tag is None:
+        raise TypeError(
+            f"group key {g!r} of type {type(g).__name__} is not "
+            "envelope-representable (supported: None/bool/int/float/str)")
+    return [tag, g]
+
+
+def _untag_key(tagged):
+    tag, v = tagged
+    return {"n": lambda x: None, "b": bool, "i": int, "f": float,
+            "s": str}[tag](v)
+
+
 class _SketchStateBase:
     """Shared machinery of the streaming sketch states: kind
     validation, the SINGLE-FILE atomic commit (batch id and blobs ride
-    in one ``os.replace``d pickle, so a crash can never leave the
+    in one ``os.replace``d file, so a crash can never leave the
     exactly-once guard behind the merged state — a two-file commit
     would double-merge the batch on replay if it died between the
     replaces), the replay guard, and the writeStream hookup. A
     state.json sidecar is written AFTER the commit purely for human
-    inspection; the pickle is the authority."""
+    inspection; state.bin is the authority.
+
+    state.bin is a NON-EXECUTABLE envelope (no pickle anywhere): magic
+    + a JSON header carrying batch_id/kind and per-entry (tagged group
+    key, blob length), followed by the kernels' own versioned to_bytes
+    blobs verbatim. Loading it can parse bytes and JSON, nothing else —
+    a writable state directory is not a code-execution vector, and the
+    format is pinned to the kernels' blob versioning rather than
+    pickle internals."""
 
     def __init__(self, state_dir: str, kind: str, col: str, **params):
         if kind not in _KINDS:
@@ -66,31 +98,63 @@ class _SketchStateBase:
 
     # -- state io ---------------------------------------------------------
     def _state_path(self) -> str:
-        return os.path.join(self.state_dir, "state.pkl")
+        return os.path.join(self.state_dir, "state.bin")
 
     def _meta_path(self) -> str:
         return os.path.join(self.state_dir, "state.json")
 
-    def _read(self) -> dict | None:
-        import pickle
+    def _legacy_check(self) -> None:
+        for legacy in ("state.pkl", "state.blob"):
+            p = os.path.join(self.state_dir, legacy)
+            if os.path.exists(p):
+                raise RuntimeError(
+                    f"{self.state_dir} holds legacy sketch state ({legacy}) "
+                    "from a previous on-disk format; starting fresh would "
+                    "silently drop it (the Spark checkpoint prevents "
+                    "replaying committed batches). Run "
+                    "cuckoofilter_spark.streaming.sketch_stream."
+                    "migrate_legacy_pickle_state(state_dir) once, or remove "
+                    "the file AND the stream checkpoint to rebuild from "
+                    "scratch.")
 
+    def _read(self) -> dict | None:
+        """Parse state.bin -> {batch_id, entries: [(tagged_key, blob)]}."""
         try:
             with open(self._state_path(), "rb") as f:
-                return pickle.load(f)
+                raw = f.read()
         except OSError:
+            self._legacy_check()
             return None
+        if raw[:4] != _STATE_MAGIC:
+            raise ValueError(
+                f"{self._state_path()}: bad magic {raw[:4]!r} — not a "
+                "sketch state envelope")
+        hlen = int.from_bytes(raw[4:8], "little")
+        hdr = json.loads(raw[8:8 + hlen].decode("utf-8"))
+        off = 8 + hlen
+        entries = []
+        for tagged, blen in hdr["entries"]:
+            entries.append((tagged, raw[off:off + blen]))
+            off += blen
+        return {"batch_id": int(hdr["batch_id"]), "entries": entries}
 
     def last_batch_id(self) -> int:
         d = self._read()
         return -1 if d is None else d["batch_id"]
 
-    def _commit(self, payload: dict, batch_id: int, **meta) -> None:
-        import pickle
-
-        payload = dict(payload, batch_id=batch_id)
+    def _commit(self, entries: list, batch_id: int, **meta) -> None:
+        """``entries``: [(group_key_or_None, blob_bytes)]."""
+        hdr = json.dumps({
+            "format_version": 1, "batch_id": batch_id, "kind": self.kind,
+            "entries": [[_tag_key(g), len(b)] for g, b in entries],
+        }).encode("utf-8")
         tmp = self._state_path() + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(payload, f)
+            f.write(_STATE_MAGIC)
+            f.write(len(hdr).to_bytes(4, "little"))
+            f.write(hdr)
+            for _g, b in entries:
+                f.write(b)
         os.replace(tmp, self._state_path())  # the ONE atomic commit
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -128,7 +192,7 @@ class StreamingSketchState(_SketchStateBase):
         if d is None:
             return None
         cls, _build = _KINDS[self.kind]
-        return cls.from_bytes(d["blob"])
+        return cls.from_bytes(d["entries"][0][1])
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: exactly-once via the recorded batch id.
@@ -144,7 +208,7 @@ class StreamingSketchState(_SketchStateBase):
         cur = self.load()
         merged = partial if cur is None else cls.merge(cur, partial)
         self._compact_if_mg(self.kind, merged)
-        self._commit({"blob": merged.to_bytes()}, batch_id)
+        self._commit([(None, merged.to_bytes())], batch_id)
 
 
 class GroupedStreamingSketchState(_SketchStateBase):
@@ -172,7 +236,7 @@ class GroupedStreamingSketchState(_SketchStateBase):
         if d is None:
             return {}
         cls, _ = _KINDS[self.kind]
-        return {g: cls.from_bytes(b) for g, b in d["groups"].items()}
+        return {_untag_key(t): cls.from_bytes(b) for t, b in d["entries"]}
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id():
@@ -206,13 +270,46 @@ class GroupedStreamingSketchState(_SketchStateBase):
             merged = part if g not in cur else cls.merge(cur[g], part)
             self._compact_if_mg(self.kind, merged)
             cur[g] = merged
-        self._commit({"groups": {g: k.to_bytes() for g, k in cur.items()}},
+        self._commit([(g, k.to_bytes()) for g, k in cur.items()],
                      batch_id, group_col=self.group_col, n_groups=len(cur))
 
     def _make(self, cls):
         if self.kind == "cms":  # CMS sizes from (eps, delta), not (width, depth)
             return cls.create(**self.params)
         return cls(**self.params) if self.params else cls()
+
+
+def migrate_legacy_pickle_state(state_dir: str) -> str:
+    """One-time upgrade of a pre-envelope ``state.pkl`` directory.
+
+    Explicitly opt-in because it pickle-loads the legacy file — run it
+    only on state directories you wrote yourself (the trust the old
+    format always required). Converts to state.bin and renames the
+    legacy file to state.pkl.migrated; returns the new state path."""
+    import pickle
+
+    pkl = os.path.join(state_dir, "state.pkl")
+    with open(pkl, "rb") as f:
+        d = pickle.load(f)
+    if "blob" in d:
+        entries = [(None, d["blob"])]
+    else:
+        entries = [(g, b) for g, b in d["groups"].items()]
+    meta = {}
+    try:
+        with open(os.path.join(state_dir, "state.json")) as f:
+            meta = json.load(f)
+    except OSError:
+        pass
+    kind = meta.get("kind")
+    if kind not in _KINDS:
+        raise ValueError(
+            f"cannot infer sketch kind from {state_dir}/state.json; "
+            "refusing to migrate blind")
+    st = _SketchStateBase(state_dir, kind, meta.get("col", ""))
+    os.rename(pkl, pkl + ".migrated")  # unblock _legacy_check first
+    st._commit(entries, int(d["batch_id"]), migrated_from="state.pkl")
+    return st._state_path()
 
 
 def stream_token_sketches(spark: SparkSession, stream_df: DataFrame,

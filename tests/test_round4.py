@@ -464,6 +464,79 @@ def test_semisort_rejects_unenumerated_width():
         CuckooFilter.create(1000, bits=9, mode="single")
 
 
+def test_streaming_state_envelope_not_pickle(spark, tmp_path):
+    """The state file is a non-executable envelope: magic + JSON header
+    + raw kernel blobs. Loading must never unpickle (a writable state
+    dir must not be a code-execution vector — ADVICE r3)."""
+    import numpy as np
+
+    from cuckoofilter_spark.streaming.sketch_stream import \
+        StreamingSketchState
+
+    st = StreamingSketchState(str(tmp_path / "hll"), "hll", "tokens",
+                              p=12, seed=7)
+    df = spark.createDataFrame(
+        [(i, [i, i + 1, i + 2]) for i in range(500)],
+        "doc_id long, tokens array<int>")
+    st.update(df, 0)
+    raw = open(st._state_path(), "rb").read()
+    assert raw[:4] == b"CFS1"
+    assert b"pickle" not in raw[:200]
+    got = st.load()
+    assert abs(got.estimate() - 502) / 502 < 0.05
+    # replay guard survives the envelope round-trip
+    assert st.last_batch_id() == 0
+    st.update(df, 0)  # replay: must be a no-op
+    assert abs(st.load().estimate() - got.estimate()) < 1e-9
+
+
+def test_streaming_state_refuses_legacy_pickle(tmp_path):
+    """A leftover state.pkl from the previous on-disk format raises
+    instead of being silently treated as empty (ADVICE r3: the Spark
+    checkpoint blocks re-replaying committed batches, so 'empty' means
+    silent state loss)."""
+    import pickle
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        StreamingSketchState, migrate_legacy_pickle_state)
+    from cuckoofilter_spark.kernels.hll import HyperLogLog
+
+    d = tmp_path / "hll"
+    d.mkdir()
+    h = HyperLogLog(p=12, seed=7)
+    import numpy as np
+    h.add_many(np.arange(1000, dtype=np.uint64))
+    (d / "state.pkl").write_bytes(
+        pickle.dumps({"batch_id": 3, "blob": h.to_bytes()}))
+    (d / "state.json").write_text(
+        '{"batch_id": 3, "kind": "hll", "col": "tokens"}')
+    st = StreamingSketchState(str(d), "hll", "tokens", p=12, seed=7)
+    with pytest.raises(RuntimeError, match="legacy sketch state"):
+        st.last_batch_id()
+    # explicit migration converts and unblocks
+    migrate_legacy_pickle_state(str(d))
+    assert st.last_batch_id() == 3
+    assert abs(st.load().estimate() - h.estimate()) < 1e-9
+
+
+def test_grouped_streaming_state_key_types(spark, tmp_path):
+    """Grouped envelope keys round-trip with their original types
+    (str and int group keys; big int64 keys survive exactly)."""
+    from cuckoofilter_spark.streaming.sketch_stream import \
+        GroupedStreamingSketchState
+
+    big = 2**60 + 7
+    df = spark.createDataFrame(
+        [(big, [1, 2, 3]), (big, [2, 3, 4]), (5, [9, 10, 11])],
+        "src long, tokens array<int>")
+    st = GroupedStreamingSketchState(str(tmp_path / "g"), "hll",
+                                     "src", "tokens", p=12, seed=7)
+    st.update(df, 0)
+    got = st.load()
+    assert set(got) == {big, 5}
+    assert all(type(k) is int for k in got)
+
+
 def test_dup_spans_min_docs_general(spark):
     """min_docs > 2 through the same unified aggregate path."""
     from cuckoofilter_spark.ops.dedup import cross_doc_duplicate_grams
