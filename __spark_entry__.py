@@ -235,6 +235,47 @@ def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("probe").alias("member_key")))
 
 
+def q_blocked_bloom64_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-byte-block blocked Bloom (SimdBlockFilter64, simd-block.h:
+    213-375: 512-bit buckets, one bit per 64-bit lane) semi-join over
+    l_suppkey; sized so FP=0 on this keyspace (verified for SEED)."""
+    from cuckoofilter_spark.sketch.aggregates import (
+        blocked_bloom64_contains_col, blocked_bloom64_sketch)
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    cap = sup.count()
+    filt = blocked_bloom64_sketch(li, "l_suppkey", capacity=int(cap * 4) + 64,
+                                  seed=SEED)
+    probes = (sup.select(F.col("s_suppkey").alias("probe"))
+              .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
+    return (probes.withColumn(
+        "hit", blocked_bloom64_contains_col(spark, filt, "probe"))
+        .where("hit").select(F.col("probe").alias("member_key")))
+
+
+def q_fixed_blocked_bloom_membership(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Fixed-fpp blocked Bloom (SimdBlockFilterFixed,
+    simd-block-fixed-fpp.h:43-138: exact non-pow2 directory, Lemire
+    bucket index) semi-join over l_suppkey at 20 bits/key — spent
+    exactly, no pow2 round; FP=0 on this keyspace for SEED."""
+    from cuckoofilter_spark.sketch.aggregates import (
+        fixed_blocked_bloom_contains_col, fixed_blocked_bloom_sketch)
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    cap = sup.count()
+    filt = fixed_blocked_bloom_sketch(li, "l_suppkey",
+                                      capacity=int(cap * 4) + 64,
+                                      seed=SEED, bits_per_key=20)
+    probes = (sup.select(F.col("s_suppkey").alias("probe"))
+              .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
+    return (probes.withColumn(
+        "hit", fixed_blocked_bloom_contains_col(spark, filt, "probe"))
+        .where("hit").select(F.col("probe").alias("member_key")))
+
+
 def q_grow_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GrowSimdBlockFilter (growable-simd-block.h:22-74, Pagh et al.
     "approximate a set without knowing its size in advance"): the build
@@ -1191,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_sharded_membership": q_cf_sharded_membership,
         "contamination": q_contamination,  # now builds kind=xor_sharded
         "dup_spans": q_dup_spans,  # now the salted two-level aggregate
+        "blocked_bloom64_membership": q_blocked_bloom64_membership,
+        "fixed_blocked_bloom_membership": q_fixed_blocked_bloom_membership,
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -1315,6 +1358,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE probe IN (SELECT l_suppkey FROM lineitem)
         """,
         "bloom_membership": """
+            WITH probes AS (
+                SELECT s_suppkey AS probe FROM supplier
+                UNION ALL SELECT s_suppkey + 100 FROM supplier)
+            SELECT probe AS member_key FROM probes
+            WHERE probe IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "blocked_bloom64_membership": """
+            WITH probes AS (
+                SELECT s_suppkey AS probe FROM supplier
+                UNION ALL SELECT s_suppkey + 100 FROM supplier)
+            SELECT probe AS member_key FROM probes
+            WHERE probe IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "fixed_blocked_bloom_membership": """
             WITH probes AS (
                 SELECT s_suppkey AS probe FROM supplier
                 UNION ALL SELECT s_suppkey + 100 FROM supplier)

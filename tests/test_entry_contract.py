@@ -141,7 +141,9 @@ def test_driver_gate_artifact_covers_all_queries(contract):
     if os.path.basename(latest) <= "CORRECTNESS_r03.json":
         # queries added AFTER r3 are legitimately absent from the r3
         # artifact; the six the r3 gate dropped are the pinned gap
-        added_post_r3 = {"cf_sharded_membership"}
+        added_post_r3 = {"cf_sharded_membership",
+                         "blocked_bloom64_membership",
+                         "fixed_blocked_bloom_membership"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:
