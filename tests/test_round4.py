@@ -554,3 +554,94 @@ def test_dup_spans_min_docs_general(spark):
     # grams fully inside "shared phrase here now ok" appear in 3 docs
     assert out3[1] >= 1 and out3[4] == 0
     assert all(out2[d] >= out3[d] for d in out2)
+
+
+# -- QuotientDysect standalone multimap (round 4, VERDICT #9) --------------
+
+def _dict_oracle(pairs):
+    d = {}
+    for k, v in pairs:
+        d.setdefault(k, []).append(v)
+    return {k: sorted(vs) for k, vs in d.items()}
+
+
+def test_multimap_kernel_matches_dict():
+    """Batch Find == a plain dict-of-lists over the same Inserts
+    (quotient-dysect.hpp:134-397 semantics; values canonical-sorted,
+    duplicate pairs kept)."""
+    from cuckoofilter_spark.kernels.dysect import QuotientMultimap
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 500, size=5000, dtype=np.uint64)
+    vals = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    # plant duplicate pairs
+    keys[100:120], vals[100:120] = keys[0:20], vals[0:20]
+    mm = QuotientMultimap.from_pairs(keys, vals)
+    oracle = _dict_oracle(zip(keys.tolist(), vals.tolist()))
+
+    probe = np.arange(0, 700, dtype=np.uint64)  # hits + misses
+    counts, flat = mm.get_many(probe)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    for i, k in enumerate(probe.tolist()):
+        got = flat[cum[i]:cum[i + 1]].tolist()
+        assert got == oracle.get(k, []), k
+    assert mm.num_items() == 5000
+    assert mm.contains_many(probe).tolist() == [
+        k in oracle for k in probe.tolist()]
+    assert mm.count_many(probe).tolist() == [
+        len(oracle.get(k, [])) for k in probe.tolist()]
+
+
+def test_multimap_blob_roundtrip_and_merge():
+    """to_bytes/from_bytes identity; merge is associative-commutative
+    and content-canonical (blob equality, the repo-wide convention)."""
+    from cuckoofilter_spark.kernels.dysect import QuotientMultimap
+
+    rng = np.random.default_rng(11)
+    parts = []
+    for i in range(3):
+        k = rng.integers(0, 200, size=800, dtype=np.uint64)
+        v = rng.integers(0, 2**64, size=800, dtype=np.uint64)
+        parts.append(QuotientMultimap.from_pairs(k, v))
+    a, b, c = parts
+    rt = QuotientMultimap.from_bytes(a.to_bytes())
+    assert rt.to_bytes() == a.to_bytes()
+
+    m1 = QuotientMultimap.merge(QuotientMultimap.merge(a, b), c)
+    m2 = QuotientMultimap.merge(a, QuotientMultimap.merge(c, b))
+    assert m1.to_bytes() == m2.to_bytes()
+    assert m1.num_items() == 2400
+
+    e = QuotientMultimap.empty()
+    assert QuotientMultimap.merge(a, e).to_bytes() == a.to_bytes()
+    assert e.num_items() == 0 and e.count_many(
+        np.array([1], dtype=np.uint64)).tolist() == [0]
+
+
+def test_multimap_spark_build_matches_join(spark):
+    """Distributed build + broadcast Find == the exact inner join,
+    including duplicate pairs and >2^53 / negative int64 values."""
+    from cuckoofilter_spark.sketch.multimap import (
+        multimap_build, multimap_count_col, multimap_values_col)
+
+    pairs = spark.range(0, 30000).select(
+        (F.col("id") % 997).alias("k"),
+        # values spread across the full int64 range incl. negatives
+        (F.xxhash64(F.col("id") % 6000)).alias("v")).repartition(8)
+    mm = multimap_build(pairs, "k", "v", num_shards=8)
+    assert mm.num_items() == 30000
+
+    probe = spark.range(0, 1500).select(F.col("id").alias("pk"))
+    got = (probe.select("pk", F.explode(
+        multimap_values_col(spark, mm, "pk")).alias("v"))
+           .collect())
+    exact = (probe.join(pairs, probe.pk == pairs.k)
+             .select("pk", "v").collect())
+    assert sorted((r["pk"], r["v"]) for r in got) == sorted(
+        (r["pk"], r["v"]) for r in exact)
+
+    cnt = {r["pk"]: r["c"] for r in probe.withColumn(
+        "c", multimap_count_col(spark, mm, "pk")).collect()}
+    from collections import Counter
+    exact_cnt = Counter(r["pk"] for r in exact)
+    assert all(cnt[k] == exact_cnt.get(k, 0) for k in cnt)
