@@ -107,6 +107,28 @@ def q_cf_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("p_partkey").alias("member_key")))
 
 
+def q_multimap_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuotientDysect as a standalone batch multimap
+    (quotient-dysect.hpp:134-227 Insert, :289-397 Find iterator): bulk
+    Insert of every (l_partkey -> l_suppkey) pair — duplicates kept —
+    then batch Find over part keys + guaranteed misses. Exact
+    structure: the result is the inner join, value multiset included.
+    Sharded CSR build ships packed pair blobs (never pair rows) and the
+    probe explodes each key's Find result."""
+    from cuckoofilter_spark.sketch.multimap import (multimap_build,
+                                                    multimap_values_col)
+
+    li = _t(spark, sf_dir, "lineitem")
+    mm = multimap_build(li, "l_partkey", "l_suppkey", num_shards=16)
+    part = _t(spark, sf_dir, "part")
+    probes = (part.select(F.col("p_partkey").alias("mm_key"))
+              .unionAll(part.select((F.col("p_partkey") + 10_000_000)
+                                    .alias("mm_key"))))
+    return probes.select(
+        "mm_key",
+        F.explode(multimap_values_col(spark, mm, "mm_key")).alias("mm_val"))
+
+
 def q_cf_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete semantics (cuckoofilter.h:206-238): build over
     l_partkey<1000, delete the <500 subset, probe part — survivors are
@@ -1234,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,  # now the salted two-level aggregate
         "blocked_bloom64_membership": q_blocked_bloom64_membership,
         "fixed_blocked_bloom_membership": q_fixed_blocked_bloom_membership,
+        "multimap_find": q_multimap_find,
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -1377,6 +1400,13 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT s_suppkey + 100 FROM supplier)
             SELECT probe AS member_key FROM probes
             WHERE probe IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "multimap_find": """
+            WITH probes AS (
+                SELECT p_partkey AS mm_key FROM part
+                UNION ALL SELECT p_partkey + 10000000 FROM part)
+            SELECT probes.mm_key AS mm_key, l_suppkey AS mm_val
+            FROM probes JOIN lineitem ON probes.mm_key = l_partkey
         """,
         "grow_bloom_membership": """
             WITH probes AS (

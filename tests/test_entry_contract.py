@@ -143,7 +143,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
         # artifact; the six the r3 gate dropped are the pinned gap
         added_post_r3 = {"cf_sharded_membership",
                          "blocked_bloom64_membership",
-                         "fixed_blocked_bloom_membership"}
+                         "fixed_blocked_bloom_membership",
+                         "multimap_find"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:
