@@ -103,7 +103,16 @@ def srp_signature_col(vec_col, dim: int, nbits: int = 16, seed: int = 0x5EED):
     return sig, planes
 
 
-def srp_band_signatures(vec_col, dim: int, nbits: int, bands: int,
+def _srp_planes(dim: int, rows: int, seed: int) -> np.ndarray:
+    """(rows, dim) deterministic pseudo-random hyperplanes — a pure
+    function of (seed, dim, rows), so workers can materialize them
+    lazily from the first batch's vector length and still agree
+    bit-for-bit with a driver-side construction."""
+    h = splitmix64(np.arange(rows * dim, dtype=np.uint64) + U64(seed))
+    return ((h.astype(np.float64) / 2.0**64) * 2.0 - 1.0).reshape(rows, dim)
+
+
+def srp_band_signatures(vec_col, dim: int | None, nbits: int, bands: int,
                         seed: int = 0x5EED):
     """Per-band SRP signatures as an ``array<long>`` pandas-UDF factory.
 
@@ -113,19 +122,25 @@ def srp_band_signatures(vec_col, dim: int, nbits: int, bands: int,
     construction needs wide bands (low collision rate) AND many bands
     (recall), which together exceed 64 bits. One numpy matmul + bit-pack
     per Arrow batch.
+
+    ``dim=None`` defers plane construction to the first Arrow batch on
+    each worker (planes are a pure function of seed/dim/shape, see
+    ``_srp_planes``) — no driver-side ``first()`` job just to read the
+    vector length.
     """
-    h = splitmix64(np.arange(bands * nbits * dim, dtype=np.uint64) + U64(seed))
-    planes = ((h.astype(np.float64) / 2.0**64) * 2.0 - 1.0).reshape(
-        bands * nbits, dim)
+    planes0 = None if dim is None else _srp_planes(dim, bands * nbits, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = planes0
         bitpos = np.arange(nbits, dtype=np.uint64)
         for s in it:
             if not len(s):
                 yield pd.Series([], dtype=object)
                 continue
             mat = np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+            if planes is None:
+                planes = _srp_planes(mat.shape[1], bands * nbits, seed)
             proj = (mat @ planes.T > 0).reshape(len(s), bands, nbits)
             vals = ((proj.astype(np.uint64) << bitpos[None, None, :])
                     .sum(axis=2).astype(np.int64))
@@ -151,14 +166,15 @@ def lsh_topk(
     query vs brute force; recall measured in tests against
     cosine_topk_bruteforce.
     """
-    if dim is None:
-        dim = len(emb.select("embedding").first()[0])
-    sig_udf, planes = srp_signature_col("embedding", dim, nbits, seed)
-    emb_s = emb.withColumn("sig", sig_udf("embedding"))
-
     qrows = queries.collect()
     q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
     q_mat = np.vstack([np.asarray(r["q_vec"], dtype=np.float64) for r in qrows])
+    if dim is None:
+        # queries are collected anyway (broadcast side) — read the
+        # vector length there instead of running a first() job on emb
+        dim = q_mat.shape[1]
+    sig_udf, planes = srp_signature_col("embedding", dim, nbits, seed)
+    emb_s = emb.withColumn("sig", sig_udf("embedding"))
     q_sig = ((q_mat @ planes.T > 0).astype(np.uint64)
              << np.arange(nbits, dtype=np.uint64)[None, :]).sum(axis=1).astype(np.int64)
 
@@ -317,8 +333,6 @@ def neardup_band_rows(
     """(vec_id, band, sig) rows for the band-OR LSH blocking — the
     exploded per-band signature table ``embedding_neardup_pairs`` joins
     on. Exposed so tests can measure candidate volume directly."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
     sig_udf = srp_band_signatures(vec_col, dim, nbits, bands, seed)
     return (emb.select(F.col(id_col).alias("vec_id"),
                        sig_udf(vec_col).alias("bs"))
