@@ -29,6 +29,7 @@ from .kernels.cms import CountMinSketch
 from .kernels.cqf import CountingQuotientFilter
 from .kernels.crate import CrateFilter
 from .kernels.cuckoo import CuckooFilter, CuckooFullError
+from .kernels.dysect import QuotientMultimap
 from .kernels.gcs import GcsFilter
 from .kernels.hll import HyperLogLog
 from .kernels.shingle import ShingleFilter
@@ -58,6 +59,7 @@ __all__ = [
     "TDigest",
     "XorFilter",
     "XorFilterPlus",
+    "QuotientMultimap",
     "Rank9",
     "SimpleTabulation",
 ]
