@@ -645,3 +645,28 @@ def test_multimap_spark_build_matches_join(spark):
     from collections import Counter
     exact_cnt = Counter(r["pk"] for r in exact)
     assert all(cnt[k] == exact_cnt.get(k, 0) for k in cnt)
+
+
+def test_gcs_windowed_probe_matches_bitloop():
+    """The single-gather windowed Rice decode answers bit-identically
+    to the per-bit reference loop, across fpp widths and including the
+    fallback envelope (log2bucket=6 exceeds the 57-bit single-window
+    reach at k=16, so contains_many must route to the bit loop)."""
+    from cuckoofilter_spark.kernels.gcs import GcsFilter
+
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 2**64, size=60000, dtype=np.uint64))
+    probe = np.concatenate([keys[:20000],
+                            rng.integers(0, 2**64, size=20000,
+                                         dtype=np.uint64)])
+    for log2fpp, log2bucket in ((8, 4), (10, 4), (14, 5), (16, 6)):
+        f = GcsFilter.build(keys, log2fpp=log2fpp, log2bucket=log2bucket,
+                            seed=0x5EED)
+        a = f._contains_windowed(probe) if (
+            (1 << log2bucket) + 1 + log2fpp <= 57 and log2fpp <= 16) else None
+        b = f._contains_bitloop(probe)
+        got = f.contains_many(probe)
+        assert (got == b).all(), (log2fpp, log2bucket)
+        if a is not None:
+            assert (a == b).all(), (log2fpp, log2bucket)
+        assert got[:20000].all()  # no false negatives
