@@ -173,6 +173,51 @@ def multimap_values_col(spark: SparkSession, mm: ShardedMultimap,
     return probe(F.col(col).cast("long") if isinstance(col, str) else col)
 
 
+def multimap_lookup_sharded(df: DataFrame, col: str, mm: ShardedMultimap,
+                            out_col: str = "mm_val") -> DataFrame:
+    """Shard-partitioned batch Find — NO whole-multimap broadcast.
+
+    The multimap is exact storage (~128 bits/pair), so a broadcast
+    probe hits the same per-executor memory ceiling the sharded filter
+    probe removes: at 10^10 pairs the structure is ~160 GB. This path
+    is the scale form: probe rows hash-exchange on the JVM-computed
+    shard id (``shard_col``, bit-exact twin of the numpy route), each
+    task deserializes exactly ONE shard's CSR blob and emits the
+    exploded (input row, value) pairs — the inner-join shape (keys
+    with no stored values emit nothing), same multiset as
+    ``F.explode(multimap_values_col(...))``.
+    """
+    from .membership import shard_col
+
+    spark = df.sparkSession
+    if "_shard" in df.columns:
+        raise ValueError("df already has a _shard column")
+    blob_df = spark.createDataFrame(
+        [(s, bytearray(b)) for s, b in enumerate(mm.blobs)],
+        "shard int, blob binary")
+    keyed = df.withColumn("_shard", shard_col(col, mm.num_shards))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+    colname = col
+
+    def lookup_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.drop(columns=["_shard"])
+        if not len(left) or not len(right):
+            out = left.iloc[0:0].copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        m = QuotientMultimap.from_bytes(bytes(right["blob"].iloc[0]))
+        counts, flat = m.get_many(keys_to_u64(left[colname]))
+        out = left.iloc[np.repeat(np.arange(len(left)), counts)]
+        out = out.reset_index(drop=True)
+        out[out_col] = pd.Series(np.ascontiguousarray(flat).view(np.int64))
+        return out
+
+    return (keyed.groupBy("_shard")
+            .cogroup(blob_df.groupBy("shard"))
+            .applyInPandas(lookup_group, out_schema))
+
+
 def multimap_count_col(spark: SparkSession, mm: ShardedMultimap,
                        col) -> Column:
     """long Column: number of values stored under ``col`` (0 if absent)."""

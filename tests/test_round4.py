@@ -670,3 +670,36 @@ def test_gcs_windowed_probe_matches_bitloop():
         if a is not None:
             assert (a == b).all(), (log2fpp, log2bucket)
         assert got[:20000].all()  # no false negatives
+
+
+def test_multimap_sharded_lookup_matches_broadcast(spark):
+    """The shard-partitioned Find (cogroup delivery, no broadcast)
+    returns the same multiset as the broadcast explode — and never
+    calls sc.broadcast."""
+    from cuckoofilter_spark.sketch.multimap import (
+        multimap_build, multimap_lookup_sharded, multimap_values_col)
+
+    pairs = spark.range(0, 20000).select(
+        (F.col("id") % 499).alias("k"),
+        F.xxhash64("id").alias("v")).repartition(6)
+    mm = multimap_build(pairs, "k", "v", num_shards=8)
+    probe = spark.range(0, 800).select(F.col("id").alias("pk"))
+
+    bcast = sorted((r["pk"], r["v"]) for r in probe.select(
+        "pk", F.explode(multimap_values_col(spark, mm, "pk")).alias("v"))
+        .collect())
+
+    sc = spark.sparkContext
+    real = sc.broadcast
+
+    def boom(*a, **kw):
+        raise AssertionError("multimap_lookup_sharded must not broadcast")
+
+    sc.broadcast = boom
+    try:
+        sharded = sorted((r["pk"], r["mm_val"]) for r in
+                         multimap_lookup_sharded(probe, "pk", mm).collect())
+    finally:
+        sc.broadcast = real
+    assert sharded == bcast
+    assert len(sharded) == 20000  # every pair's key is < 499 < 800
