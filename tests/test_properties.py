@@ -143,3 +143,41 @@ def test_mg_bracket_and_exact_merge(stream, k, nparts):
     p2 = est2 > 0
     assert (true[p2] <= est2[p2] + m.decremented).all()
     assert (true[~p2] <= m.decremented).all()
+
+
+pair_lists = st.lists(
+    st.tuples(st.integers(0, 300), st.integers(0, (1 << 64) - 1)),
+    min_size=0, max_size=300)
+
+
+@given(pair_lists, st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_multimap_find_matches_dict_and_merge_is_canonical(pairs, cuts):
+    """QuotientMultimap property suite: batch Find == dict-of-lists
+    for ANY pair multiset (duplicates, 2^63+ values, empty), and
+    building from arbitrary splits merges to one canonical blob
+    (partition-order independence — the Spark build contract)."""
+    from cuckoofilter_spark.kernels.dysect import QuotientMultimap
+
+    keys = np.array([k for k, _ in pairs], dtype=np.uint64)
+    vals = np.array([v for _, v in pairs], dtype=np.uint64)
+    whole = QuotientMultimap.from_pairs(keys, vals)
+
+    oracle: dict = {}
+    for k, v in pairs:
+        oracle.setdefault(k, []).append(v)
+    probe = np.arange(0, 310, dtype=np.uint64)
+    counts, flat = whole.get_many(probe)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    for i in range(probe.size):
+        assert sorted(flat[cum[i]:cum[i + 1]].tolist()) == sorted(
+            oracle.get(i, []))
+
+    # split at arbitrary points, merge in a different order
+    bounds = np.linspace(0, keys.size, cuts + 1).astype(int)
+    parts = [QuotientMultimap.from_pairs(keys[a:b], vals[a:b])
+             for a, b in zip(bounds[:-1], bounds[1:])]
+    merged = parts[-1]
+    for p in parts[:-1]:
+        merged = QuotientMultimap.merge(p, merged)
+    assert merged.to_bytes() == whole.to_bytes()
