@@ -149,8 +149,11 @@ class CuckooFilter:
         elif bits not in (4, 8, 12, 16, 32):
             # reject at construction, not at to_bytes: single-table packing
             # has layouts only for the singletable.h widths
+            from .packed import SEMISORT_WIDTHS
             raise ValueError(
-                f"bits={bits} requires mode='semisort' (PackedTable)")
+                f"bits={bits}: single mode supports bits in (4, 8, 12, "
+                f"16, 32); semisort (PackedTable) supports "
+                f"{SEMISORT_WIDTHS}")
         self.mode = mode
         self.num_buckets = int(num_buckets)
         self.bits = int(bits)

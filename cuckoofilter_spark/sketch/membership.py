@@ -33,7 +33,6 @@ bulk (the reference's Contain is exactly this primitive, SURVEY §2.6).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -61,7 +60,12 @@ def shard_col(col, num_shards: int) -> Column:
     masked to the shard count — whole-stage codegen, no Python.
     Bit-exactness is pinned by tests/test_round4.py."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.xxhash64(c.cast("long"))
+    # NULL routes like key 0: keys_to_u64 normalizes NULL to 0 when a
+    # nullable-int batch reaches it (and refuses float64 batches), so
+    # every delivery must agree on the NULL shard — without this a
+    # NULL row would hash-exchange to xxhash64(seed-only)'s shard and
+    # be probed against the wrong blob
+    return (F.xxhash64(F.coalesce(c.cast("long"), F.lit(0).cast("long")))
             .bitwiseAND(F.lit(num_shards - 1)).cast("int"))
 
 
@@ -269,6 +273,7 @@ class ShardedCuckooFilter:
             out[m] = f.delete_many(keys[m])
             self.blobs[int(s)] = f.to_bytes()
         self._flat = None  # probe structure is stale after a delete
+        self._auto_store = None  # so is any auto-written blob store
         return out
 
     def num_items(self) -> int:
@@ -480,12 +485,17 @@ class ShardedXorFilter:
         return self._filters
 
     def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        # one argsort bucketing instead of a full-array mask per shard
+        # (the contains_store/get_many pattern)
         filters = self._load()
         sh = shard_of(keys, self.num_shards)
         out = np.zeros(keys.size, dtype=bool)
-        for s in np.unique(sh):
-            m = sh == s
-            out[m] = filters[int(s)].contains_many(keys[m])
+        order = np.argsort(sh, kind="stable")
+        bounds = np.searchsorted(sh[order], np.arange(self.num_shards + 1))
+        for s in range(self.num_shards):
+            idx = order[bounds[s]:bounds[s + 1]]
+            if idx.size:
+                out[idx] = filters[s].contains_many(keys[idx])
         return out
 
     def num_items(self) -> int:
@@ -650,14 +660,21 @@ def contains_sharded(df: DataFrame, col: str, filt,
         st = getattr(filt, "_auto_store", None)
         if store is not None:
             st = ShardBlobStore.write(filt, store)
-        elif st is None or st.store_id != ShardBlobStore._content_id(
-                _shard_probe_kind(filt), int(getattr(filt, "seed", 0)),
-                [hashlib.sha256(b).hexdigest() for b in filt.blobs]):
+        elif st is None:
+            # mutation paths invalidate _auto_store (delete_u64), so a
+            # cached store is trusted — re-hashing every blob per probe
+            # call would cost seconds on the multi-GB filters this
+            # path exists for
             st = ShardBlobStore.write(filt)  # fresh temp-dir store
             filt._auto_store = st
         return contains_store(df, col, st, out_col=out_col,
                               max_cached_shards=max_cached_shards,
                               colocate=colocate)
+    if max_cached_shards is not None or colocate:
+        raise ValueError(
+            "max_cached_shards/colocate bound per-worker memory only on "
+            "the store delivery; pass store=<shared-FS path> (the "
+            "cogroup fallback ignores both knobs)")
     return _contains_sharded_cogroup(df, col, filt, out_col)
 
 
@@ -863,6 +880,7 @@ class ShardedShingleFilter:
             out[m] = f.delete_many(keys[m])
             self.blobs[int(s)] = f.to_bytes()
         self._flat = None
+        self._auto_store = None
         return out
 
     def num_items(self) -> int:

@@ -198,11 +198,12 @@ def contains_store(df: DataFrame, col: str, store: ShardBlobStore | str,
 
     @F.pandas_udf(T.BooleanType())
     def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from ..kernels.hashing import U64, simple_mix_split, xxhash64_long
+        from ..kernels.hashing import simple_mix_split
+        from .membership import shard_of
 
         for s_ser in it:
             ks = keys_to_u64(s_ser)
-            sh = (xxhash64_long(ks) & U64(num_shards - 1)).astype(np.int64)
+            sh = shard_of(ks, num_shards)
             pk = simple_mix_split(ks, seed) if premix else ks
             hit = np.zeros(ks.size, dtype=bool)
             order = np.argsort(sh, kind="stable")

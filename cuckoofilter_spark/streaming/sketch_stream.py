@@ -307,8 +307,13 @@ def migrate_legacy_pickle_state(state_dir: str) -> str:
             f"cannot infer sketch kind from {state_dir}/state.json; "
             "refusing to migrate blind")
     st = _SketchStateBase(state_dir, kind, meta.get("col", ""))
-    os.rename(pkl, pkl + ".migrated")  # unblock _legacy_check first
+    # commit FIRST, rename after: if the commit raises (disk full,
+    # unconvertible group key) the legacy file must survive so the
+    # _legacy_check guard still fires instead of silently reporting a
+    # fresh directory (= the exact state loss the guard exists for);
+    # _commit never reads the legacy file, so order is free
     st._commit(entries, int(d["batch_id"]), migrated_from="state.pkl")
+    os.rename(pkl, pkl + ".migrated")
     return st._state_path()
 
 

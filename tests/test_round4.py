@@ -703,3 +703,44 @@ def test_multimap_sharded_lookup_matches_broadcast(spark):
         sc.broadcast = real
     assert sharded == bcast
     assert len(sharded) == 20000  # every pair's key is < 499 < 800
+
+
+def test_sharded_probe_null_keys_consistent(spark):
+    """NULL probe keys get the SAME treatment on every delivery: a
+    TypeError naming the keyify hint (Arrow hands a NULL-bearing long
+    column to pandas as float64, which keys_to_u64 refuses on
+    broadcast, store, and cogroup paths alike — no path may silently
+    answer from a mis-routed shard). Coalescing NULLs away first works
+    on all paths and agrees."""
+    from cuckoofilter_spark.sketch.api import (build_filter, contains_col,
+                                               contains_sharded)
+    from cuckoofilter_spark.sketch.membership import \
+        _contains_sharded_cogroup
+
+    keys = spark.range(0, 5000).select(F.col("id").alias("k"))  # incl. 0
+    filt = build_filter(keys, "k", kind="cuckoo")
+    probe = spark.createDataFrame(
+        [(None,), (0,), (1,), (999999,)], "k long")
+    import pyspark.errors
+
+    for path in (
+        lambda: probe.withColumn(
+            "m", contains_col(spark, filt, "k")).collect(),
+        lambda: contains_sharded(probe, "k", filt, out_col="m").collect(),
+        lambda: _contains_sharded_cogroup(
+            probe, "k", filt, out_col="m").collect(),
+    ):
+        with pytest.raises(Exception, match="xxhash64"):
+            path()
+
+    # coalesced probes answer identically everywhere (NULL -> 0, the
+    # same normalization keys_to_u64 applies to nullable-int batches)
+    cp = probe.select(F.coalesce("k", F.lit(0)).alias("k"))
+    b = sorted((r["k"], r["m"]) for r in cp.withColumn(
+        "m", contains_col(spark, filt, "k")).collect())
+    s = sorted((r["k"], r["m"]) for r in contains_sharded(
+        cp, "k", filt, out_col="m").collect())
+    c = sorted((r["k"], r["m"]) for r in _contains_sharded_cogroup(
+        cp, "k", filt, out_col="m").collect())
+    assert b == s == c
+    assert b[0] == (0, True)
