@@ -1440,10 +1440,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT p_partkey + 10000000 AS probe FROM part),
             mix AS (
                 SELECT probe, TRUE AS expected_hit FROM pos
-                WHERE (probe * 1000003) % 97 < 48
+                WHERE ((probe * 1000003) % 97 + 97) % 97 < 48
                 UNION ALL
                 SELECT probe, FALSE FROM neg
-                WHERE (probe * 1000003) % 97 < 48)
+                WHERE ((probe * 1000003) % 97 + 97) % 97 < 48)
             SELECT expected_hit, expected_hit AS hit, count(*) AS cnt
             FROM mix GROUP BY 1, 2
         """,
@@ -1523,9 +1523,9 @@ def oracle_sql() -> dict[str, str]:
             WITH pos AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
             neg AS (SELECT DISTINCT p_partkey + 10000000 AS k FROM part)
             SELECT expected_hit, count(*) AS cnt FROM (
-                SELECT k, TRUE AS expected_hit FROM pos WHERE (k * 1000003) % 97 < 24
+                SELECT k, TRUE AS expected_hit FROM pos WHERE ((k * 1000003) % 97 + 97) % 97 < 24
                 UNION ALL
-                SELECT k, FALSE FROM neg WHERE (k * 1000003) % 97 < 72
+                SELECT k, FALSE FROM neg WHERE ((k * 1000003) % 97 + 97) % 97 < 72
             ) GROUP BY 1
         """,
         "windowed_events": """

@@ -92,11 +92,19 @@ def deterministic_sample(df: DataFrame, col: str, pct: int, modulus: int = 97,
     Replaces the reference's reservoir sampling (benchmarks/random.h:73-93)
     with a stateless hash threshold — the distributed-friendly version
     (no sequential reservoir state), reproducible across engines.
-    ``mult``/``modulus`` are small enough that int64 never overflows for
-    key ranges up to ~9e12.
+    Evaluated as ``pmod(pmod(key, m) * (mult % m), m)`` — identical to
+    ``(key * mult) mod m`` by modular arithmetic, but (a) ``pmod`` (not
+    ``%``) keeps the remainder in [0, m) for NEGATIVE keys, where a
+    signed remainder would admit ~every negative-keyed row regardless
+    of ``pct`` (xxhash64-keyified columns are ~half negative), and
+    (b) the intermediate stays < m^2, so full-range int64 keys cannot
+    overflow the ANSI-mode multiply. SQL oracles over possibly-negative
+    keys must spell it ``((k % m) * (mult % m) % m + m) % m``.
     """
     thresh = pct * modulus // 100
-    return df.where((F.col(col) * F.lit(mult)) % F.lit(modulus) < F.lit(thresh))
+    return df.where(
+        F.pmod(F.pmod(F.col(col), F.lit(modulus)) * F.lit(mult % modulus),
+               F.lit(modulus)) < F.lit(thresh))
 
 
 def mix_in(positive: DataFrame, negative: DataFrame, col: str, found_pct: int) -> DataFrame:

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..kernels.hashing import U64, splitmix64
-from .text import rolling_fingerprint, words
+from .text import words
 
 _MERSENNE = (1 << 61) - 1
 
@@ -229,8 +229,23 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                 while (hi_doc < n
                        and bounds[hi_doc + 1] - bounds[lo_doc] <= (1 << 15)):
                     hi_doc += 1
-                hi_doc = max(hi_doc, lo_doc + 1)  # one huge doc: take it whole
+                hi_doc = max(hi_doc, lo_doc + 1)
                 seg = x[bounds[lo_doc]:bounds[hi_doc]]
+                if hi_doc == lo_doc + 1 and seg.size > (1 << 15):
+                    # one huge doc: sub-chunk ITS shingles too — taking
+                    # it whole would allocate a k x shingles matrix with
+                    # no byte budget (a 2M-shingle outlier = 1 GB per
+                    # worker, the CLAUDE.md pad-matrix trap); minima
+                    # combine associatively across sub-chunks
+                    m = np.full(k, _MERSENNE, dtype=np.uint64)
+                    for lo in range(0, seg.size, 1 << 15):
+                        sub = seg[lo:lo + (1 << 15)]
+                        perm = (a_params[:, None] * sub[None, :]
+                                + b_params[:, None]) % U64(_MERSENNE)
+                        np.minimum(m, perm.min(axis=1), out=m)
+                    out[lo_doc] = m.astype(np.int64)
+                    lo_doc = hi_doc
+                    continue
                 perm = (a_params[:, None] * seg[None, :]
                         + b_params[:, None]) % U64(_MERSENNE)
                 starts = (bounds[lo_doc:hi_doc] - bounds[lo_doc])
@@ -263,6 +278,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     recall depends on the banding. Output matches jaccard_pairs_exact
     up to LSH recall.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: the "
+            "trailing num_hashes % bands signature rows would be paid "
+            "for but silently dropped from every band")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, window, seed)
     sigs = _scoped_cache("minhash_lsh",
@@ -322,9 +342,16 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
-    labels = ids.select(F.col(id_col).alias("v"),
-                        F.col(id_col).alias("label")).distinct() \
-        .localCheckpoint(eager=True)
+    # seed labels from ids UNION pair endpoints: an endpoint missing
+    # from ids would otherwise first appear inside a round's `new`
+    # frame, where the `changed` inner join vs the OLD labels cannot
+    # see it — the loop could declare a fixpoint one round early with
+    # wrong labels (and emit rows for vertices the caller never listed)
+    labels = (ids.select(F.col(id_col).alias("v"))
+              .union(edges.select("src"))
+              .distinct()
+              .select("v", F.col("v").alias("label"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iters):
         via = (edges.join(labels, edges["src"] == labels["v"])
                .select(F.col("dst").alias("v"), "label"))
@@ -358,7 +385,10 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     salt = f"#sim{seed}"
     hexes = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(words(text_col),
+        # NULL text = empty doc (signature 0), same convention as every
+        # other text operator — an un-coalesced NULL propagates through
+        # transform() and crashes the pandas UDF on a None cell
+        F.transform(words(F.coalesce(F.col(text_col), F.lit(""))),
                     lambda w: F.md5(F.concat(w, F.lit(salt)))).alias("hx"))
     tokens = hexes.select(
         "doc", F.transform("hx", md5hex_to_le64).alias("wh"))

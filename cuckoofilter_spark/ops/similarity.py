@@ -179,13 +179,16 @@ def lsh_topk(
              << np.arange(nbits, dtype=np.uint64)[None, :]).sum(axis=1).astype(np.int64)
 
     # enumerate all signatures within hamming radius (driver-side, small)
+    from itertools import combinations
+
     def ball(s: int) -> list[int]:
         out = [s]
-        if max_hamming >= 1:
-            out += [s ^ (1 << i) for i in range(nbits)]
-        if max_hamming >= 2:
-            out += [s ^ (1 << i) ^ (1 << j)
-                    for i in range(nbits) for j in range(i + 1, nbits)]
+        for h in range(1, max_hamming + 1):
+            for bits in combinations(range(nbits), h):
+                flip = 0
+                for i in bits:
+                    flip |= 1 << i
+                out.append(s ^ flip)
         return out
 
     probe = spark.createDataFrame(

@@ -92,25 +92,15 @@ def doc_fingerprint(col) -> Column:
     return F.md5(F.concat_ws(" ", words(c)))
 
 
-def rolling_fingerprint(col, window: int = 3) -> Column:
+def shingles_from_words(w_col, window: int = 3) -> Column:
     """array<string>: md5 of each ``window``-word shingle — the rolling
     content fingerprint used for near-dup shingling. Built-ins only.
 
-    IMPORTANT: ``col`` should be an already-materialized array column
-    (see ``shingles_from_words``) when used per-element — expressions
-    inside higher-order lambdas are re-evaluated per element, so passing
-    ``words(text)`` here would re-split the text once per shingle
-    position (O(n^2) per doc, measured 9s -> 1s on 5000 docs)."""
-    w = words(col)
-    n = F.size(w)
-    return F.when(n >= window, F.transform(
-        F.sequence(F.lit(0), n - window),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, window))),
-    )).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
-
-
-def shingles_from_words(w_col, window: int = 3) -> Column:
-    """Shingle fingerprints over a materialized array<string> column."""
+    IMPORTANT: ``w_col`` must be an already-MATERIALIZED array<string>
+    column — expressions inside higher-order lambdas are re-evaluated
+    per element, so passing ``words(text)`` directly would re-split the
+    text once per shingle position (O(n^2) per doc, measured 9s -> 1s
+    on 5000 docs)."""
     w = F.col(w_col) if isinstance(w_col, str) else w_col
     n = F.size(w)
     return F.when(n >= window, F.transform(

@@ -38,6 +38,24 @@ from pyspark.sql import DataFrame, functions as F
 BLOB_SCHEMA = "pid long, blob binary"
 
 
+def _null_safe_key(df: DataFrame, col: str):
+    """(column, null_filter) for a sketch key projection.
+
+    NULL handling must happen JVM-side, BEFORE Arrow: a scalar bigint
+    column with NULLs reaches pandas as float64 (keys_to_u64 then
+    raises a misleading type error), and a NULL ELEMENT inside an
+    array<int> cell reaches pandas as NaN in a float64 array, which an
+    unsafe int64 cast turns into INT64_MIN — a garbage key silently
+    inserted. So: drop NULL rows, strip NULL elements.
+    """
+    from pyspark.sql import types as T
+
+    c = F.col(col)
+    if isinstance(df.schema[col].dataType, T.ArrayType):
+        return F.filter(c, lambda x: x.isNotNull()), c.isNotNull()
+    return c, c.isNotNull()
+
+
 def keys_to_u64(s: pd.Series) -> np.ndarray:
     """Normalize an Arrow-delivered key Series to uint64 (bit-view of int64).
 
@@ -120,8 +138,13 @@ def aggregate_sketch(
 
     ``update(kernel, series)`` folds one Arrow batch of ``col`` into the
     kernel; ``merge`` must be the kernel's associative merge.
+
+    NULL keys contribute nothing (rows dropped, array elements
+    stripped — JVM-side, see ``_null_safe_key``), matching
+    ``approx_distinct_capacity``'s sizing convention.
     """
-    proj = df.select(F.col(col).alias("k"))
+    kc, nn = _null_safe_key(df, col)
+    proj = df.where(nn).select(kc.alias("k"))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kern = make()
@@ -131,9 +154,15 @@ def aggregate_sketch(
         yield pd.DataFrame({"pid": [pid], "blob": [kern.to_bytes()]})
 
     blob_df = proj.mapInPandas(partial, schema=BLOB_SCHEMA)
-    # re-key pids so the tree groups are balanced
+    # re-key pids DENSE (0..P-1) so every tree level's pmod buckets are
+    # balanced: one blob row per input partition, still sitting in that
+    # partition, so spark_partition_id IS a dense row number.
+    # monotonically_increasing_id is NOT usable here — it is
+    # partitionId << 33, and pmod(p << 33, groups) is 0 for every p
+    # whenever groups is even, which would collapse the whole tree into
+    # ONE merge task (the degenerate shape this stage exists to avoid).
     blob_df = blob_df.withColumn(
-        "pid", F.monotonically_increasing_id())
+        "pid", F.spark_partition_id().cast("long"))
 
     num_partials = df.rdd.getNumPartitions()
 
@@ -141,7 +170,10 @@ def aggregate_sketch(
         kern = from_bytes(bytes(pdf["blob"].iloc[0]))
         for b in pdf["blob"].iloc[1:]:
             kern = merge(kern, from_bytes(bytes(b)))
-        return pd.DataFrame({"pid": [int(pdf["pid"].iloc[0])], "blob": [kern.to_bytes()]})
+        # emit the GROUP id as the new pid: group ids are dense
+        # 0..groups-1, so the next level's pmod stays balanced
+        return pd.DataFrame({"pid": [int(pdf["g"].iloc[0])],
+                             "blob": [kern.to_bytes()]})
 
     level = num_partials
     while level > fanout:
@@ -149,7 +181,7 @@ def aggregate_sketch(
         blob_df = (
             blob_df.withColumn("g", F.pmod(F.col("pid"), F.lit(groups)))
             .groupBy("g")
-            .applyInPandas(lambda pdf: merge_group(pdf.drop(columns=["g"])), BLOB_SCHEMA)
+            .applyInPandas(merge_group, BLOB_SCHEMA)
         )
         level = groups
 
@@ -180,7 +212,8 @@ def grouped_aggregate_sketch(
     per group seen in that task and emits ``(group, blob)`` partials —
     shuffle volume is at most ``partitions x groups`` blobs, never row
     data; stage 2 is one blob-only groupBy merging each group's
-    partials. NULL group values form their own group.
+    partials. NULL group values form their own group; NULL KEYS
+    contribute nothing (a group whose keys are all NULL is absent).
 
     Intended for moderate group cardinality (sources, languages, date
     shards — the corpus-accounting axis). For per-key state at high
@@ -207,8 +240,9 @@ def grouped_aggregate_sketch(
             "grouped sketches support string or integer groups")
     gtype = dt.simpleString()
     schema = "g string, blob binary"
-    proj = df.select(F.col(group_col).cast("string").alias("g"),
-                     F.col(col).alias("k"))
+    kc, nn = _null_safe_key(df, col)
+    proj = df.where(nn).select(F.col(group_col).cast("string").alias("g"),
+                               kc.alias("k"))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kerns: dict = {}

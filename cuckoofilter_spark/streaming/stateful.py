@@ -87,9 +87,16 @@ def streaming_distinct_by_key(
             n += len(pdf)
             if len(pdf) == 0:
                 continue
+            if col.isna().any():
+                # explicit, actionable failure (matches streaming_dedup)
+                # instead of an obscure NaN-cast numpy error mid-query
+                raise ValueError(
+                    f"streaming_distinct_by_key: NULL in {token_col!r}; "
+                    "filter NULLs or coalesce upstream")
+            # (NULL rows raised above, so iloc[0] is a real cell)
             if isinstance(col.iloc[0], (list, np.ndarray)):
-                keys = np.concatenate(
-                    [np.asarray(v, dtype=np.int64) for v in col]).view(np.uint64)
+                arrs = [np.asarray(v, dtype=np.int64) for v in col]
+                keys = np.concatenate(arrs).view(np.uint64)
             else:
                 keys = col.to_numpy(dtype=np.int64).view(np.uint64)
             sk.add_many(keys)
