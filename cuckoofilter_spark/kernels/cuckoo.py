@@ -239,6 +239,20 @@ class CuckooFilter:
         return total
 
     def _add_tags(self, idx: np.ndarray, tag: np.ndarray, raise_on_full: bool = True) -> int:
+        """Vectorized-rounds bulk insert with a transactional fallback.
+
+        The parallel kick loop keeps MANY chains in flight; when a
+        SECOND chain overflows (victim already taken) their in-flight
+        displaced tags would have nowhere to land — abandoning them
+        would create false negatives for acknowledged keys (the
+        reference never loses items: its single in-flight tag always
+        reaches the victim slot, cuckoofilter.h:177-180). So every
+        table write is undo-logged; on second overflow the whole call
+        rolls back and re-runs SEQUENTIALLY (`_add_tags_seq`) with the
+        reference's exact one-chain-at-a-time semantics. Only the
+        saturating chunk of a fill ever pays the sequential pass —
+        every later call returns at the victim_used gate.
+        """
         if self.victim_used:
             if raise_on_full:
                 raise CuckooFullError("victim cache occupied (cuckoofilter.h:148-150)")
@@ -251,6 +265,16 @@ class CuckooFilter:
         attempt = np.zeros(cur_idx.size, dtype=np.int8)
         inserted = 0
         order = np.arange(cur_idx.size)  # stable priority: earlier keys first
+        undo: list = []  # (buckets, slots, old_tags) per write batch
+        n0, round0 = self.num_items, self._round
+
+        def rollback():
+            for b, s, o in reversed(undo):
+                self.table[b, s] = o
+            self.num_items = n0
+            self.victim_used = False
+            self._round = round0
+            return self._add_tags_seq(idx, tag, raise_on_full)
 
         while cur_idx.size:
             self._round += 1
@@ -267,6 +291,8 @@ class CuckooFilter:
             place = np.flatnonzero(has_empty)
             if place.size:
                 slots = empty[place].argmax(axis=1)
+                undo.append((sel_idx[place], slots,
+                             np.zeros(place.size, dtype=self.table.dtype)))
                 self.table[sel_idx[place], slots] = sel_tag[place]
                 inserted += place.size
                 self.num_items += place.size
@@ -294,6 +320,7 @@ class CuckooFilter:
                     slots = rng.integers(0, ASSOC, size=evict.size)
                     e_idx = cur_idx[evict]
                     old = self.table[e_idx, slots].copy()
+                    undo.append((e_idx, slots, old))
                     self.table[e_idx, slots] = cur_tag[evict]
                     nk = kicks[evict] + 1
                     over = nk > MAX_KICKS
@@ -311,10 +338,11 @@ class CuckooFilter:
                                 self.num_items += 1
                                 inserted += 1
                             else:
-                                if raise_on_full:
-                                    raise CuckooFullError(
-                                        f"NotEnoughSpace after {int(nk[j])} kicks")
-                                return inserted
+                                # SECOND overflow: other chains' in-flight
+                                # displaced tags have nowhere to land —
+                                # roll the whole call back and re-run with
+                                # the reference's sequential semantics
+                                return rollback()
                         keep = ~over
                     else:
                         keep = np.ones(evict.size, dtype=bool)
@@ -344,6 +372,51 @@ class CuckooFilter:
                 srt = np.argsort(order, kind="stable")
                 cur_idx, cur_tag, kicks, attempt, order = (
                     cur_idx[srt], cur_tag[srt], kicks[srt], attempt[srt], order[srt])
+        return inserted
+
+    def _add_tags_seq(self, idx: np.ndarray, tag: np.ndarray,
+                      raise_on_full: bool = True) -> int:
+        """Reference AddImpl, one chain at a time (cuckoofilter.h:
+        143-181): at most ONE displaced tag is ever in flight, so an
+        exhausted kick chain always parks it in the victim cache and
+        no acknowledged key can be lost. Used as the transactional
+        fallback for the saturating chunk (see ``_add_tags``)."""
+        inserted = 0
+        idx = idx.astype(np.int64)
+        tag = tag.astype(self.table.dtype)
+        dt = self.table.dtype.type
+        for j in range(idx.size):
+            if self.victim_used:
+                if raise_on_full:
+                    raise CuckooFullError(
+                        "victim cache occupied (cuckoofilter.h:148-150)")
+                return inserted
+            i, t = int(idx[j]), dt(tag[j])
+            placed = False
+            for count in range(MAX_KICKS):
+                row = self.table[i]
+                z = np.flatnonzero(row == 0)
+                if z.size:
+                    self.table[i, z[0]] = t
+                    placed = True
+                    break
+                if count > 0:  # kickout from the current bucket
+                    self._round += 1
+                    rng = np.random.Generator(np.random.Philox(
+                        key=[self.seed & 0xFFFFFFFFFFFFFFFF, self._round]))
+                    s = int(rng.integers(0, ASSOC))
+                    old = self.table[i, s]
+                    self.table[i, s] = t
+                    t = old
+                i = int(self.alt_index(np.array([i], dtype=np.int64),
+                                       np.array([t]))[0])
+            if not placed:
+                # park the in-flight tag (cuckoofilter.h:177-180); Ok
+                self.victim_used = True
+                self.victim_index = i
+                self.victim_tag = int(t)
+            self.num_items += 1
+            inserted += 1
         return inserted
 
     # -- lookup -----------------------------------------------------------
@@ -385,8 +458,21 @@ class CuckooFilter:
             mask = np.ones(pending.size, dtype=bool)
             mask[np.sort(first)] = False
             pending = pending[mask]
-        removed = int(out.sum())
+        removed = int(out.sum())  # table removals only
         self.num_items -= removed
+        # keys not found in either bucket may BE the victim entry
+        # (cuckoofilter.h:212-216: Delete matches victim_.tag at either
+        # index); clear it for at most one such key
+        if self.victim_used and not out.all():
+            vt = self.table.dtype.type(self.victim_tag)
+            vm = np.flatnonzero(
+                ~out & (tag == vt)
+                & ((idx1 == self.victim_index)
+                   | (self.alt_index(idx1, tag) == self.victim_index)))
+            if vm.size:
+                self.victim_used = False
+                self.num_items -= 1
+                out[vm[0]] = True
         if removed and self.victim_used:
             # TryEliminateVictim (cuckoofilter.h:225-235): re-insert victim
             self.victim_used = False
@@ -503,8 +589,10 @@ class CuckooFilter:
         """
         if a._params() != b._params():
             raise ValueError(f"incompatible filters: {a._params()} vs {b._params()}")
-        ci = np.concatenate([a.extract_items()[0], b.extract_items()[0]])
-        ct = np.concatenate([a.extract_items()[1], b.extract_items()[1]])
+        ia, ta = a.extract_items()
+        ib, tb = b.extract_items()
+        ci = np.concatenate([ia, ib])
+        ct = np.concatenate([ta, tb])
         srt = np.lexsort((ct, ci))
         out = cls(a.num_buckets, a.bits, a.seed, max(a.capacity, b.capacity),
                   mode=a.mode, stable=a.stable)

@@ -59,8 +59,15 @@ class KLLSketch:
                 if self.levels[h].size > cap:
                     buf = np.sort(self.levels[h])
                     off = self._coin()
-                    promoted = buf[off::2]
-                    kept = buf[1 - off::2][: max(0, buf.size - 2 * promoted.size)]
+                    # promote exactly floor(size/2) items (one per pair,
+                    # coin-chosen) and KEEP any odd leftover at weight
+                    # 2^h: promoting ceil(size/2) would inflate total
+                    # represented weight by 2^h per odd compaction — a
+                    # systematic positive rank bias, not the zero-mean
+                    # error KLL guarantees
+                    pairs = buf.size // 2
+                    promoted = buf[off:2 * pairs:2]
+                    kept = buf[2 * pairs:]
                     self.levels[h] = kept
                     if h + 1 == nl:
                         self.levels.append(np.empty(0, dtype=np.float64))

@@ -200,11 +200,15 @@ class XorFilterPlus:
 
     # -- serialization ----------------------------------------------------
     def to_bytes(self) -> bytes:
+        # explicit little-endian payloads (repo-wide versioned-LE-blob
+        # convention) — native .tobytes() would flip on a BE host
         hdr = struct.pack(_FMT, _MAGIC, 1, self.fp_bits, self._attempt,
                           self.block_length, self.seed, self.size,
                           self.set_bits, 0)
-        return (hdr + self.fingerprints.tobytes()
-                + self.rank.bits.tobytes() + self.rank.counts.tobytes())
+        fp_le = f"<u{self._dt().itemsize}"
+        return (hdr + self.fingerprints.astype(fp_le, copy=False).tobytes()
+                + self.rank.bits.astype("<u8", copy=False).tobytes()
+                + self.rank.counts.astype("<u8", copy=False).tobytes())
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "XorFilterPlus":
@@ -218,16 +222,17 @@ class XorFilterPlus:
         f.size = size
         f.set_bits = set_bits
         nfp = 2 * bl + set_bits
-        f.fingerprints = np.frombuffer(blob, dtype=f._dt, offset=_HDR_SIZE,
-                                       count=nfp).copy()
+        fp_le = f"<u{f._dt().itemsize}"
+        f.fingerprints = np.frombuffer(blob, dtype=fp_le, offset=_HDR_SIZE,
+                                       count=nfp).astype(f._dt)
         off = _HDR_SIZE + nfp * f._dt().itemsize
         words = 1 + (bl + 63) // 64
         rank = Rank9.__new__(Rank9)
-        rank.bits = np.frombuffer(blob, dtype=np.uint64, offset=off,
-                                  count=words).copy()
+        rank.bits = np.frombuffer(blob, dtype="<u8", offset=off,
+                                  count=words).astype(np.uint64)
         off += words * 8
         num_counts = ((words * 64 + 511) // 512) * 2 + 1
-        rank.counts = np.frombuffer(blob, dtype=np.uint64, offset=off,
-                                    count=num_counts).copy()
+        rank.counts = np.frombuffer(blob, dtype="<u8", offset=off,
+                                    count=num_counts).astype(np.uint64)
         f.rank = rank
         return f

@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..kernels.cuckoo import CuckooFilter
-from ..sketch.membership import ShardedCuckooFilter, shard_of
+from ..sketch.membership import ShardedCuckooFilter
 from ..sketch.udaf import keys_to_u64, require_key_col, tokens_to_u64
 
 PARTIAL_SCHEMA = "lineage string, shard int, payload binary"
@@ -168,20 +168,17 @@ def cuckoo_build_checkpointed(
         def partial_shards(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
 
+            from ..sketch.membership import _pack_shards
+
             pid = TaskContext.get().partitionId() if TaskContext.get() else -1
             parts = [tokens_to_u64(pdf["k"]) if is_array else keys_to_u64(pdf["k"])
                      for pdf in it]
             keys = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
-            sh = shard_of(keys, shards)
-            order = np.argsort(sh, kind="stable")
-            keys, sh = keys[order], sh[order]
-            bounds = np.searchsorted(sh, np.arange(shards + 1))
-            out_s, out_b = [], []
-            for s in range(shards):
-                seg = keys[bounds[s]:bounds[s + 1]]
-                if seg.size:
-                    out_s.append(s)
-                    out_b.append(seg.tobytes())
+            # the ONE shard-packing implementation (membership._pack_shards)
+            # so a routing change can never diverge between the
+            # checkpointed build and the live builds (the manifest's
+            # shard_fn guard exists because that already happened once)
+            out_s, out_b = _pack_shards(keys, shards)
             yield pd.DataFrame({
                 "lineage": [f"p{pid:06d}"] * len(out_s),
                 "shard": pd.Series(out_s, dtype="int32"),

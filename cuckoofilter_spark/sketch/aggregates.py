@@ -220,17 +220,11 @@ def cqf_sketch(df: DataFrame, col: str, q: int = 20, r: int = 28,
 
 def cqf_count_col(spark: SparkSession, sketch, col) -> Column:
     """Exact-at-fingerprint-resolution count Column (qf_count_key_value)."""
-    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    from ..kernels.cqf import CountingQuotientFilter
+    from .membership import _blob_method_col
 
-    @F.pandas_udf(T.LongType())
-    def cnt(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from ..kernels.cqf import CountingQuotientFilter
-
-        local = CountingQuotientFilter.from_bytes(bc.value)
-        for s in it:
-            yield pd.Series(local.count_many(keys_to_u64(s)))
-
-    return cnt(F.col(col).cast("long") if isinstance(col, str) else col)
+    return _blob_method_col(spark, sketch, col, CountingQuotientFilter,
+                            method="count_many", rettype=T.LongType())
 
 
 def tdigest_sketch(df: DataFrame, col: str, delta: float = 200.0,
@@ -288,17 +282,11 @@ def blocked_bloom_sketch(df: DataFrame, col: str, capacity: int,
 
 def blocked_bloom_contains_col(spark: SparkSession, filt, col) -> Column:
     """Boolean membership Column against a broadcast blocked-Bloom blob."""
-    bc = spark.sparkContext.broadcast(filt.to_bytes())
+    from ..kernels.blocked_bloom import BlockedBloomFilter
+    from .membership import _blob_method_col
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from ..kernels.blocked_bloom import BlockedBloomFilter
-
-        local = BlockedBloomFilter.from_bytes(bc.value)
-        for s in it:
-            yield pd.Series(local.contains_many(keys_to_u64(s)))
-
-    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+    return _blob_method_col(spark, filt, col, BlockedBloomFilter,
+                            method="contains_many")
 
 
 def blocked_bloom64_sketch(df: DataFrame, col: str, capacity: int,
@@ -324,17 +312,11 @@ def blocked_bloom64_sketch(df: DataFrame, col: str, capacity: int,
 
 def blocked_bloom64_contains_col(spark: SparkSession, filt, col) -> Column:
     """Boolean membership Column against a broadcast 64B-block blob."""
-    bc = spark.sparkContext.broadcast(filt.to_bytes())
+    from ..kernels.blocked_bloom import BlockedBloomFilter64
+    from .membership import _blob_method_col
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from ..kernels.blocked_bloom import BlockedBloomFilter64
-
-        local = BlockedBloomFilter64.from_bytes(bc.value)
-        for s in it:
-            yield pd.Series(local.contains_many(keys_to_u64(s)))
-
-    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+    return _blob_method_col(spark, filt, col, BlockedBloomFilter64,
+                            method="contains_many")
 
 
 def fixed_blocked_bloom_sketch(df: DataFrame, col: str, capacity: int,
@@ -361,17 +343,11 @@ def fixed_blocked_bloom_sketch(df: DataFrame, col: str, capacity: int,
 def fixed_blocked_bloom_contains_col(spark: SparkSession, filt,
                                      col) -> Column:
     """Boolean membership Column against a broadcast fixed-fpp blob."""
-    bc = spark.sparkContext.broadcast(filt.to_bytes())
+    from ..kernels.blocked_bloom import FixedBlockedBloomFilter
+    from .membership import _blob_method_col
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from ..kernels.blocked_bloom import FixedBlockedBloomFilter
-
-        local = FixedBlockedBloomFilter.from_bytes(bc.value)
-        for s in it:
-            yield pd.Series(local.contains_many(keys_to_u64(s)))
-
-    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+    return _blob_method_col(spark, filt, col, FixedBlockedBloomFilter,
+                            method="contains_many")
 
 
 def grow_blocked_bloom_sketch(df: DataFrame, col: str,
@@ -398,40 +374,26 @@ def grow_blocked_bloom_sketch(df: DataFrame, col: str,
 def grow_blocked_bloom_contains_col(spark: SparkSession, filt, col) -> Column:
     """Boolean membership Column against a broadcast growable
     blocked-Bloom blob (Find = OR over all levels)."""
-    bc = spark.sparkContext.broadcast(filt.to_bytes())
+    from ..kernels.blocked_bloom import GrowBlockedBloomFilter
+    from .membership import _blob_method_col
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from ..kernels.blocked_bloom import GrowBlockedBloomFilter
-
-        local = GrowBlockedBloomFilter.from_bytes(bc.value)
-        for s in it:
-            yield pd.Series(local.contains_many(keys_to_u64(s)))
-
-    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+    return _blob_method_col(spark, filt, col, GrowBlockedBloomFilter,
+                            method="contains_many")
 
 
 def bloom_contains_col(spark: SparkSession, filt: BloomFilter, col) -> Column:
     """Boolean membership Column against a broadcast Bloom blob."""
-    bc = spark.sparkContext.broadcast(filt.to_bytes())
+    from .membership import _blob_method_col
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        local = BloomFilter.from_bytes(bc.value)
-        for s in it:
-            yield pd.Series(local.contains_many(keys_to_u64(s)))
-
-    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+    return _blob_method_col(spark, filt, col, BloomFilter,
+                            method="contains_many")
 
 
 def cms_lookup_col(spark: SparkSession, sketch: CountMinSketch, col) -> Column:
     """Estimated frequency Column against a broadcast CMS blob."""
-    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    from .membership import _blob_method_col
 
-    @F.pandas_udf(T.LongType())
-    def est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        local = CountMinSketch.from_bytes(bc.value)
-        for s in it:
-            yield pd.Series(local.query_many(keys_to_u64(s)))
+    return _blob_method_col(spark, sketch, col, CountMinSketch,
+                            method="query_many", rettype=T.LongType())
 
-    return est(F.col(col).cast("long") if isinstance(col, str) else col)
+

@@ -741,18 +741,31 @@ def xorplus_build(df: DataFrame, col: str, fp_bits: int = 8, seed: int = 0x5EED)
                                seed=seed)
 
 
+def _blob_method_col(spark: SparkSession, obj, col, cls,
+                     method: str = "contains_many",
+                     rettype=None) -> Column:
+    """Column applying ``cls.from_bytes(blob).<method>`` to a key batch
+    — the ONE broadcast-blob probe shape every single-blob kernel
+    shares (membership booleans, CMS/CQF counts). Deserialization is
+    cached per worker via ``_cached_probe``; re-implementing this
+    per family silently loses that cache (review r4)."""
+    bc = spark.sparkContext.broadcast(obj.to_bytes())
+    rettype = T.BooleanType() if rettype is None else rettype
+
+    @F.pandas_udf(rettype)
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = _cached_probe(bc, cls.from_bytes)
+        fn = getattr(local, method)
+        for s in it:
+            yield pd.Series(fn(keys_to_u64(s)))
+
+    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
 def _blob_contains_col(spark: SparkSession, filt, col, cls) -> Column:
     """Membership Column for any single-blob kernel with from_bytes +
     contains_many; blob deserialization cached per worker."""
-    bc = spark.sparkContext.broadcast(filt.to_bytes())
-
-    @F.pandas_udf(T.BooleanType())
-    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        local = _cached_probe(bc, cls.from_bytes)
-        for s in it:
-            yield pd.Series(local.contains_many(keys_to_u64(s)))
-
-    return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+    return _blob_method_col(spark, filt, col, cls)
 
 
 def xor_contains_col(spark: SparkSession, filt, col) -> Column:

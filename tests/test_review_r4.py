@@ -143,3 +143,94 @@ def test_minhash_bands_must_divide(spark):
     df = spark.createDataFrame([("a", "x y z")], "doc string, text string")
     with pytest.raises(ValueError, match="divide"):
         minhash_lsh_pairs(df, "doc", "text", num_hashes=64, bands=12)
+
+
+def test_cuckoo_overfull_never_loses_acknowledged_keys():
+    """AMQ invariant under saturation: keys acknowledged as stored stay
+    contained even when later adds overflow (the parallel kick loop
+    used to abandon in-flight displaced tags on second overflow; it
+    now rolls back and re-runs the reference's sequential AddImpl)."""
+    from cuckoofilter_spark.kernels.cuckoo import (CuckooFilter,
+                                                   CuckooFullError)
+
+    for trial in range(20):
+        rng = np.random.default_rng(trial)
+        f = CuckooFilter(num_buckets=8, bits=8, seed=trial, capacity=32)
+        first = rng.integers(0, 2**63, size=20, dtype=np.uint64)
+        n1 = f.add_many(first, raise_on_full=False)
+        f.add_many(rng.integers(0, 2**63, size=500, dtype=np.uint64),
+                   raise_on_full=False)
+        assert f.contains_many(first[:n1]).all(), trial
+
+    # raise path: catch CuckooFullError, keep probing — no loss either
+    f = CuckooFilter(num_buckets=8, bits=8, seed=3, capacity=32)
+    base = np.arange(1, 21, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    n = f.add_many(base, raise_on_full=False)
+    with pytest.raises(CuckooFullError):
+        while True:  # drive to overflow
+            f.add_many(np.arange(1000, 1600, dtype=np.uint64))
+    assert f.contains_many(base[:n]).all()
+
+
+def test_cuckoo_delete_matches_victim():
+    """Delete must match the victim-cache entry (cuckoofilter.h:212-216)
+    — a key parked in the victim was undeletable before."""
+    from cuckoofilter_spark.kernels.cuckoo import CuckooFilter
+
+    f = CuckooFilter(num_buckets=4, bits=12, seed=9, capacity=16)
+    keys = np.arange(1, 200, dtype=np.uint64)
+    n = f.add_many(keys, raise_on_full=False)
+    assert f.victim_used
+    idx1, tag = f._index_tag(keys[:n])
+    alt = f.alt_index(idx1, tag)
+    vt = f.table.dtype.type(f.victim_tag)
+    vm = np.flatnonzero((tag == vt) & ((idx1 == f.victim_index)
+                                       | (alt == f.victim_index)))
+    assert vm.size  # some inserted key's route matches the victim entry
+    k = keys[:n][vm[0]]
+    before = f.num_items
+    # delete every copy of k's tag (table copies first, then the victim)
+    got = f.delete_many(np.array([k] * 4, dtype=np.uint64))
+    assert not f.victim_used  # the victim copy was deletable
+    assert f.num_items == before - int(got.sum())
+
+
+def test_kll_total_weight_conserved():
+    """sum(weights) == n after any number of compactions (odd-buffer
+    compaction used to promote ceil(n/2) at doubled weight — a
+    systematic positive rank bias)."""
+    from cuckoofilter_spark.kernels.kll import KLLSketch
+
+    for k, n in ((8, 10000), (64, 50000)):
+        s = KLLSketch(k=k, seed=3)
+        s.add_many(np.arange(n, dtype=np.float64))
+        assert int(s._items()[1].sum()) == n, (k, n)
+    a, b = KLLSketch(k=32, seed=1), KLLSketch(k=32, seed=1)
+    a.add_many(np.arange(7777, dtype=np.float64))
+    b.add_many(np.arange(3333, dtype=np.float64))
+    m = KLLSketch.merge(a, b)
+    assert int(m._items()[1].sum()) == 7777 + 3333
+
+
+def test_xorplus_blob_is_little_endian():
+    """The fingerprint/rank payloads must be explicit LE (repo blob
+    convention): byte-swapped in-memory arrays must serialize to the
+    same blob."""
+    from cuckoofilter_spark.kernels.xorplus import XorFilterPlus
+
+    keys = (np.arange(1, 2000, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15))
+    f = XorFilterPlus.build(keys, fp_bits=8, seed=5)
+    blob = f.to_bytes()
+    g = XorFilterPlus.from_bytes(blob)
+    assert g.to_bytes() == blob
+    assert g.contains_many(keys).all()
+    # simulate a BE host's in-memory arrays: byteswapped with flipped
+    # dtype is the SAME logical values -> blob must be identical
+    g.fingerprints = g.fingerprints.byteswap().view(
+        g.fingerprints.dtype.newbyteorder())
+    g.rank.bits = g.rank.bits.byteswap().view(
+        g.rank.bits.dtype.newbyteorder())
+    g.rank.counts = g.rank.counts.byteswap().view(
+        g.rank.counts.dtype.newbyteorder())
+    assert g.to_bytes() == blob
