@@ -220,12 +220,10 @@ class CrateFilter:
         fills = np.bincount(bucket, minlength=self.bucket_count)
         return np.minimum(fills, _SLOTS)
 
-    # -- io ---------------------------------------------------------------
-    def to_bytes(self) -> bytes:
-        """PD blocks bit-compatible with crate.h's __m512i layout: 13
-        header bytes (101-bit EF: the q-th one terminates quotient q's
-        zero-run of fingerprints) + 51 remainder bytes, then overflow
-        triples (merge artifacts) and spare keys."""
+    def pd_blocks(self):
+        """(blocks, overflow): the (bucket_count, 64) uint8 PD blocks in
+        crate.h's exact __m512i bit layout plus the overflow triples
+        (merge artifacts past 51/bucket) that don't fit a block."""
         bucket = (self.triples // U64(_TRIPLE_SPAN)).astype(np.int64)
         rank = _rank_within(bucket)
         in_pd = rank < _SLOTS
@@ -243,9 +241,81 @@ class CrateFilter:
         hdr_bytes = np.packbits(bits, axis=1, bitorder="little")
         rems = np.zeros((nb, _SLOTS), dtype=np.uint8)
         rems[pd_b, pd_rank] = rem
-        blocks = np.concatenate([hdr_bytes, rems], axis=1)
+        return np.concatenate([hdr_bytes, rems], axis=1), over
+
+    def contains_many_pd(self, keys, variant: str = "select") -> np.ndarray:
+        """Membership probed DIRECTLY against the packed 64-byte PD
+        blocks — the batch analogue of the reference's one-block
+        ``pd_find_50`` (crate.h:66-89), independent of the
+        searchsorted-over-triples path in ``contains_many``.
+
+        ``variant`` picks the begin/end computation, mirroring the
+        reference's alternate probes asserted pairwise-equal in
+        check_pd (crate.h:380-387):
+
+        - ``"select"``: begin/end both from select-the-jth-set-bit over
+          the 101-bit header (pd_find_50's select128 form);
+        - ``"tzcnt"``: begin from select, end = first set bit at or
+          after position begin+quot (pd_find_50_alt2..alt5's
+          ``begin + tzcnt(header >> (begin + quot))`` form).
+
+        The remainder test is the reference's cmpeq-mask-window —
+        ``(v & ((1 << end) - 1)) >> begin`` — as a masked any() over
+        the 51 remainder lanes. Overflow triples (merge artifacts) and
+        spare keys are consulted the same way ``contains_many`` does.
+        """
+        if variant not in ("select", "tzcnt"):
+            raise ValueError(f"unknown pd_find variant {variant!r}")
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        blocks, over = self.pd_blocks()
+        hdr_bits = np.unpackbits(blocks[:, :_HDR_BYTES], axis=1,
+                                 bitorder="little")[:, :_HDR_BITS]
+        rems = blocks[:, _HDR_BYTES:]
+        cols = np.arange(_HDR_BITS)
+        slot_cols = np.arange(_SLOTS)
+        out = np.empty(keys.size, dtype=bool)
+        for lo in range(0, max(keys.size, 1), _CHUNK):
+            c = keys[lo:lo + _CHUNK]
+            bkt, quot, rem = self._parts(c)
+            bkt = bkt.astype(np.int64)
+            q = quot.astype(np.int64)
+            bits = hdr_bits[bkt]                       # (n, 101)
+            ones_cum = np.cumsum(bits, axis=1)         # rank+1 at each one
+            is_one = bits.astype(bool)
+            # select(header, q-1): position of the q-th one (1-indexed)
+            sel_prev = np.argmax(is_one & (ones_cum == q[:, None]), axis=1)
+            begin = np.where(q > 0, sel_prev + 1 - q, 0)
+            if variant == "select":
+                sel_q = np.argmax(is_one & (ones_cum == q[:, None] + 1),
+                                  axis=1)
+                end = sel_q - q
+            else:
+                # first one at or after bit (begin + q) — the shifted
+                # tzcnt of alt2..alt5 (a one always exists there: the
+                # q-th terminator is at or after that position)
+                after = is_one & (cols >= (begin + q)[:, None])
+                end = np.argmax(after, axis=1) - q
+            v = rems[bkt] == rem.astype(np.uint8)[:, None]   # cmpeq mask
+            window = ((slot_cols >= begin[:, None])
+                      & (slot_cols < end[:, None]))
+            hit = (v & window).any(axis=1)
+            enc = self._encode(c)
+            if over.size:
+                hit |= sorted_member(over, enc)
+            hit |= sorted_member(self.spare, c)
+            out[lo:lo + _CHUNK] = hit
+        return out[:keys.size]
+
+    # -- io ---------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        """PD blocks bit-compatible with crate.h's __m512i layout: 13
+        header bytes (101-bit EF: the q-th one terminates quotient q's
+        zero-run of fingerprints) + 51 remainder bytes, then overflow
+        triples (merge artifacts) and spare keys."""
+        blocks, over = self.pd_blocks()
+        n_pd = self.triples.size - over.size
         hdr = struct.pack(_FMT, _MAGIC, 2, self.bucket_count, self.ndv,
-                          pd_t.size, over.size, self.spare.size, self.seed)
+                          n_pd, over.size, self.spare.size, self.seed)
         return (hdr + blocks.tobytes() + over.astype("<u8").tobytes()
                 + self.spare.astype("<u8").tobytes())
 

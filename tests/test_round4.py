@@ -744,3 +744,55 @@ def test_sharded_probe_null_keys_consistent(spark):
         cp, "k", filt, out_col="m").collect())
     assert b == s == c
     assert b[0] == (0, True)
+
+
+# -- pd_find alternates pairwise-equal (crate.h:380-387 check_pd) ------------
+def test_crate_pd_find_variants_pairwise_equal():
+    """The reference asserts its five pd_find_50 probe alternates agree
+    on every (quot, rem, pd) (crate.h:380-387). The batch analogue:
+    the select-based and tzcnt-based block probes and the
+    searchsorted-over-triples probe must answer identically on present
+    keys, absent keys, and same-bucket near-misses, at loads from
+    near-empty through spare spill and through a merge (overflow
+    triples past 51/bucket)."""
+    from cuckoofilter_spark.kernels.crate import CrateFilter
+    from cuckoofilter_spark.kernels.hashing import splitmix64
+
+    rng = np.random.default_rng(7)
+    for n in (30, 2_000, 60_000):
+        keys = splitmix64(np.arange(1, n + 1, dtype=np.uint64))
+        f = CrateFilter(add_count=max(44, n // 2))  # overfull -> spare
+        f.add_many(keys)
+        absent = splitmix64(rng.integers(1 << 40, 1 << 62, size=n,
+                                         dtype=np.uint64))
+        # same-bucket near-misses: flip only the rem byte (bits 32..39)
+        near = keys ^ (rng.integers(1, 256, size=n, dtype=np.uint64)
+                       << np.uint64(32))
+        probes = np.concatenate([keys, absent, near])
+        base = f.contains_many(probes)
+        assert base[:n].all()
+        np.testing.assert_array_equal(
+            f.contains_many_pd(probes, variant="select"), base)
+        np.testing.assert_array_equal(
+            f.contains_many_pd(probes, variant="tzcnt"), base)
+
+    # merged filter: overflow triples live outside the PD blocks
+    ka = splitmix64(np.arange(1, 5_001, dtype=np.uint64))
+    kb = splitmix64(np.arange(5_001, 10_001, dtype=np.uint64))
+    a = CrateFilter(add_count=5_000)
+    b = CrateFilter(add_count=5_000)
+    a.add_many(ka)
+    b.add_many(kb)
+    m = CrateFilter.merge(a, b)
+    probes = np.concatenate([ka, kb, splitmix64(
+        rng.integers(1 << 40, 1 << 62, size=10_000, dtype=np.uint64))])
+    base = m.contains_many(probes)
+    assert base[:10_000].all()
+    np.testing.assert_array_equal(
+        m.contains_many_pd(probes, variant="select"), base)
+    np.testing.assert_array_equal(
+        m.contains_many_pd(probes, variant="tzcnt"), base)
+
+    with pytest.raises(ValueError, match="variant"):
+        CrateFilter(add_count=44).contains_many_pd(
+            np.array([1], dtype=np.uint64), variant="avx")
