@@ -401,7 +401,7 @@ def query_suite(spark, sf_dir: str) -> dict:
     # the min — legit-slow queries cost one repeat, stall artifacts
     # disappear.
     for name, t in list(times.items()):
-        if t > 6.0:
+        if t > 4.0:
             t0 = time.time()
             entry.queries()[name](spark, sf_dir).collect()
             times[name] = round(min(t, time.time() - t0), 3)

@@ -85,9 +85,15 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, window: int = 3) -> 
     O(n) times per doc (9s -> 1s on 5000 docs at sf0.1)."""
     from .text import shingles_from_words, words
 
-    return (df.select(F.col(id_col).alias("doc"), words(text_col).alias("W"))
-            .select("doc", F.array_distinct(
-                shingles_from_words("W", window)).alias("shingles")))
+    w = df.select(F.col(id_col).alias("doc"), words(text_col).alias("W"))
+    # same single-scan-task gate as word_gram_hashes: a small or
+    # single-row-group input serializes the shingling into one task;
+    # many-split corpus inputs skip the exchange entirely
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if w.rdd.getNumPartitions() < min(8, target):
+        w = w.repartition(target, "doc")
+    return w.select("doc", F.array_distinct(
+        shingles_from_words("W", window)).alias("shingles"))
 
 
 def jaccard_pairs_exact(df: DataFrame, id_col: str, text_col: str,
@@ -100,7 +106,11 @@ def jaccard_pairs_exact(df: DataFrame, id_col: str, text_col: str,
     """
     sets = shingle_sets(df, id_col, text_col, window)
     sizes = sets.select("doc", F.size("shingles").alias("sz"))
-    ex = sets.select("doc", F.explode("shingles").alias("sh"))
+    # explode_OUTER: plain explode lets InferFiltersFromGenerate push a
+    # size(shingles)>0 predicate below the exchange, re-running the
+    # whole shingle build in the serial scan task (see word_gram_hashes);
+    # a NULL sh row (empty doc) never matches the self-join key
+    ex = sets.select("doc", F.explode_outer("shingles").alias("sh"))
     # pin the join's parallelism: the shingle rows LOOK small to AQE
     # (it coalesces them to ~1 partition) but the self-join output is
     # quadratic within shingle groups — an explicit hash repartition on
@@ -290,7 +300,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
     banded = sigs.select(
         "doc",
-        F.explode(
+        # explode_OUTER: suppresses the inferred size()>0 filter that
+        # would re-evaluate the whole band-hash array once more per row
+        # (the array is sequence-length bands, never empty)
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bi: F.struct(
@@ -492,6 +505,14 @@ def word_gram_hashes(df: DataFrame, id_col: str, text_col: str,
 
     w = df.select(F.col(id_col).alias("doc"),
                   words(F.coalesce(F.col(text_col), F.lit(""))).alias("W"))
+    # hashing parallelism comes from input splits at corpus scale; a
+    # small/single-row-group file scans as ONE task and would serialize
+    # the whole md5 pipeline — spread by doc only in that case (the
+    # gate makes this a no-op exactly when the exchange would be
+    # expensive: many-split inputs are already parallel)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if w.rdd.getNumPartitions() < min(8, target):
+        w = w.repartition(target, "doc")
     n = F.size("W")
     grams = w.select(
         "doc",
@@ -500,11 +521,20 @@ def word_gram_hashes(df: DataFrame, id_col: str, text_col: str,
             lambda i: F.concat_ws(" ", F.slice("W", i + 1, k)),
         )).otherwise(F.array(F.concat_ws(" ", F.col("W")))).alias("G"))
     mask = (1 << 62) - 1
-    hashed = grams.select(
-        "doc",
-        F.transform("G", lambda g: md5hex_to_le64(F.md5(g))
-                    .bitwiseAND(F.lit(mask))).alias("H"))
-    return hashed.select("doc", F.explode("H").alias("h"))
+    # md5 runs on EXPLODED rows, aliased in its own projection: inside a
+    # transform lambda, md5hex_to_le64's 8 byte-extracts would each
+    # re-evaluate the captured F.md5(g) — 8 digests per gram (measured
+    # ~6x the stage wall); on a flat projection the repeated reference
+    # is one attribute / one codegen subexpression.
+    # explode_OUTER because plain explode makes InferFiltersFromGenerate
+    # push a size(G)>0 predicate below the exchange — re-running the
+    # whole split/transform/concat gram build in the (serial) scan task
+    # (measured 3.4s -> 0.4s at sf0.1); G is never empty (the else
+    # branch always yields one gram), so outer == inner here
+    ex = grams.select("doc", F.explode_outer("G").alias("g"))
+    hx = ex.select("doc", F.md5("g").alias("x"))
+    return hx.select(
+        "doc", md5hex_to_le64(F.col("x")).bitwiseAND(F.lit(mask)).alias("h"))
 
 
 def cross_doc_duplicate_grams(df: DataFrame, id_col: str, text_col: str,
