@@ -5,8 +5,10 @@ Usage: ``python scripts/scale_stress.py`` (~25 s on local[32]).
 Validates, at 10M distinct keys / 20M probes:
 - xor_build_sharded over 10M distinct keys (task-local peel; the
   driver must never see the key set),
+- cuckoo_build at the same scale, plus a sharded cuckoo_delete pass
+  (the maintainable family's build/maintain path),
 - contains_sharded (store path, colocate) over 20M probes with a
-  2-shard LRU cap (bounded per-task filter memory),
+  2-shard LRU cap (bounded per-task filter memory), for both families,
 - bounded-memory check: peak RSS of the driver stays far below the
   naive collect-everything path.
 """
@@ -52,5 +54,46 @@ assert fpr <= 3 * 0.0039, f"FPR {fpr} above 3x xor8 bound"
 rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 print(f"driver peak RSS {rss_gb:.2f} GB (10M uint64 keys alone would be 0.08 GB; "
       f"the r3 driver-peel path would hold keys + peel arrays driver-side)", flush=True)
+
+# ---- cuckoo family: build, sharded-store probe, delete maintenance ----
+from cuckoofilter_spark.sketch.membership import cuckoo_build, cuckoo_delete
+
+t0 = time.time()
+cf = cuckoo_build(keys, "id", capacity=N, bits=12, seed=0xC0FFEE,
+                  num_shards=32)
+t_build = time.time() - t0
+size_mb = sum(len(b) for b in cf.blobs) / 1e6
+print(f"cuckoo build: {t_build:.1f}s  {N/t_build/1e6:.1f}M keys/s  "
+      f"filter {size_mb:.0f} MB", flush=True)
+t0 = time.time()
+n_member_miss = contains_sharded(member_probe, "id", cf,
+                                 max_cached_shards=2, colocate=True) \
+    .where("NOT member").count()
+t_m = time.time() - t0
+t0 = time.time()
+n_neg_hit = contains_sharded(neg_probe, "id", cf,
+                             max_cached_shards=2, colocate=True) \
+    .where("member").count()
+t_n = time.time() - t0
+fpr = n_neg_hit / (PROBES // 2)
+print(f"cuckoo probe: members in {t_m:.1f}s ({PROBES/2/t_m/1e6:.1f}M/s), "
+      f"FN={n_member_miss}; FPR={fpr:.5f} (12-bit bound 0.00195) "
+      f"in {t_n:.1f}s", flush=True)
+assert n_member_miss == 0, "FALSE NEGATIVES in sharded cuckoo at 10M keys"
+assert fpr <= 3 * 0.00195, f"FPR {fpr} above 3x 12-bit bound"
+# delete a 1M-key slice, then the remaining 9M members must all stay
+drop = keys.where(F.col("id") % 10 == 3)
+t0 = time.time()
+cuckoo_delete(cf, drop, "id")
+t_d = time.time() - t0
+keep_probe = keys.where(F.col("id") % 10 != 3)
+n_keep_miss = contains_sharded(keep_probe, "id", cf,
+                               max_cached_shards=2, colocate=True) \
+    .where("NOT member").count()
+print(f"cuckoo delete: {t_d:.1f}s for ~1M keys; survivors FN={n_keep_miss}",
+      flush=True)
+assert n_keep_miss == 0, "delete broke a surviving member"
+rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+print(f"final driver peak RSS {rss_gb:.2f} GB", flush=True)
 spark.stop()
 print("SCALE-STRESS-OK")
