@@ -447,6 +447,56 @@ def figure5_suite(spark) -> dict:
     return out
 
 
+def task_metrics_suite(sf: float, cpus: int) -> dict:
+    """Perf counters for the headline build + probe (SURVEY §2 #47).
+
+    The reference wraps its timed loops in Linux perf counters
+    (benchmarks/linux-perf-events.h); the distributed analogue is the
+    Spark task-metrics stream — executor run/CPU time, GC, shuffle
+    bytes, spill, peak execution memory — captured via the event log
+    (plans/metrics.py) around ONE canonical cf build over the token
+    table plus ONE 20M-key probe. Runs in its own session AFTER the
+    timed suites (event-log IO must not tax the timed runs; local-mode
+    getOrCreate reuses any live session, so this needs the main one
+    stopped)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.plans.metrics import (event_log_conf,
+                                                  parse_event_log)
+    from cuckoofilter_spark.session import get_spark
+    from cuckoofilter_spark.sketch.membership import (cuckoo_build,
+                                                      cuckoo_contains_col)
+    from cuckoofilter_spark.sources.tokens import tokens_table
+
+    log_dir = tempfile.mkdtemp(prefix="spark-events-")
+    try:
+        spark = get_spark("bench-metrics", cores=cpus,
+                          extra_conf=event_log_conf(log_dir))
+        num_docs = max(1_000, int(2_000_000 * sf))
+        toks = tokens_table(spark, num_docs, seed=42,
+                            vocab_size=VOCAB).persist()
+        total_tokens = int(toks.agg(F.sum("n_tok")).first()[0])
+        cf = cuckoo_build(toks, "tokens",
+                          capacity=min(VOCAB, total_tokens), bits=12,
+                          seed=SEED, num_shards=32, stable=True)
+        probes = spark.range(VOCAB, VOCAB + NEG_PROBES)
+        fp = probes.where(cuckoo_contains_col(spark, cf, "id")).count()
+        toks.unpersist()
+        spark.stop()
+        m = parse_event_log(log_dir)
+        m["note"] = ("task metrics summed over one cf build over the "
+                     f"{total_tokens}-token table + one {NEG_PROBES}-key "
+                     "probe (linux-perf-events.h analogue)")
+        m["total_tokens"] = total_tokens
+        m["probe_false_positives"] = int(fp)
+        return m
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
 def query_suite(spark, sf_dir: str) -> dict:
     import pandas as pd
     from pyspark.sql import functions as F
@@ -529,6 +579,8 @@ def run_bench(build_only: bool) -> dict:
         "build": build,
     }
     spark.stop()
+    if not build_only:
+        result["spark_metrics"] = task_metrics_suite(sf, cpus)
     return result
 
 
@@ -619,6 +671,11 @@ if __name__ == "__main__":
             "bench", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         print(json.dumps({"figure5": figure5_suite(_spark)}))
         _spark.stop()
+    elif "--metrics" in sys.argv:
+        # task-metrics capture only (linux-perf-events.h analogue)
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        print(json.dumps({"spark_metrics": task_metrics_suite(
+            _sf_of(sf_dir), int(os.environ.get("SPARK_GRAFT_CPUS", "32")))}))
     else:
         build_only = "--build-only" in sys.argv
         res = run_bench(build_only=build_only)

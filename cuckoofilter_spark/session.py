@@ -16,7 +16,8 @@ _PKG_ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
 
 
 def get_spark(app: str = "cuckoofilter-spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     # Python workers must import this package regardless of driver cwd.
@@ -31,7 +32,7 @@ def get_spark(app: str = "cuckoofilter-spark", cores: int | None = None,
     # spark.executorEnv.* for the same effect).
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -46,5 +47,9 @@ def get_spark(app: str = "cuckoofilter-spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # e.g. spark.eventLog.* for the bench's task-metrics capture
+    # (plans/metrics.py) — session-level knobs only, never operator deps
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
+    return builder.getOrCreate()
