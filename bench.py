@@ -557,8 +557,12 @@ def run_bench(build_only: bool) -> dict:
         else None)
     if run_families:
         # probe-only (no memory churn), safe to run between the family
-        # table and the query suite without stage-bleed taxing either
-        build["figure5"] = figure5_suite(spark)
+        # table and the query suite without stage-bleed taxing either.
+        # Context row: never let it cost the driver the whole record.
+        try:
+            build["figure5"] = figure5_suite(spark)
+        except Exception as exc:  # noqa: BLE001
+            build["figure5"] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
     queries = {} if build_only else query_suite(spark, sf_dir)
     total = round(time.time() - t_all, 3)
 
@@ -580,7 +584,12 @@ def run_bench(build_only: bool) -> dict:
     }
     spark.stop()
     if not build_only:
-        result["spark_metrics"] = task_metrics_suite(sf, cpus)
+        # context row — a capture failure must not cost the record
+        try:
+            result["spark_metrics"] = task_metrics_suite(sf, cpus)
+        except Exception as exc:  # noqa: BLE001
+            result["spark_metrics"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:500]}
     return result
 
 
