@@ -317,6 +317,28 @@ def migrate_legacy_pickle_state(state_dir: str) -> str:
     return st._state_path()
 
 
+def tumbling_window_col(ts_col, duration: str):
+    """Event-time tumbling-window key for windowed sketch rollups:
+    the window START as epoch seconds (a long Column, whole-stage
+    codegen, no Python — integer group keys ride the grouped protocol's
+    string-encoded path safely).  Use as the ``group_col`` of a
+    ``GroupedStreamingSketchState`` to keep one mergeable sketch per
+    event-time window over an unbounded stream.
+
+    Late data needs no watermark for CORRECTNESS here — unlike a
+    row-holding streaming aggregation, a late row just merges into its
+    window's sketch (merge is associative + commutative, the
+    exactly-once batch-id guard still applies), and per-window state is
+    bits/item-bounded rather than row-bounded.  A watermark remains the
+    EVICTION policy at scale: drop window entries older than the
+    watermark from the state dict when windows must eventually retire.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.window(c, duration).getField("start").cast("long")
+
+
 def stream_token_sketches(spark: SparkSession, stream_df: DataFrame,
                           state_root: str, checkpoint_root: str,
                           seed: int = 0x5EED) -> list:

@@ -293,3 +293,44 @@ def test_grouped_streaming_kll_doubles_and_atomic_commit(spark, tmp_path):
     st.update(df, 0)  # replay — must be a no-op despite the bad sidecar
     assert st.load()["s0"].to_bytes() == before
     assert st.last_batch_id() == 0
+
+
+def test_windowed_sketch_rollup_with_late_data(spark, tmp_path):
+    """Event-time tumbling-window sketch rollup: one HLL per 1-hour
+    window maintained across micro-batches where batch 1 delivers LATE
+    rows for windows batch 0 already closed. Correctness needs no
+    watermark — a late row merges into its window's sketch (associative
+    + commutative merge, batch-id replay guard intact) — and the result
+    is bit-exact vs the one-shot grouped batch build over all rows."""
+    from cuckoofilter_spark.sketch.aggregates import grouped_hll_sketch
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        GroupedStreamingSketchState, tumbling_window_col)
+
+    # events spanning 3 hour-windows; user ids overlap across windows
+    df = spark.range(6000).selectExpr(
+        "timestamp_seconds(1700000000 + (id % 3) * 3600 + id % 60) AS ts",
+        "id % 700 AS user")
+    win = tumbling_window_col("ts", "1 hour")
+    keyed = df.withColumn("win", win)
+    # batch 0: the "on-time" slice; batch 1: stragglers for EVERY
+    # window including ones batch 0 already produced state for
+    b0, b1 = keyed.where("id % 5 != 0"), keyed.where("id % 5 = 0")
+
+    st = GroupedStreamingSketchState(str(tmp_path / "w"), "hll", "win",
+                                     "user", p=12, seed=11)
+    st.update(b0, 0)
+    closed = {g: k.to_bytes() for g, k in st.load().items()}
+    assert len(closed) == 3
+    st.update(b1, 1)  # late arrivals
+    st.update(b1, 1)  # replay of the late batch: bit-exact no-op
+    streamed = st.load()
+
+    whole = {r["g"]: bytes(r["blob"]) for r in
+             grouped_hll_sketch(keyed, "win", "user", p=12, seed=11)
+             .withColumnRenamed("win", "g").collect()}
+    assert set(streamed) == set(whole) == set(closed)
+    for g, blob in whole.items():
+        assert streamed[g].to_bytes() == blob, g
+        assert streamed[g].to_bytes() != closed[g], g  # late rows landed
+        est, n = streamed[g].estimate(), 700
+        assert abs(est - n) < 0.15 * n
