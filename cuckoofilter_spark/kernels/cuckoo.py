@@ -30,10 +30,10 @@ Divergences from the reference (deliberate, documented):
   pairs satisfies the same invariants (no false negatives, both-bucket
   membership); the physical slot layout differs from a serial C++ run.
 - **Deterministic eviction.** The reference evicts ``rand() % 4``
-  (singletable.h:222-226) — unreproducible. We use a counter-based
-  Philox generator keyed on (filter seed, round) so builds are pure
-  functions of (params, key order): required for checkpoint/resume and
-  for bit-exact canonical merges.
+  (singletable.h:222-226) — unreproducible. We use a splitmix64 stream
+  keyed on (filter seed, round) so builds are pure functions of
+  (params, key order): required for checkpoint/resume and for
+  bit-exact canonical merges (``evict_slots`` / ``evict_slot1``).
 - **Canonical merge.** The reference has no cuckoo merge (only the CQF
   does, gqf.c:2428-2475, by iterate-and-reinsert). ``merge`` follows
   that pattern: extract all stored tags with their *canonical* index
@@ -54,6 +54,37 @@ from .hashing import U64, simple_mix_split, upperpower2
 KICK_CONST = U64(0x5BD1E995)  # cuckoofilter.h:78
 MAX_KICKS = 500  # kMaxCuckooCount, cuckoofilter.h:23
 ASSOC = 4  # kTagsPerBucket, singletable.h:25
+
+_U64_MASK = 0xFFFFFFFFFFFFFFFF
+# round-stream spacing constant: consecutive rounds get bases one odd
+# 64-bit increment apart, so per-round arange windows (<= one chunk,
+# 2^16) can never overlap between rounds
+_EVICT_STEP = 0xD1B54A32D192ED03
+
+
+def evict_slots(seed: int, rnd: int, n: int) -> np.ndarray:
+    """Seeded eviction slot choices for one kick round.
+
+    The reference evicts ``rand() & (kTagsPerBucket - 1)``
+    (singletable.h:222-226) — unreproducible. This is a splitmix64
+    stream keyed on (filter seed, round): deterministic, vectorizable
+    over all in-flight chains, and O(1) per kick in the sequential
+    fallback (a per-kick ``Generator(Philox)`` construction measured
+    ~12 us and dominated saturating fill-to-failure builds).
+    """
+    from .hashing import splitmix64
+    base = U64((seed + rnd * _EVICT_STEP) & _U64_MASK)
+    return (splitmix64(base + np.arange(n, dtype=np.uint64))
+            & U64(ASSOC - 1)).astype(np.int64)
+
+
+def evict_slot1(seed: int, rnd: int) -> int:
+    """Scalar twin of ``evict_slots(seed, rnd, 1)[0]`` in pure ints
+    (the sequential AddImpl fallback runs one kick at a time)."""
+    z = ((seed + rnd * _EVICT_STEP) + 0x9E3779B97F4A7C15) & _U64_MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64_MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64_MASK
+    return (z ^ (z >> 31)) & (ASSOC - 1)
 
 _MAGIC = b"CKF1"
 # v2 header stores num_buckets directly (the stable variant uses non-2^n
@@ -314,10 +345,7 @@ class CuckooFilter:
                 # attempt >=1 -> evict a seeded-random slot, re-route evictee
                 evict = f_pos[att >= 1]
                 if evict.size:
-                    rng = np.random.Generator(
-                        np.random.Philox(key=[self.seed & 0xFFFFFFFFFFFFFFFF, self._round])
-                    )
-                    slots = rng.integers(0, ASSOC, size=evict.size)
+                    slots = evict_slots(self.seed, self._round, evict.size)
                     e_idx = cur_idx[evict]
                     old = self.table[e_idx, slots].copy()
                     undo.append((e_idx, slots, old))
@@ -384,32 +412,49 @@ class CuckooFilter:
         inserted = 0
         idx = idx.astype(np.int64)
         tag = tag.astype(self.table.dtype)
-        dt = self.table.dtype.type
+        table = self.table
+        seed = self.seed
+        # pure-int chain step (a saturating chunk runs ~10^5-10^6 kicks;
+        # per-kick numpy scalar ops made this loop the fill-to-failure
+        # wall-clock — conext-table3 protocol)
+        nb = self.num_buckets
+        nb_mask = nb - 1
+        kick_const = int(KICK_CONST)
+        stable = self.stable
+        half = nb >> 1
         for j in range(idx.size):
             if self.victim_used:
                 if raise_on_full:
                     raise CuckooFullError(
                         "victim cache occupied (cuckoofilter.h:148-150)")
                 return inserted
-            i, t = int(idx[j]), dt(tag[j])
+            i, t = int(idx[j]), int(tag[j])
             placed = False
             for count in range(MAX_KICKS):
-                row = self.table[i]
-                z = np.flatnonzero(row == 0)
-                if z.size:
-                    self.table[i, z[0]] = t
-                    placed = True
-                    break
+                r0, r1, r2, r3 = table[i].tolist()
+                if r0 == 0:
+                    table[i, 0] = t; placed = True; break
+                if r1 == 0:
+                    table[i, 1] = t; placed = True; break
+                if r2 == 0:
+                    table[i, 2] = t; placed = True; break
+                if r3 == 0:
+                    table[i, 3] = t; placed = True; break
                 if count > 0:  # kickout from the current bucket
                     self._round += 1
-                    rng = np.random.Generator(np.random.Philox(
-                        key=[self.seed & 0xFFFFFFFFFFFFFFFF, self._round]))
-                    s = int(rng.integers(0, ASSOC))
-                    old = self.table[i, s]
-                    self.table[i, s] = t
+                    s = evict_slot1(seed, self._round)
+                    old = (r0, r1, r2, r3)[s]
+                    table[i, s] = t
                     t = old
-                i = int(self.alt_index(np.array([i], dtype=np.int64),
-                                       np.array([t]))[0])
+                # AltIndex, scalar form (cuckoofilter.h:75-81 /
+                # cuckoofilter_stable.h:67-102) — pinned against the
+                # vectorized alt_index by a parity test
+                if stable:
+                    h = (t * 0xC4CEB9FE1A85EC53) & _U64_MASK
+                    r = (((h & 0xFFFFFFFF) * half) >> 32) * 2 + 1
+                    i = (nb - i - r) % nb
+                else:
+                    i = (i ^ ((t * kick_const) & _U64_MASK)) & nb_mask
             if not placed:
                 # park the in-flight tag (cuckoofilter.h:177-180); Ok
                 self.victim_used = True

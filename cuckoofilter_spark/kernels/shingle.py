@@ -161,7 +161,8 @@ class ShingleFilter:
             # slot-1 entry whose offset bit is 0 lives at its own home and
             # can slide into the next overlap slot (the robin-hood push of
             # shingle.h:113-128, which is what reaches the 12/12.75 load);
-            # otherwise a seeded coin, like cuckoo.py's Philox rand
+            # otherwise a seeded coin (round-keyed, like cuckoo.py's
+            # seeded eviction stream)
             ev = np.flatnonzero(need_evict)
             ev_off = np.zeros(0, dtype=np.int64)
             if ev.size:

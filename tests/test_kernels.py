@@ -519,3 +519,43 @@ def test_cqf_kernel():
     import pytest
     with pytest.raises(ValueError):
         CQF.merge(CQF(q=20, r=28, seed=2), CQF(q=20, r=28, seed=3))
+
+
+def test_evict_slot_scalar_matches_vector():
+    """evict_slot1 is the pure-int twin of evict_slots (the sequential
+    AddImpl fallback draws one slot per kick; the parallel rounds draw
+    a vector per round — both must read the same seeded stream)."""
+    from cuckoofilter_spark.kernels.cuckoo import evict_slot1, evict_slots
+    for seed in (0, 0x5EED, (1 << 64) - 1):
+        for rnd in (1, 2, 77, 10**9):
+            v = evict_slots(seed, rnd, 16)
+            assert ((v >= 0) & (v < 4)).all()
+            assert evict_slot1(seed, rnd) == v[0]
+    # distinct rounds give a fresh draw stream (no constant stutter)
+    firsts = {evict_slot1(7, r) for r in range(1, 64)}
+    assert firsts == {0, 1, 2, 3}
+
+
+def test_seq_alt_index_scalar_parity():
+    """The scalar AltIndex inside _add_tags_seq must agree with the
+    vectorized alt_index for both sizing variants (fill-to-failure is
+    the only path that exercises the scalar form heavily)."""
+    from cuckoofilter_spark.kernels.cuckoo import _U64_MASK
+
+    for stable in (False, True):
+        f = CuckooFilter.create(100_000, bits=12, seed=9, stable=stable)
+        nb = f.num_buckets
+        idx = np.arange(0, nb, max(1, nb // 257), dtype=np.int64)
+        tags = (splitmix64_seq(3, idx.size) % 4095 + 1).astype(np.uint64)
+        want = f.alt_index(idx, tags)
+        kick_const = 0x5BD1E995
+        half = nb >> 1
+        for k in range(idx.size):
+            i, t = int(idx[k]), int(tags[k])
+            if stable:
+                h = (t * 0xC4CEB9FE1A85EC53) & _U64_MASK
+                r = (((h & 0xFFFFFFFF) * half) >> 32) * 2 + 1
+                got = (nb - i - r) % nb
+            else:
+                got = (i ^ ((t * kick_const) & _U64_MASK)) & (nb - 1)
+            assert got == int(want[k])
