@@ -129,6 +129,32 @@ def q_multimap_find(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(multimap_values_col(spark, mm, "mm_key")).alias("mm_val"))
 
 
+def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-indexed scan pruning (AMQ data skipping): one cuckoo
+    filter per parquet file of lineitem over l_partkey; a selective
+    probe set (small parts) prunes the file list before the scan, the
+    exact semi-join runs on the survivors. No false negatives, so the
+    pruned plan's answer equals the unpruned semi-join — the
+    distributed Contain-before-expensive-lookup of
+    cuckoofilter.h:163-205, where the expensive lookup is file IO.
+    plans/pruning.py; multi-file pruning behavior pinned in
+    tests/test_pruning.py."""
+    from cuckoofilter_spark.plans.pruning import (file_sketch_index,
+                                                  pruned_parquet)
+
+    path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    probe = (_t(spark, sf_dir, "part")
+             .where(F.col("p_size") <= 4).select("p_partkey"))
+    idx = file_sketch_index(spark, path, "l_partkey", seed=SEED)
+    pruned = pruned_parquet(spark, path, idx, probe, col="p_partkey")
+    return (pruned.join(F.broadcast(probe.distinct()),
+                        pruned["l_partkey"] == F.col("p_partkey"),
+                        "leftsemi")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.countDistinct("l_partkey").alias("n_parts")))
+
+
 def q_cf_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete semantics (cuckoofilter.h:206-238): build over
     l_partkey<1000, delete the <500 subset, probe part — survivors are
@@ -1257,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_bloom64_membership": q_blocked_bloom64_membership,
         "fixed_blocked_bloom_membership": q_fixed_blocked_bloom_membership,
         "multimap_find": q_multimap_find,
+        "pruned_scan": q_pruned_scan,  # session 5: AMQ data skipping
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -1329,6 +1356,14 @@ def oracle_sql() -> dict[str, str]:
         "cf_sharded_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "pruned_scan": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 4)
+            GROUP BY l_returnflag
         """,
         "xor_membership": """
             SELECT p_partkey AS member_key FROM part

@@ -144,7 +144,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
         added_post_r3 = {"cf_sharded_membership",
                          "blocked_bloom64_membership",
                          "fixed_blocked_bloom_membership",
-                         "multimap_find"}
+                         "multimap_find",
+                         "pruned_scan"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:
