@@ -68,7 +68,18 @@ def file_sketch_index(spark: SparkSession, path: str, col: str,
     landed. Persist the result with ``.write.parquet`` to reuse across
     probes (it is tiny: ~13 bits per distinct key).
     """
-    df = spark.read.parquet(path)
+    return _index_df(spark.read.parquet(path), col, bits=bits, seed=seed)
+
+
+def _index_files(spark: SparkSession, path: str, files: list[str], col: str,
+                 bits: int, seed: int) -> DataFrame:
+    """Index a subset of a table's files (incremental maintenance)."""
+    schema = spark.read.parquet(path).schema
+    return _index_df(spark.read.schema(schema).parquet(*files), col,
+                     bits=bits, seed=seed)
+
+
+def _index_df(df: DataFrame, col: str, bits: int, seed: int) -> DataFrame:
     is_array = require_key_col(df, col)
     base = (df.select(F.col("_metadata.file_path").alias("file"),
                       F.col(col).alias("k"))
@@ -99,6 +110,32 @@ def file_sketch_index(spark: SparkSession, path: str, col: str,
                              "blob": [filt.to_bytes()]})
 
     return packed.groupBy("file").applyInPandas(build_file, _INDEX_SCHEMA)
+
+
+def update_file_sketch_index(spark: SparkSession, path: str, col: str,
+                             index: DataFrame,
+                             bits: int = 12, seed: int = 0x5EED) -> DataFrame:
+    """Incrementally maintain a persisted index as files arrive.
+
+    Per-file filters are independent, so appended data never requires
+    a rebuild: index ONLY the files of ``path`` absent from ``index``
+    and union them in. Files that disappeared (compaction, retention)
+    drop out — a stale survivor would only cost a pruned-read miss,
+    but dropping keeps ``prune_files`` scanning exactly the live file
+    set. Build cost is proportional to NEW data, the maintenance shape
+    a 100-TB ingest loop needs.
+    """
+    df = spark.read.parquet(path)
+    require_key_col(df, col)
+    live = df.select(
+        F.col("_metadata.file_path").alias("file")).distinct()
+    known = index.select("file").distinct()
+    new_files = [r.file for r in live.join(known, "file", "left_anti").collect()]
+    kept = index.join(live, "file", "left_semi")
+    if not new_files:
+        return kept
+    fresh = _index_files(spark, path, new_files, col, bits=bits, seed=seed)
+    return kept.unionByName(fresh)
 
 
 def _probe_keys_u64(probe: DataFrame | np.ndarray | list, col: str | None) -> np.ndarray:

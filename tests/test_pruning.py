@@ -94,3 +94,46 @@ def test_dataframe_probe_and_null_keys(spark, keyed_table):
 def test_string_key_column_refused_eagerly(spark, keyed_table):
     with pytest.raises(TypeError, match="xxhash64"):
         file_sketch_index(spark, keyed_table, "payload")
+
+
+def test_incremental_index_update(spark, tmp_path):
+    from cuckoofilter_spark.plans.pruning import update_file_sketch_index
+
+    path = str(tmp_path / "grow")
+    spark.range(100).select(F.col("id").alias("key"),
+                            F.lit("a").alias("src")) \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    idx0 = file_sketch_index(spark, path, "key", seed=5)
+    rows0 = {r.file: (r.n_keys, bytes(r.blob)) for r in idx0.collect()}
+
+    # append a file with a disjoint key range
+    spark.range(1000, 1100).select(F.col("id").alias("key"),
+                                   F.lit("b").alias("src")) \
+        .coalesce(1).write.mode("append").parquet(path)
+    idx1 = update_file_sketch_index(spark, path, "key",
+                                    spark.createDataFrame(
+                                        [(f, n, b) for f, (n, b) in rows0.items()],
+                                        "file string, n_keys long, blob binary"),
+                                    seed=5)
+    rows1 = {r.file: (r.n_keys, bytes(r.blob)) for r in idx1.collect()}
+    assert set(rows0) < set(rows1) and len(rows1) == len(rows0) + 1
+    for f, v in rows0.items():  # existing blobs reused bit-identically
+        assert rows1[f] == v
+    # the appended keys are findable through the updated index
+    kept = prune_files(spark, idx1, [1050])
+    new_file = next(iter(set(rows1) - set(rows0)))
+    assert new_file in kept
+    assert (pruned_parquet(spark, path, idx1, [1050])
+            .where("key = 1050").count() == 1)
+
+    # a vanished file drops out of the maintained index
+    import os
+    victim = next(iter(rows0))
+    os.remove(victim.removeprefix("file://").removeprefix("file:"))
+    # a persisted index survives its source files; a lazy one would
+    # re-run the build lineage over the vanished file
+    idx1_stored = spark.createDataFrame(
+        [(f, n, b) for f, (n, b) in rows1.items()],
+        "file string, n_keys long, blob binary")
+    idx2 = update_file_sketch_index(spark, path, "key", idx1_stored, seed=5)
+    assert victim not in {r.file for r in idx2.collect()}
