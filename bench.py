@@ -637,6 +637,16 @@ def run_bench(build_only: bool) -> dict:
     scaling_parts = os.environ.get("SPARK_GRAFT_SCALING_PARTS")
     run_families = not (build_only
                         or os.environ.get("SPARK_GRAFT_SKIP_PROBE_SORT"))
+    # kernel-level fill-to-failure FIRST: it times driver-process numpy
+    # loops, which the 20M-probe Spark stages tax for seconds afterwards
+    # (freed pages return to the host and re-fault — the stage-bleed
+    # trap); context row, never let it cost the record
+    table3 = None
+    if run_families:
+        try:
+            table3 = table3_suite()
+        except Exception as exc:  # noqa: BLE001
+            table3 = {"error": f"{type(exc).__name__}: {exc}"[:500]}
     build = token_build_suite(
         spark, sf, num_docs=int(scaling_docs) if scaling_docs else None,
         partitions=int(scaling_parts) if scaling_parts else None,
@@ -650,12 +660,7 @@ def run_bench(build_only: bool) -> dict:
             build["figure5"] = figure5_suite(spark)
         except Exception as exc:  # noqa: BLE001
             build["figure5"] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
-        # kernel-level fill-to-failure (no Spark stage churn); context
-        # row — never let it cost the record
-        try:
-            build["table3"] = table3_suite()
-        except Exception as exc:  # noqa: BLE001
-            build["table3"] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        build["table3"] = table3
     queries = {} if build_only else query_suite(spark, sf_dir)
     total = round(time.time() - t_all, 3)
 
