@@ -951,7 +951,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_set = _scoped_cache(
         "contamination_train",
         word_gram_hashes(train, "doc_id", "text", k=8).select("h").distinct())
-    tg = word_gram_hashes(test, "doc_id", "text", k=8)
+    # also cached: the eval-split gram rows are scanned TWICE (exact
+    # join + AMQ probe) — without the cache the 8-gram pipeline over
+    # the eval split runs once per consumer
+    tg = _scoped_cache(
+        "contamination_test",
+        word_gram_hashes(test, "doc_id", "text", k=8))
     exact = (tg.join(train_set.withColumn("m", F.lit(True)), "h", "left")
              .groupBy("doc")
              .agg(F.count("*").alias("n_grams"),
