@@ -809,6 +809,53 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "cnt", "users", "value_sum"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (4-hour gap) via F.session_window —
+    the identical operator Structured Streaming runs incrementally
+    with a watermark; batch form here. Per (user, session): start,
+    close (last event + gap), event count, value sum. Oracle is the
+    ANSI gap-and-islands restatement (new session on diff > gap,
+    strict — session_window merges the exact-boundary successor;
+    pinned in tests/test_events.py)."""
+    from cuckoofilter_spark.ops.events import sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"), "user_id", "ts",
+                   gap="4 hours", value_col="value")
+    us = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.select(
+        "user_id",
+        F.date_format("session_start", us).alias("session_start"),
+        F.date_format("session_end", us).alias("session_end"),
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"))
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward inclusive as-of join (ops/events.asof_join): attribute
+    every purchase event to the user's latest click at-or-before it —
+    the point-in-time-lookup join Spark lacks natively, composed as
+    union + one keyed prefix window (ONE exchange). Clicks are
+    canonicalized to one row per (user, ts) (max event_id) so the
+    match is deterministic in both engines; DuckDB oracles it with its
+    native ASOF LEFT JOIN."""
+    from cuckoofilter_spark.ops.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="ts", right_ts="ts", right_vals=["click_id"])
+    us = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", us).alias("purchase_ts"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.date_format("asof_ts", us), F.lit("")).alias("click_ts"))
+
+
 # --------------------------------------------------------------------------
 # text analysis (training-pipeline ops)
 # --------------------------------------------------------------------------
@@ -1289,6 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_blocked_bloom_membership": q_fixed_blocked_bloom_membership,
         "multimap_find": q_multimap_find,
         "pruned_scan": q_pruned_scan,  # session 5: AMQ data skipping
+        "sessionize": q_sessionize,  # session 6: session_window batch form
+        "asof_attribution": q_asof_attribution,  # session 6: as-of join
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -1369,6 +1418,45 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 4)
             GROUP BY l_returnflag
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts > lag(ts) OVER w + INTERVAL 4 HOUR
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(max(ts) + INTERVAL 4 HOUR,
+                            '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS value_sum
+            FROM s GROUP BY user_id, sid
+        """,
+        "asof_attribution": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   COALESCE(c.click_id, -1) AS click_id,
+                   COALESCE(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), '')
+                       AS click_ts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "xor_membership": """
             SELECT p_partkey AS member_key FROM part

@@ -1,0 +1,131 @@
+"""Event-stream operators: gap sessionization and as-of join.
+
+Two classic event-table operators a training-data / analytics pipeline
+runs over append-only logs, re-expressed Spark-first:
+
+- ``sessionize``: gap-based session windows via ``F.session_window`` —
+  literally the Structured Streaming session operator (readStream +
+  withWatermark + the same groupBy runs incrementally with state
+  eviction); here in its batch form. One shuffle on the session key;
+  the aggregate is partial-merge (SessionWindowStateStore does the same
+  merge incrementally), so a hot user never materializes its raw rows
+  in one task beyond the sort the session assignment needs.
+- ``asof_join``: for every left row, the latest right row with
+  ``right_ts <= left_ts`` per key (backward as-of, inclusive — the
+  attribution / point-in-time-lookup join). Spark has no native ASOF;
+  the composition below is the standard scalable form: union the two
+  sides, one window per key ordered by (ts, side) carrying the last
+  non-null right payload forward, keep left rows. ONE shuffle + sort
+  on the key — same exchange count as the sort-merge join Catalyst
+  would pick for an equi-join, no range explosion, no per-row Python.
+
+Semantics notes (pinned by tests/test_events.py):
+
+- ``session_window`` merges a successor at exactly ``prev + gap`` into
+  the SAME session (inclusive boundary — measured on Spark 4.1.2: events
+  at 0:00 / 1:00 / 1:59:59 with a 1-hour gap form ONE session ending
+  2:59:59). The DuckDB oracle's gap-and-islands restatement therefore
+  flags a new session on ``diff > gap``, strict. ``session_end`` is
+  ``last event ts + gap`` (the window close), not the last event.
+- ``asof_join`` ties: a right row at exactly ``left_ts`` matches
+  (right sorts before left at equal ts). Multiple right rows sharing
+  (key, ts) make the match non-deterministic in ANY engine — callers
+  must canonicalize the right side to one row per (key, ts) first
+  (the query wrappers aggregate with max()).
+
+Scale: both ops shuffle once on the key. A pathologically hot key
+(one user with a billion events) serializes that key's sort into one
+task — for event logs keyed by user/session this is bounded by
+nature; if a key can be unbounded, pre-bucket by (key, coarse time
+bucket) and carry the last value across bucket boundaries with a
+second, buckets-only window (the two-level scan pattern used by
+``ops.packing.pack_chunks``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# internal column names used by the asof union plan; asserted absent
+# from the caller's frames (Spark column resolution is case-insensitive,
+# so a caller's "_SIDE" would silently collide with "_side")
+_ASOF_INTERNAL = ("_k", "_ts", "_side")
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str,
+               gap: str = "4 hours", value_col: str | None = None,
+               ) -> DataFrame:
+    """Per-(key, session) stats under a gap-based session window.
+
+    Returns one row per session: ``key_col``, ``session_start`` (first
+    event ts), ``session_end`` (last event ts + gap — the window-close
+    semantics of ``F.session_window``), ``n_events``, and — when
+    ``value_col`` is given — ``value_sum``.
+
+    This is the exact operator Structured Streaming executes for
+    ``readStream ... groupBy(session_window(ts, gap), key)`` with a
+    watermark; batch form here, so late data is simply present.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return (df.groupBy(F.session_window(ts_col, gap).alias("_w"),
+                       F.col(key_col))
+            .agg(*aggs)
+            .select(key_col,
+                    F.col("_w.start").alias("session_start"),
+                    F.col("_w.end").alias("session_end"),
+                    *[F.col(a) for a in
+                      (("n_events", "value_sum") if value_col is not None
+                       else ("n_events",))]))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              right_vals: list[str] | tuple[str, ...],
+              matched_ts_col: str = "asof_ts") -> DataFrame:
+    """Backward as-of join (inclusive): attach to every left row the
+    payload of the latest right row with ``right_ts <= left_ts`` for
+    the same ``on`` key; NULL payload when no right row precedes.
+
+    All left columns are preserved; appended columns are ``right_vals``
+    (right payload at the matched row) plus ``matched_ts_col`` (the
+    matched right timestamp). Right side must be unique per
+    (``on``, ``right_ts``) for deterministic output — see module doc.
+
+    Plan shape: one union, ONE exchange (hashpartitioning on the key),
+    one sort per partition, a running ``last(..., ignorenulls=True)``
+    window, then a filter back to left rows. The window frame is
+    growing-prefix, so Spark streams it without buffering whole
+    partitions (UnboundedPrecedingWindowFunctionFrame).
+    """
+    clash = [c for c in left.columns
+             if c.lower() in _ASOF_INTERNAL or c.lower().startswith("_r_")]
+    if clash:
+        raise ValueError(f"left columns collide with asof internals: {clash}")
+    missing = [c for c in right_vals if c not in right.columns]
+    if missing:
+        raise ValueError(f"right_vals not in right side: {missing}")
+
+    l2 = (left
+          .withColumn("_k", F.col(on))
+          .withColumn("_ts", F.col(left_ts))
+          .withColumn("_side", F.lit(1)))
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_r__ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_vals])
+    un = l2.unionByName(r2, allowMissingColumns=True)
+
+    w = (Window.partitionBy("_k")
+         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+               for c in right_vals]
+    carried.append(
+        F.last("_r__ts", ignorenulls=True).over(w).alias(matched_ts_col))
+    out = (un.select("*", *carried)
+           .where(F.col("_side") == 1))
+    return out.select(*left.columns, *right_vals, matched_ts_col)

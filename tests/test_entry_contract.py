@@ -145,7 +145,9 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "blocked_bloom64_membership",
                          "fixed_blocked_bloom_membership",
                          "multimap_find",
-                         "pruned_scan"}
+                         "pruned_scan",
+                         "sessionize",
+                         "asof_attribution"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

@@ -1,0 +1,133 @@
+"""ops/events: gap sessionization + as-of join.
+
+Pins the two cross-engine-sensitive semantics the DuckDB oracles rely
+on (session_window's INCLUSIVE exact-gap merge; asof's inclusive
+backward match with right-sorts-first ties), checks the asof answer
+against an independent pandas merge_asof oracle on a randomized
+workload, and asserts the one-exchange plan shape of the asof
+composition.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.ops.events import asof_join, sessionize
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_session_window_exact_gap_merges(spark):
+    """An event at exactly prev + gap joins the SAME session (inclusive
+    boundary), and session_end is last-event + gap. This is the measured
+    Spark 4.1.2 semantics the DuckDB oracle's strict `diff > gap`
+    restatement depends on — if this test ever fails, the sessionize
+    oracle in __spark_entry__ must flip to `>=`."""
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+            (1, dt.datetime(2024, 1, 1, 1, 0, 0)),       # exactly +gap
+            (1, dt.datetime(2024, 1, 1, 1, 59, 59)),     # within gap
+            (1, dt.datetime(2024, 1, 1, 3, 0, 0)),       # 1s past gap: new
+            (2, dt.datetime(2024, 1, 1, 0, 0, 0, 123456))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in sessionize(df, "user_id", "ts", gap="1 hour").collect()}
+    assert got == {
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0),
+         dt.datetime(2024, 1, 1, 2, 59, 59), 3),
+        (1, dt.datetime(2024, 1, 1, 3, 0, 0),
+         dt.datetime(2024, 1, 1, 4, 0, 0), 1),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+         dt.datetime(2024, 1, 1, 1, 0, 0, 123456), 1),
+    }
+
+
+def test_sessionize_value_sum(spark):
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0, 0), 1.5),
+            (1, dt.datetime(2024, 1, 1, 0, 30, 0), 2.5)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sessionize(df, "user_id", "ts", gap="1 hour",
+                     value_col="value").collect()
+    assert len(out) == 1 and out[0].n_events == 2 and out[0].value_sum == 4.0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized parity with pandas merge_asof (backward, inclusive):
+    8 keys, duplicate left timestamps, left rows with no preceding
+    right row (NULL path), and a canonicalized right side."""
+    rng = np.random.default_rng(20260819)
+    n_l, n_r = 500, 350
+    lp = pd.DataFrame({
+        "k": rng.integers(0, 8, n_l),
+        "lts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+        "lid": np.arange(n_l)})
+    rp = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r),
+        "rts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+        "v": rng.integers(0, 1000, n_r)})
+    rp = rp.groupby(["k", "rts"], as_index=False).agg(v=("v", "max"))
+
+    out = asof_join(spark.createDataFrame(lp), spark.createDataFrame(rp),
+                    on="k", left_ts="lts", right_ts="rts",
+                    right_vals=["v"]).toPandas()
+    exp = pd.merge_asof(lp.sort_values("lts"), rp.sort_values("rts"),
+                        left_on="lts", right_on="rts", by="k",
+                        allow_exact_matches=True, direction="backward")
+    got = out.sort_values("lid").reset_index(drop=True)
+    exp = exp.sort_values("lid").reset_index(drop=True)
+    assert exp["v"].isna().sum() > 0  # the NULL path is exercised
+    assert (got["v"].fillna(-1).to_numpy()
+            == exp["v"].fillna(-1).to_numpy()).all()
+    assert (got["asof_ts"].fillna(pd.Timestamp(0)).to_numpy()
+            == exp["rts"].fillna(pd.Timestamp(0)).to_numpy()).all()
+
+
+def test_asof_join_exact_tie_matches(spark):
+    """A right row at exactly left_ts is matched (inclusive backward)."""
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t, 10)], "k long, lts timestamp, lid long")
+    right = spark.createDataFrame([(1, t, 99)], "k long, rts timestamp, v long")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_vals=["v"]).collect()
+    assert out[0].v == 99 and out[0].asof_ts == t
+
+
+def test_asof_join_rejects_internal_collisions(spark):
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, 0)], "k long, lts timestamp, _SIDE long")
+    right = spark.createDataFrame([(1, t, 1)], "k long, rts timestamp, v long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  right_vals=["v"])
+    with pytest.raises(ValueError, match="right_vals"):
+        asof_join(left.drop("_SIDE"), right, on="k", left_ts="lts",
+                  right_ts="rts", right_vals=["nope"])
+
+
+def test_asof_join_single_exchange_no_python(spark):
+    """The asof composition's physical plan: exactly ONE exchange (the
+    key hashpartitioning the window needs — the union reads feed it
+    directly) and no Python evaluation anywhere."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i % 5, t0 + dt.timedelta(seconds=i), i) for i in range(100)],
+        "k long, lts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(i % 5, t0 + dt.timedelta(seconds=3 * i), i) for i in range(40)],
+        "k long, rts timestamp, v long")
+    df = asof_join(left, right, on="k", left_ts="lts",
+                   right_ts="rts", right_vals=["v"])
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Exchange") == 1, executed
+    assert "hashpartitioning(_k" in executed, executed
+    assert "Python" not in executed, executed
