@@ -114,6 +114,46 @@ def test_asof_join_rejects_internal_collisions(spark):
                   right_ts="rts", right_vals=["nope"])
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """sessionize IS the Structured Streaming session operator: the
+    same call over readStream + withWatermark, append mode. Three
+    micro-batches (maxFilesPerTrigger=1); user 2's events arrive in
+    DIFFERENT batches and must merge into one session (the state-store
+    session merge); a far-future sentinel advances the watermark so
+    every real session closes and is emitted. Streamed rows == the
+    batch run over the same events."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [(1, t0), (1, t0 + dt.timedelta(minutes=30)), (2, t0)]
+    rows2 = [(1, t0 + dt.timedelta(hours=3)),
+             (2, t0 + dt.timedelta(minutes=20))]   # merges with batch-1 row
+    sentinel = [(999, t0 + dt.timedelta(days=2))]  # watermark flush
+    schema = "user_id long, ts timestamp"
+    src = str(tmp_path / "src")
+    for chunk in (rows1, rows2, sentinel):
+        (spark.createDataFrame(chunk, schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sess = sessionize(stream.withWatermark("ts", "10 minutes"),
+                      "user_id", "ts", gap="1 hour")
+    q = (sess.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess_stream").collect()}
+    exp = {tuple(r) for r in
+           sessionize(spark.createDataFrame(rows1 + rows2, schema),
+                      "user_id", "ts", gap="1 hour").collect()}
+    assert got == exp
+    # the cross-batch merge really happened: user 2 has ONE session of 2
+    assert sum(1 for r in got if r[0] == 2) == 1
+    assert next(r[3] for r in got if r[0] == 2) == 2
+
+
 def test_asof_join_single_exchange_no_python(spark):
     """The asof composition's physical plan: exactly ONE exchange (the
     key hashpartitioning the window needs — the union reads feed it
