@@ -36,20 +36,24 @@ Semantics notes (pinned by tests/test_events.py):
 Scale: both ops shuffle once on the key. A pathologically hot key
 (one user with a billion events) serializes that key's sort into one
 task — for event logs keyed by user/session this is bounded by
-nature; if a key can be unbounded, pre-bucket by (key, coarse time
-bucket) and carry the last value across bucket boundaries with a
-second, buckets-only window (the two-level scan pattern used by
-``ops.packing.pack_chunks``).
+nature; if a key can be unbounded, pass ``bucket_seconds`` to
+``asof_join`` for the two-level form: the prefix window runs per
+(key, time bucket) — parallel across a hot key's buckets — and a
+second, buckets-only window carries the last right value across
+bucket boundaries, so no task ever sees more than one bucket of one
+key plus a #buckets-sized carry row set. Identical answers (pinned by
+test at several widths, including one bucket == the plain path).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-# internal column names used by the asof union plan; asserted absent
-# from the caller's frames (Spark column resolution is case-insensitive,
-# so a caller's "_SIDE" would silently collide with "_side")
-_ASOF_INTERNAL = ("_k", "_ts", "_side")
+# internal column names used by the asof union/bucket plans; asserted
+# absent from the caller's frames (Spark column resolution is
+# case-insensitive, so a caller's "_SIDE" would silently collide with
+# "_side")
+_ASOF_INTERNAL = ("_k", "_ts", "_side", "_b", "_cin", "_s")
 
 
 def sessionize(df: DataFrame, key_col: str, ts_col: str,
@@ -83,7 +87,8 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               right_vals: list[str] | tuple[str, ...],
-              matched_ts_col: str = "asof_ts") -> DataFrame:
+              matched_ts_col: str = "asof_ts",
+              bucket_seconds: int | None = None) -> DataFrame:
     """Backward as-of join (inclusive): attach to every left row the
     payload of the latest right row with ``right_ts <= left_ts`` for
     the same ``on`` key; NULL payload when no right row precedes.
@@ -93,14 +98,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     matched right timestamp). Right side must be unique per
     (``on``, ``right_ts``) for deterministic output — see module doc.
 
-    Plan shape: one union, ONE exchange (hashpartitioning on the key),
-    one sort per partition, a running ``last(..., ignorenulls=True)``
-    window, then a filter back to left rows. The window frame is
-    growing-prefix, so Spark streams it without buffering whole
-    partitions (UnboundedPrecedingWindowFunctionFrame).
+    Plan shape, default (``bucket_seconds=None``): one union, ONE
+    exchange (hashpartitioning on the key), one sort per partition, a
+    running ``last(..., ignorenulls=True)`` window, then a filter back
+    to left rows. The window frame is growing-prefix, so Spark streams
+    it without buffering whole partitions
+    (UnboundedPrecedingWindowFunctionFrame).
+
+    Hot-key scale path (``bucket_seconds=N``): the prefix window runs
+    per (key, floor(ts/N)) — a hot key's rows spread across its time
+    buckets — and the cross-bucket carry is a second window over ONE
+    summary row per non-empty (key, bucket) (the last right row of the
+    bucket, taken as max-by-ts struct), shifted one bucket back
+    (``rowsBetween(unbounded, -1)``). Final value = within-bucket
+    prefix, else carry-in. Costs two more exchanges than the plain
+    form; per-task input is one bucket of one key plus the
+    buckets-per-key carry rows.
     """
     clash = [c for c in left.columns
-             if c.lower() in _ASOF_INTERNAL or c.lower().startswith("_r_")]
+             if c.lower() in _ASOF_INTERNAL
+             or c.lower().startswith(("_r_", "_p_"))]
     if clash:
         raise ValueError(f"left columns collide with asof internals: {clash}")
     missing = [c for c in right_vals if c not in right.columns]
@@ -111,21 +128,65 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
           .withColumn("_k", F.col(on))
           .withColumn("_ts", F.col(left_ts))
           .withColumn("_side", F.lit(1)))
+    # "__ts" rides along as a pseudo right-val so both code paths carry
+    # the matched right timestamp exactly like a payload column
+    rcols = [*right_vals, "__ts"]
+    out_names = [*right_vals, matched_ts_col]
     r2 = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(right_ts).alias("_r__ts"),
+        F.col(right_ts).alias("_r___ts"),
         *[F.col(c).alias(f"_r_{c}") for c in right_vals])
     un = l2.unionByName(r2, allowMissingColumns=True)
 
-    w = (Window.partitionBy("_k")
-         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-               for c in right_vals]
-    carried.append(
-        F.last("_r__ts", ignorenulls=True).over(w).alias(matched_ts_col))
-    out = (un.select("*", *carried)
-           .where(F.col("_side") == 1))
-    return out.select(*left.columns, *right_vals, matched_ts_col)
+    if bucket_seconds is None:
+        w = (Window.partitionBy("_k")
+             .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = [F.last(f"_r_{c}", ignorenulls=True).over(w).alias(name)
+                   for c, name in zip(rcols, out_names)]
+        out = un.select("*", *carried).where(F.col("_side") == 1)
+        return out.select(*left.columns, *out_names)
+
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    # bucket id = tumbling-window start: works for BOTH TimestampType
+    # and TimestampNTZType (a numeric cast of TIMESTAMP_NTZ is refused
+    # by the analyzer — caught by the /tmp verify drive, not the test
+    # fixture, whose session reads parquet as LTZ), and window-start is
+    # monotone in ts so bucket order == time order
+    un = un.withColumn(
+        "_b", F.window(F.col("_ts"), f"{bucket_seconds} seconds")["start"])
+
+    # stage 1: within-bucket growing prefix (parallel across buckets)
+    w1 = (Window.partitionBy("_k", "_b")
+          .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = un.select("*", *[
+        F.last(f"_r_{c}", ignorenulls=True).over(w1).alias(f"_p_{c}")
+        for c in rcols])
+
+    # stage 2: one row per non-empty right bucket — its LAST right row
+    # (struct max orders by _ts first; (key, ts) is unique on the right)
+    summ = (un.where(F.col("_side") == 0)
+            .groupBy("_k", "_b")
+            .agg(F.max(F.struct("_ts", *[f"_r_{c}" for c in rcols]))
+                 .alias("_s")))
+    # carry-in for EVERY bucket the union touches: last summary strictly
+    # before it — a buckets-only window (the hot-key reduction)
+    wb = (Window.partitionBy("_k").orderBy(F.col("_b").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (un.select("_k", "_b").distinct()
+             .join(summ, ["_k", "_b"], "left")
+             .select("_k", "_b",
+                     F.last("_s", ignorenulls=True).over(wb).alias("_cin")))
+
+    out = (pre.where(F.col("_side") == 1)
+           .join(carry, ["_k", "_b"], "left")
+           .select(*left.columns,
+                   *[F.coalesce(F.col(f"_p_{c}"),
+                                F.col("_cin").getField(f"_r_{c}"))
+                     .alias(name)
+                     for c, name in zip(rcols, out_names)]))
+    return out

@@ -9,6 +9,7 @@ composition.
 """
 
 import datetime as dt
+import re
 
 import numpy as np
 import pandas as pd
@@ -112,6 +113,67 @@ def test_asof_join_rejects_internal_collisions(spark):
     with pytest.raises(ValueError, match="right_vals"):
         asof_join(left.drop("_SIDE"), right, on="k", left_ts="lts",
                   right_ts="rts", right_vals=["nope"])
+
+
+@pytest.mark.parametrize("bucket_seconds", [3600, 86400, 10**9])
+def test_asof_join_bucketed_equals_plain(spark, bucket_seconds):
+    """The hot-key two-level form (per-(key, time-bucket) prefix window
+    + buckets-only carry window) returns EXACTLY the plain path's
+    answer — at a fine width, a coarse width, and one giant bucket
+    (which degenerates to the plain form). Workload includes a hot key
+    holding half of all rows, exact ties, and left rows before any
+    right row."""
+    rng = np.random.default_rng(42)
+    n_l, n_r = 600, 400
+    hot = np.where(rng.random(n_l) < 0.5, 0, rng.integers(1, 6, n_l))
+    lp = pd.DataFrame({
+        "k": hot,
+        "lts": pd.to_datetime(rng.integers(0, 30 * 86400, n_l), unit="s"),
+        "lid": np.arange(n_l)})
+    rp = pd.DataFrame({
+        "k": np.where(rng.random(n_r) < 0.5, 0, rng.integers(1, 6, n_r)),
+        "rts": pd.to_datetime(rng.integers(0, 30 * 86400, n_r), unit="s"),
+        "v": rng.integers(0, 1000, n_r)})
+    rp = rp.groupby(["k", "rts"], as_index=False).agg(v=("v", "max"))
+    L, R = spark.createDataFrame(lp), spark.createDataFrame(rp)
+
+    plain = asof_join(L, R, on="k", left_ts="lts", right_ts="rts",
+                      right_vals=["v"]).toPandas()
+    bucketed = asof_join(L, R, on="k", left_ts="lts", right_ts="rts",
+                         right_vals=["v"],
+                         bucket_seconds=bucket_seconds).toPandas()
+    a = plain.sort_values("lid").reset_index(drop=True)
+    b = bucketed.sort_values("lid").reset_index(drop=True)
+    assert (a["v"].fillna(-1).to_numpy() == b["v"].fillna(-1).to_numpy()).all()
+    assert (a["asof_ts"].fillna(pd.Timestamp(0)).to_numpy()
+            == b["asof_ts"].fillna(pd.Timestamp(0)).to_numpy()).all()
+
+
+def test_asof_join_bucketed_window_partitions_by_bucket(spark):
+    """The scale property itself: the bucketed form's big window
+    partitions by (key, bucket) — a hot key's rows spread over its
+    buckets — and the only key-wide window runs over bucket summaries,
+    not rows."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(0, t0 + dt.timedelta(minutes=i), i) for i in range(50)],
+        "k long, lts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(0, t0 + dt.timedelta(minutes=2 * i), i) for i in range(25)],
+        "k long, rts timestamp, v long")
+    df = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                   right_vals=["v"], bucket_seconds=600)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # the row-bearing prefix window partitions by (key, bucket)...
+    assert re.search(r"windowspecdefinition\(_k#\d+L, _b#\d+, _ts#",
+                     executed), executed
+    # ...no window orders a whole key's ROWS (the plain hot-key shape)...
+    assert not re.search(r"windowspecdefinition\(_k#\d+L, _ts#",
+                         executed), executed
+    # ...and the only key-wide window walks bucket summaries (ordered
+    # by _b), one row per non-empty bucket
+    assert re.search(r"windowspecdefinition\(_k#\d+L, _b#\d+ ASC",
+                     executed), executed
 
 
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
