@@ -149,6 +149,34 @@ def test_asof_join_bucketed_equals_plain(spark, bucket_seconds):
             == b["asof_ts"].fillna(pd.Timestamp(0)).to_numpy()).all()
 
 
+def test_asof_join_bucketed_ntz_timestamps(spark):
+    """Parquet timestamps written without UTC adjustment read as
+    TIMESTAMP_NTZ in Spark 4 (inferTimestampNTZ default) — and NTZ
+    refuses numeric casts, which the first bucketing implementation
+    used (caught by the verify drive, not by createDataFrame-based
+    tests, which produce LTZ). Pin the whole asof surface on NTZ."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = (spark.createDataFrame(
+        [(0, t0 + dt.timedelta(minutes=7 * i), i) for i in range(40)],
+        "k long, lts timestamp, lid long")
+        .withColumn("lts", F.col("lts").cast("timestamp_ntz")))
+    right = (spark.createDataFrame(
+        [(0, t0 + dt.timedelta(minutes=11 * i), i) for i in range(20)],
+        "k long, rts timestamp, v long")
+        .withColumn("rts", F.col("rts").cast("timestamp_ntz")))
+    plain = {(r.lid, r.v) for r in
+             asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                       right_vals=["v"]).collect()}
+    bucketed = {(r.lid, r.v) for r in
+                asof_join(left, right, on="k", left_ts="lts",
+                          right_ts="rts", right_vals=["v"],
+                          bucket_seconds=1800).collect()}
+    assert plain == bucketed and len(plain) == 40
+    # sessionize over NTZ as well (session_window accepts both)
+    sess = sessionize(left, "k", "lts", gap="10 minutes").collect()
+    assert sum(r.n_events for r in sess) == 40
+
+
 def test_asof_join_bucketed_window_partitions_by_bucket(spark):
     """The scale property itself: the bucketed form's big window
     partitions by (key, bucket) — a hot key's rows spread over its
