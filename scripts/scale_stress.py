@@ -93,6 +93,56 @@ n_keep_miss = contains_sharded(keep_probe, "id", cf,
 print(f"cuckoo delete: {t_d:.1f}s for ~1M keys; survivors FN={n_keep_miss}",
       flush=True)
 assert n_keep_miss == 0, "delete broke a surviving member"
+# ---- events ops at 10M rows: sessionize + hot-key bucketed asof ----
+# user 0 holds HALF of all events (the pathological hot key the
+# bucketed asof exists for); timestamps scatter over 30 days
+from cuckoofilter_spark.ops.events import asof_join, sessionize
+
+EV = 10_000_000
+ev = spark.range(EV).select(
+    F.when(F.col("id") % 2 == 0, F.lit(0))
+     .otherwise(F.col("id") % 997).alias("user_id"),
+    F.timestamp_seconds(
+        F.lit(1704067200) + (F.col("id") * 2654435761) % (30 * 86400)
+    ).alias("ts"),
+    (F.col("id") % 5).alias("etype"),
+    F.col("id").alias("event_id"))
+
+t0 = time.time()
+sess = sessionize(ev, "user_id", "ts", gap="1 hour")
+n_sessions, n_events = sess.agg(
+    F.count(F.lit(1)), F.sum("n_events")).collect()[0]
+t_s = time.time() - t0
+print(f"sessionize: {EV} events -> {n_sessions} sessions in {t_s:.1f}s "
+      f"({EV/t_s/1e6:.1f}M events/s); conservation "
+      f"{'OK' if n_events == EV else 'BROKEN'}", flush=True)
+assert n_events == EV, "sessionize lost/duplicated events"
+
+left = ev.where("etype = 1").select("event_id", "user_id", "ts")
+right = (ev.where("etype = 2")
+         .groupBy("user_id", "ts").agg(F.max("event_id").alias("rid")))
+t0 = time.time()
+plain_chk = (asof_join(left, right, on="user_id", left_ts="ts",
+                       right_ts="ts", right_vals=["rid"])
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("rid").alias("s"),
+                  F.count("rid").alias("m")).collect()[0])
+t_p = time.time() - t0
+t0 = time.time()
+buck_chk = (asof_join(left, right, on="user_id", left_ts="ts",
+                      right_ts="ts", right_vals=["rid"],
+                      bucket_seconds=86400)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("rid").alias("s"),
+                 F.count("rid").alias("m")).collect()[0])
+t_b = time.time() - t0
+print(f"asof {left.count()} lefts / hot key 50%: plain {t_p:.1f}s, "
+      f"bucketed(1d) {t_b:.1f}s; checksums "
+      f"{'MATCH' if tuple(plain_chk) == tuple(buck_chk) else 'DIFFER'} "
+      f"(matched {plain_chk['m']}/{plain_chk['n']})", flush=True)
+assert tuple(plain_chk) == tuple(buck_chk), \
+    f"bucketed asof diverged: {tuple(plain_chk)} vs {tuple(buck_chk)}"
+
 rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 print(f"final driver peak RSS {rss_gb:.2f} GB", flush=True)
 spark.stop()
