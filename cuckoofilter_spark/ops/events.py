@@ -32,6 +32,17 @@ Semantics notes (pinned by tests/test_events.py):
   (key, ts) make the match non-deterministic in ANY engine — callers
   must canonicalize the right side to one row per (key, ts) first
   (the query wrappers aggregate with max()).
+- NULLs: standard three-valued join logic. Right rows with a NULL key
+  or NULL timestamp are dropped (``l.ts >= NULL`` is never true);
+  left rows always survive — a NULL-key or NULL-ts left row simply
+  gets a NULL payload. Note DuckDB's native ASOF diverges on NULL
+  TIMESTAMPS (measured 1.0.0: it treats NULL ts as sort-largest and
+  matches a NULL-ts left to a NULL-ts right), so the oracle queries
+  keep NULL-free join columns. NULL-KEY behavior matches DuckDB (no
+  match). ``sessionize`` inherits
+  ``session_window``'s behavior: NULL-timestamp rows are DROPPED from
+  the aggregation (measured; pinned in tests) — pre-filter if they
+  must be accounted.
 
 Scale: both ops shuffle once on the key. A pathologically hot key
 (one user with a billion events) serializes that key's sort into one
@@ -132,12 +143,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # the matched right timestamp exactly like a payload column
     rcols = [*right_vals, "__ts"]
     out_names = [*right_vals, matched_ts_col]
-    r2 = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.col(right_ts).alias("_r___ts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_vals])
+    # three-valued join logic: a NULL key or NULL timestamp on the
+    # right can never be anyone's match (l.ts >= NULL is never true).
+    # Without this filter the window path would pair NULL-key lefts
+    # with NULL-key rights (partitionBy groups NULLs together) — and
+    # the plain and bucketed forms would even disagree with each
+    # other, because the bucketed carry JOIN drops NULL keys.
+    r2 = (right
+          .where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+          .select(
+              F.col(on).alias("_k"),
+              F.col(right_ts).alias("_ts"),
+              F.lit(0).alias("_side"),
+              F.col(right_ts).alias("_r___ts"),
+              *[F.col(c).alias(f"_r_{c}") for c in right_vals]))
     un = l2.unionByName(r2, allowMissingColumns=True)
 
     if bucket_seconds is None:
@@ -151,6 +170,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
+    # NULL-ts left rows can never match (NULL sorts before every right
+    # row), but F.window's plan rewrite injects a not-null filter that
+    # would DROP them from the bucketed plan — answer them directly
+    # with NULL payloads and union back at the end (plain path keeps
+    # them in the window naturally)
+    rtype = right.schema[right_ts].dataType
+    null_left = (l2.where(F.col("_ts").isNull())
+                 .select(*left.columns,
+                         *[F.lit(None).cast(right.schema[c].dataType)
+                           .alias(name)
+                           for c, name in zip(right_vals, out_names)],
+                         F.lit(None).cast(rtype).alias(matched_ts_col)))
+    un = un.where(F.col("_ts").isNotNull())
     # bucket id = tumbling-window start: works for BOTH TimestampType
     # and TimestampNTZType (a numeric cast of TIMESTAMP_NTZ is refused
     # by the analyzer — caught by the /tmp verify drive, not the test
@@ -189,4 +221,4 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                                 F.col("_cin").getField(f"_r_{c}"))
                      .alias(name)
                      for c, name in zip(rcols, out_names)]))
-    return out
+    return out.unionByName(null_left)

@@ -149,6 +149,43 @@ def test_asof_join_bucketed_equals_plain(spark, bucket_seconds):
             == b["asof_ts"].fillna(pd.Timestamp(0)).to_numpy()).all()
 
 
+def test_asof_join_null_semantics_match_sql(spark):
+    """Three-valued join logic for NULLs: NULL-key or NULL-ts right
+    rows are never matchable (l.ts >= NULL is never true); NULL-key /
+    NULL-ts left rows survive with NULL payload. Plain and bucketed
+    agree — without the right-side filter they would not even agree
+    with each other (the window groups NULL keys together; the
+    bucketed carry join drops them). NULL-KEY behavior matches DuckDB
+    ASOF; NULL-TS deliberately does not (DuckDB 1.0 treats NULL ts as
+    sort-largest and matches NULL-ts pairs — a quirk, not standard
+    ternary logic), so oracle queries keep join columns NULL-free."""
+    t = dt.datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame(
+        [(None, t, 1), (1, t, 2), (1, None, 3)],
+        "k long, lts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(None, t, 99), (1, None, 88), (1, t, 77)],
+        "k long, rts timestamp, v long")
+    for kw in ({}, {"bucket_seconds": 3600}):
+        got = sorted((r.lid, r.v) for r in
+                     asof_join(left, right, on="k", left_ts="lts",
+                               right_ts="rts", right_vals=["v"],
+                               **kw).collect())
+        assert got == [(1, None), (2, 77), (3, None)], (kw, got)
+
+
+def test_sessionize_drops_null_timestamps(spark):
+    """session_window silently DROPS NULL-timestamp rows (measured
+    Spark 4.1.2 behavior the module docstring documents); NULL keys
+    form their own group."""
+    t = dt.datetime(2024, 1, 1, 12)
+    df = spark.createDataFrame([(1, None), (1, t), (None, t)],
+                               "user_id long, ts timestamp")
+    out = sessionize(df, "user_id", "ts", gap="1 hour").collect()
+    assert sum(r.n_events for r in out) == 2  # the (1, NULL) row is gone
+    assert {r.user_id for r in out} == {1, None}
+
+
 def test_asof_join_bucketed_ntz_timestamps(spark):
     """Parquet timestamps written without UTC adjustment read as
     TIMESTAMP_NTZ in Spark 4 (inferTimestampNTZ default) — and NTZ
