@@ -809,6 +809,23 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "cnt", "users", "value_sum"))
 
 
+def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (ops/packing.per_key_topk): at most 5 docs
+    per source, longest-first with doc_id tiebreak — the C4-style
+    domain-cap step of corpus mixing. Runs the SALTED two-level form
+    (hash(doc_id) % 8 pre-rank, then the bounded final rank) so the
+    gate exercises the hot-key scale path; exact vs the plain
+    row_number oracle because a key's global top-k is top-k within
+    its salt bucket."""
+    from cuckoofilter_spark.ops.packing import per_key_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return (per_key_topk(d, "source",
+                         [F.col("n_chars").desc(), F.col("doc_id").asc()],
+                         k=5, salt_buckets=8, salt_on="doc_id")
+            .select("source", "doc_id", "n_chars"))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (4-hour gap) via F.session_window —
     the identical operator Structured Streaming runs incrementally
@@ -1338,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_scan": q_pruned_scan,  # session 5: AMQ data skipping
         "sessionize": q_sessionize,  # session 6: session_window batch form
         "asof_attribution": q_asof_attribution,  # session 6: as-of join
+        "source_topk": q_source_topk,  # session 6: salted per-key quota
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -1418,6 +1436,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 4)
             GROUP BY l_returnflag
+        """,
+        "source_topk": """
+            SELECT source, doc_id, n_chars FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rk
+                FROM documents
+            ) WHERE rk <= 5
         """,
         "sessionize": """
             WITH o AS (

@@ -137,3 +137,41 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     h = md5_le64(F.col(id_col).cast("string"), salt).bitwiseAND(F.lit(_MASK62))
     keep = (h % 100) < stratum_rate(strata_col, rates, default_pct)
     return df.where(keep)
+
+
+def per_key_topk(df: DataFrame, key_col: str, order_by: list,
+                 k: int, salt_buckets: int | None = None,
+                 salt_on: str | None = None) -> DataFrame:
+    """Keep at most ``k`` rows per key, best-first by ``order_by``
+    (a list of Columns forming a TOTAL order — include a unique
+    tiebreaker, or ties make the cut non-deterministic in any engine).
+
+    The per-domain/per-source quota cap of corpus mixing (C4-style
+    domain caps): "at most K documents per domain, best quality first".
+
+    Plain form: one ``row_number`` window over the key — one exchange,
+    but a hot key sorts all its rows in one task. Scale form
+    (``salt_buckets=s``, requires ``salt_on`` = a unique id column):
+    stage 1 ranks within (key, hash(id) % s) and keeps k per salt
+    bucket — the hot key's sort spreads over s tasks — then stage 2
+    ranks the survivors (at most s*k rows per key, bounded) over the
+    key alone. Any row in a key's global top-k is top-k within its
+    salt bucket, so the two-level cut is exact, not approximate
+    (pinned equal to the plain form by test).
+    """
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    if salt_buckets is None:
+        return (df.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= k).drop("_rk"))
+    if salt_on is None:
+        raise ValueError("salt_buckets requires salt_on (a unique id col)")
+    if salt_buckets <= 0:
+        raise ValueError("salt_buckets must be positive")
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(key_col, salt).orderBy(*order_by)
+    survivors = (df.withColumn("_rk", F.row_number().over(w1))
+                 .where(F.col("_rk") <= k).drop("_rk"))
+    return (survivors.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))

@@ -147,7 +147,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "multimap_find",
                          "pruned_scan",
                          "sessionize",
-                         "asof_attribution"}
+                         "asof_attribution",
+                         "source_topk"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

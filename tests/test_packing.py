@@ -89,3 +89,45 @@ def test_vocab_coverage_tie_break_and_rates(spark):
     r = out[0]
     assert (r.total_tokens, r.oov_tokens) == (8, 5)
     assert r.oov_rate_e6 == 5 * 1_000_000 // 8
+
+
+def test_per_key_topk_plain_equals_salted_with_hot_key(spark):
+    """The two-level salted quota cut is EXACT: a key's global top-k is
+    top-k within its salt bucket. Hot key 'h' holds 500 of 700 rows;
+    both forms must keep the identical row set, k per key, best-first
+    with a unique tiebreak."""
+    import numpy as np
+    from cuckoofilter_spark.ops.packing import per_key_topk
+
+    rng = np.random.default_rng(7)
+    rows = [("h" if i < 500 else f"s{i % 7}", int(rng.integers(0, 50)), i)
+            for i in range(700)]
+    df = spark.createDataFrame(rows, "src string, score long, id long")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    plain = {tuple(r) for r in per_key_topk(df, "src", order, k=5).collect()}
+    salted = {tuple(r) for r in
+              per_key_topk(df, "src", order, k=5, salt_buckets=8,
+                           salt_on="id").collect()}
+    assert plain == salted
+    # exactness vs brute force
+    import collections
+    best = collections.defaultdict(list)
+    for src, score, i in rows:
+        best[src].append((-score, i))
+    exp = {(src, -ns, i)
+           for src, lst in best.items()
+           for ns, i in sorted(lst)[:5]}
+    assert plain == {(r[0], r[1], r[2]) for r in plain} and plain == exp
+
+
+def test_per_key_topk_validation(spark):
+    from cuckoofilter_spark.ops.packing import per_key_topk
+
+    df = spark.createDataFrame([("a", 1)], "src string, id long")
+    with pytest.raises(ValueError, match="order_by"):
+        per_key_topk(df, "src", [], k=1)
+    with pytest.raises(ValueError, match="salt_on"):
+        per_key_topk(df, "src", [F.col("id")], k=1, salt_buckets=4)
+    with pytest.raises(ValueError, match="positive"):
+        per_key_topk(df, "src", [F.col("id")], k=1, salt_buckets=0,
+                     salt_on="id")
