@@ -178,7 +178,10 @@ def prune_files(spark: SparkSession, index: DataFrame,
 
     out = (index.mapInPandas(probe_rows, schema="file string, hit boolean")
                 .where(F.col("hit")).select("file").collect())
-    return sorted(r.file for r in out)
+    # set(): a duplicate index row (e.g. a user union of two builds)
+    # must not read its file twice — pruned_parquet duplicating rows
+    # would break "pruned + exact join == unpruned semi-join"
+    return sorted({r.file for r in out})
 
 
 def pruned_parquet(spark: SparkSession, path: str, index: DataFrame,

@@ -137,3 +137,18 @@ def test_incremental_index_update(spark, tmp_path):
         "file string, n_keys long, blob binary")
     idx2 = update_file_sketch_index(spark, path, "key", idx1_stored, seed=5)
     assert victim not in {r.file for r in idx2.collect()}
+
+
+def test_duplicate_index_rows_never_double_read(spark, keyed_table):
+    """A user union of two index builds can duplicate a file's row;
+    prune_files must still return each file once, or pruned_parquet
+    would read it twice and duplicate rows (breaking pruned + exact
+    join == unpruned semi-join)."""
+    idx = file_sketch_index(spark, keyed_table, "key", seed=11)
+    doubled = idx.unionByName(idx)
+    probe = [0, 1000, 7005]
+    files = prune_files(spark, doubled, probe)
+    assert len(files) == len(set(files))
+    pruned = pruned_parquet(spark, keyed_table, doubled, probe)
+    exact = pruned.where(F.col("key").isin(probe))
+    assert exact.count() == 3  # one row per existing probe key, no dupes
