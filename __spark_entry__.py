@@ -809,6 +809,32 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "cnt", "users", "value_sum"))
 
 
+def q_asof_attribution_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME attribution join through the hot-key scale path
+    (asof_join(bucket_seconds=6h): per-(user, 6-hour-bucket) prefix
+    window + a buckets-only carry window) — answer-identical to the
+    plain form by construction, so it shares q_asof_attribution's
+    oracle. Gating both forms keeps the scale path honest the same way
+    `source_topk` gates the salted quota."""
+    from cuckoofilter_spark.ops.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="ts", right_ts="ts", right_vals=["click_id"],
+                    bucket_seconds=6 * 3600)
+    us = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", us).alias("purchase_ts"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.date_format("asof_ts", us), F.lit("")).alias("click_ts"))
+
+
 def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota cap (ops/packing.per_key_topk): at most 5 docs
     per source, longest-first with doc_id tiebreak — the C4-style
@@ -1355,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_scan": q_pruned_scan,  # session 5: AMQ data skipping
         "sessionize": q_sessionize,  # session 6: session_window batch form
         "asof_attribution": q_asof_attribution,  # session 6: as-of join
+        "asof_attribution_bucketed": q_asof_attribution_bucketed,
         "source_topk": q_source_topk,  # session 6: salted per-key quota
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
@@ -1420,7 +1447,7 @@ _SHINGLES = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "cf_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
@@ -2084,3 +2111,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
         """,
     }
+    # the bucketed as-of form is answer-identical to the plain form by
+    # construction — both gate against the same native-ASOF oracle
+    sql["asof_attribution_bucketed"] = sql["asof_attribution"]
+    return sql

@@ -148,7 +148,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "pruned_scan",
                          "sessionize",
                          "asof_attribution",
-                         "source_topk"}
+                         "source_topk",
+                         "asof_attribution_bucketed"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:
