@@ -918,6 +918,19 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
                         vocab_size=10)
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (phrase discovery for tokenizer/vocab
+    pipelines): top-20 adjacent word pairs by pointwise mutual
+    information, in integer micro-nats assembled from exact 64-bit
+    counts (one deterministic double product chain + one ln per
+    candidate — see unigram_xent's cross-engine float note); ties
+    break on (x, y) so the top-k cut is deterministic."""
+    from cuckoofilter_spark.ops.text import bigram_pmi
+
+    return bigram_pmi(_t(spark, sf_dir, "documents"), "text",
+                      min_count=5, top_k=20)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition: duplicate word / 3-gram
     fractions as exact integer micro-rates. Pure per-row array
@@ -1419,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "unigram_xent": q_unigram_xent,
+        "bigram_pmi": q_bigram_pmi,
         "winnow_fingerprint": q_winnow_fingerprint,
         "spooky_membership": q_spooky_membership,
         "sequence_pack": q_sequence_pack,
@@ -1759,6 +1773,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.sum_e6 // greatest(s.n_words, 1), 0)
                         AS BIGINT) AS xent_e6
             FROM w LEFT JOIN s ON w.doc_id = s.doc_id
+        """,
+        "bigram_pmi": f"""
+            WITH w AS (SELECT COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
+            t AS (SELECT unnest(W) AS w FROM w),
+            uni AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+            nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+            p AS (SELECT unnest(CASE WHEN len(W) >= 2 THEN
+                                    [{{'x': W[i], 'y': W[i + 1]}}
+                                     FOR i IN range(1, len(W))]
+                                ELSE CAST([] AS STRUCT(x VARCHAR,
+                                                       y VARCHAR)[])
+                                END) AS bg
+                  FROM w),
+            bg AS (SELECT bg.x AS x, bg.y AS y, count(*) AS c_xy
+                   FROM p GROUP BY 1, 2),
+            nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bg),
+            -- fixed left-to-right double product order mirrors the
+            -- Spark expression exactly (IEEE ops deterministic given
+            -- the same order); round + BIGINT once, like unigram_xent
+            scored AS (SELECT cand.x, cand.y, cand.c_xy,
+                              CAST(round(ln((CAST(cand.c_xy AS DOUBLE)
+                                             * n_uni * n_uni)
+                                            / (CAST(n_bi AS DOUBLE)
+                                               * ux.c * uy.c))
+                                         * 1000000) AS BIGINT) AS pmi_e6
+                       FROM bg cand
+                       JOIN uni ux ON ux.w = cand.x
+                       JOIN uni uy ON uy.w = cand.y, nu, nb
+                       WHERE cand.c_xy >= 5)
+            SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy, pmi_e6
+            FROM scored
+            ORDER BY pmi_e6 DESC, x ASC, y ASC LIMIT 20
         """,
         "repetition_stats": f"""
             WITH w AS (SELECT doc_id,

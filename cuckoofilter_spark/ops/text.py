@@ -353,3 +353,64 @@ def vocab_coverage(df: DataFrame, text_col: str, group_col: str,
             .withColumn("oov_rate_e6",
                         F.expr("oov_tokens * 1000000 DIV total_tokens"))
             .orderBy("grp"))
+
+
+def bigram_pmi(df: DataFrame, text_col: str, min_count: int = 5,
+               top_k: int = 20) -> DataFrame:
+    """Collocation mining: top-``top_k`` word bigrams by pointwise
+    mutual information — the phrase-discovery signal a tokenizer /
+    vocabulary pipeline runs over a corpus ("which adjacent word pairs
+    co-occur far above chance?").
+
+    PMI(x,y) = ln( P(xy) / (P(x)P(y)) )
+             = ln( c_xy * N_uni^2 / (N_bi * c_x * c_y) )
+
+    reported in INTEGER micro-nats: the whole ratio is assembled from
+    exact 64-bit counts, cast to DOUBLE in a fixed left-to-right
+    product/divide order (IEEE ops are deterministic given the same
+    order, so both engines see the identical double; see unigram_xent),
+    ln'd and rounded ONCE. Rank ties break on (x, y) ascending so the
+    top-k cut is deterministic.
+
+    Scale shape: the word arrays are materialized once per doc in a
+    sub-select (per-element HOF re-evaluation trap, CLAUDE.md), then
+    TWO frequency aggregations (unigrams keyed by word, bigrams keyed
+    by pair — both with map-side partial combine) feed the score. The
+    ``min_count`` floor is applied BEFORE the two vocabulary joins, so
+    only candidate pairs (not the full bigram stream) are joined; the
+    corpus totals travel as broadcast 1-row aggregates. Terminal top-k
+    is orderBy().limit() = TakeOrderedAndProject (never a global sort).
+    """
+    from .dedup import _scoped_cache
+
+    w = df.select(words(F.coalesce(F.col(text_col), F.lit(""))).alias("_W"))
+    toks = (w.select(F.explode_outer("_W").alias("w"))
+            .where(F.col("w").isNotNull()))
+    uni = _scoped_cache("pmi_uni",
+                        toks.groupBy("w").agg(F.count("*").alias("c")))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    pairs = (w.select(F.explode_outer(F.expr(
+        "CASE WHEN size(_W) >= 2 THEN transform(sequence(1, size(_W) - 1), "
+        "i -> struct(element_at(_W, i) AS x, element_at(_W, i + 1) AS y)) "
+        "ELSE array() END")).alias("bg"))
+        .where(F.col("bg").isNotNull())
+        .select("bg.x", "bg.y"))
+    bgc = _scoped_cache("pmi_big",
+                        pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy")))
+    n_bi = bgc.agg(F.sum("c_xy").alias("n_bi"))
+    cand = bgc.where(F.col("c_xy") >= int(min_count))
+    scored = (cand
+              .join(uni.select(F.col("w").alias("x"), F.col("c").alias("c_x")),
+                    "x")
+              .join(uni.select(F.col("w").alias("y"), F.col("c").alias("c_y")),
+                    "y")
+              .crossJoin(F.broadcast(n_uni))
+              .crossJoin(F.broadcast(n_bi))
+              .select(
+                  "x", "y", "c_xy",
+                  F.expr(
+                      "CAST(round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)"
+                      " / (CAST(n_bi AS DOUBLE) * c_x * c_y)) * 1000000)"
+                      " AS BIGINT)").alias("pmi_e6")))
+    return scored.orderBy(F.col("pmi_e6").desc(), F.col("x").asc(),
+                          F.col("y").asc()).limit(int(top_k))

@@ -149,7 +149,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "sessionize",
                          "asof_attribution",
                          "source_topk",
-                         "asof_attribution_bucketed"}
+                         "asof_attribution_bucketed",
+                         "bigram_pmi"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

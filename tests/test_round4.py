@@ -796,3 +796,32 @@ def test_crate_pd_find_variants_pairwise_equal():
     with pytest.raises(ValueError, match="variant"):
         CrateFilter(add_count=44).contains_many_pd(
             np.array([1], dtype=np.uint64), variant="avx")
+
+
+def test_bigram_pmi_semantics(spark):
+    """Hand-checkable corpus: PMI in exact integer micro-nats, rank
+    ties broken on (x, y) ascending, min_count floor applied, and
+    NULL/empty/single-token docs contribute nothing."""
+    import math
+
+    from cuckoofilter_spark.ops.text import bigram_pmi
+
+    docs = [(1, "a b a b a b"),   # a x3 b x3; ab x3, ba x2
+            (2, "c c c"),         # c x3; cc x2
+            (3, None), (4, ""), (5, "x")]  # no bigrams
+    out = bigram_pmi(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "text", min_count=2, top_k=10).collect()
+    n_uni, n_bi = 10, 7
+    pmi = lambda cxy, cx, cy: round(
+        math.log(cxy * n_uni * n_uni / (n_bi * cx * cy)) * 1e6)
+    # ab beats the (ba, cc) tie; the tie breaks on x asc: ba then cc
+    assert [(r["x"], r["y"], r["c_xy"], r["pmi_e6"]) for r in out] == [
+        ("a", "b", 3, pmi(3, 3, 3)),
+        ("b", "a", 2, pmi(2, 3, 3)),
+        ("c", "c", 2, pmi(2, 3, 3)),
+    ]
+    # min_count floors out every pair when raised above the max count
+    assert bigram_pmi(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "text", min_count=4, top_k=10).count() == 0
