@@ -990,6 +990,23 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                        chunk_size=256, bucket_docs=64)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture resampling: per-language keep
+    rates COMPUTED from the corpus (expected kept count proportional
+    to sqrt(c_lang), total budget = half the corpus, capped at 1) and
+    applied as the cross-engine md5-LE64 hash threshold — the
+    low-resource-language upsampling rule of real training mixes.
+    Per-lang kept docs + kept chars."""
+    from cuckoofilter_spark.ops.packing import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")
+    s = temperature_resample(d, "doc_id", "lang", 1, 2)
+    return (s.groupBy("lang")
+            .agg(F.count("*").alias("kept_docs"),
+                 F.sum("n_chars").alias("kept_chars"))
+            .orderBy("lang"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language mixture sampling: md5-LE64 hash
     threshold per stratum (the distributed, replayable replacement for
@@ -1437,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spooky_membership": q_spooky_membership,
         "sequence_pack": q_sequence_pack,
         "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "vocab_coverage": q_vocab_coverage,
         "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
@@ -1899,6 +1917,33 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'es' THEN 25 WHEN 'fr' THEN 10
                                WHEN 'zh' THEN 100 ELSE 0 END)
             GROUP BY lang ORDER BY lang
+        """,
+        # Temperature resampling: integer-quantized sqrt weights (IEEE
+        # sqrt is correctly rounded -> floor(sqrt(int)*2^20) is
+        # bit-identical cross-engine), integer weight sum (no float
+        # summation order), one fixed left-to-right double chain for
+        # the threshold, floored once.
+        "temperature_mix": """
+            WITH c AS (SELECT lang, count(*) AS _c FROM documents
+                       GROUP BY lang),
+            w AS (SELECT lang, _c,
+                         CAST(floor(sqrt(CAST(_c AS DOUBLE)) * 1048576.0)
+                              AS BIGINT) AS _w
+                  FROM c),
+            t AS (SELECT CAST(sum(_c) AS BIGINT) AS _n,
+                         CAST(sum(_w) AS BIGINT) AS _s FROM w),
+            r AS (SELECT lang,
+                         CAST(floor(least(1.0,
+                              CAST(1 AS DOUBLE) * _n * _w
+                              / (CAST(2 AS DOUBLE) * _s) / _c)
+                              * 4611686018427387904.0) AS BIGINT) AS _t
+                  FROM w, t)
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS kept_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+            FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+            WHERE CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || '#temp')
+                       & 4611686018427387903 AS BIGINT) < r._t
+            GROUP BY d.lang ORDER BY d.lang
         """,
         "vocab_coverage": f"""
             WITH toks AS (SELECT lang AS grp, unnest({_WORDS}) AS w

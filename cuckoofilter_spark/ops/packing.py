@@ -139,6 +139,56 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.where(keep)
 
 
+def temperature_resample(df: DataFrame, id_col: str, strata_col: str,
+                         budget_num: int = 1, budget_den: int = 2,
+                         salt: str = "#temp") -> DataFrame:
+    """Temperature (alpha = 0.5) mixture resampling: keep each row with
+    a per-stratum probability COMPUTED from the corpus itself so the
+    expected kept count per stratum is proportional to sqrt(c_s) —
+    the standard low-resource upsampling rule for per-language /
+    per-source training mixes — scaled so the total expected kept
+    count is ``budget_num/budget_den`` of the corpus, capped at 1.
+
+    Where ``stratified_sample`` takes caller-given rates, this derives
+    them: p_s = min(1, B*N*w_s / (S*c_s)) with w_s = floor(sqrt(c_s) *
+    2^20) and S = sum w_s. The membership test is the same stateless
+    cross-engine hash threshold (md5-LE64(id || salt) masked to 62
+    bits < floor(p_s * 2^62)), so the sample is reproducible,
+    resumable, and a pure per-row filter.
+
+    Cross-engine determinism: the sqrt weights are quantized to exact
+    integers (IEEE sqrt is correctly rounded, so floor(sqrt(int)*2^20)
+    is bit-identical everywhere) and summed as integers (no float
+    summation order); the threshold is one fixed left-to-right double
+    product/divide chain over those integers, floored once.
+
+    Scale shape: one map-side-combinable count per stratum (strata
+    cardinality = languages/sources, tiny), a broadcast join of the
+    per-stratum thresholds back onto the corpus (null-safe, so
+    NULL-stratum rows are sampled too), and a scan-pushed filter — no
+    wide shuffle of the corpus at any width. Replaces the sequential
+    reservoir of benchmarks/random.h:73-93 at mixture granularity.
+    """
+    c = df.groupBy(strata_col).agg(F.count("*").alias("_c"))
+    w = c.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_c").cast("double"))
+                      * F.lit(float(1 << 20))).cast("long"))
+    tot = w.agg(F.sum("_c").alias("_n"), F.sum("_w").alias("_s"))
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_num)) * F.col("_n") * F.col("_w")
+        / (F.lit(float(budget_den)) * F.col("_s")) / F.col("_c"))
+    rates = (w.crossJoin(F.broadcast(tot))
+             .select(F.col(strata_col).alias("_k"),
+                     F.floor(p * F.lit(float(1 << 62)))
+                     .cast("long").alias("_t")))
+    h = md5_le64(F.col(id_col).cast("string"), salt).bitwiseAND(
+        F.lit(_MASK62))
+    return (df.join(F.broadcast(rates),
+                    F.col(strata_col).eqNullSafe(F.col("_k")))
+            .where(h < F.col("_t")).drop("_k", "_t"))
+
+
 def per_key_topk(df: DataFrame, key_col: str, order_by: list,
                  k: int, salt_buckets: int | None = None,
                  salt_on: str | None = None) -> DataFrame:

@@ -150,7 +150,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "asof_attribution",
                          "source_topk",
                          "asof_attribution_bucketed",
-                         "bigram_pmi"}
+                         "bigram_pmi",
+                         "temperature_mix"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

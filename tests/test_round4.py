@@ -825,3 +825,39 @@ def test_bigram_pmi_semantics(spark):
     assert bigram_pmi(
         spark.createDataFrame(docs, "doc_id long, text string"),
         "text", min_count=4, top_k=10).count() == 0
+
+
+def test_temperature_resample_semantics(spark):
+    """Hand-checkable mix: stratum A (64 rows) vs B (4 rows), budget
+    1/2. w_A = 8*2^20, w_B = 2*2^20, S = 10*2^20; p_A = 34*w_A/(S*64)
+    = 0.425, p_B = 1.7 -> capped at 1 (B keeps ALL rows — the
+    low-resource upsample direction). The kept set replicates a pure
+    Python md5 threshold exactly; NULL-stratum rows are sampled too."""
+    import hashlib
+    import math
+    import struct
+
+    from cuckoofilter_spark.ops.packing import temperature_resample
+
+    rows = ([(i, "A") for i in range(64)] + [(i, "B") for i in range(64, 68)]
+            + [(100 + i, None) for i in range(8)])
+    df = spark.createDataFrame(rows, "id long, s string")
+    kept = {(r["id"], r["s"]) for r in
+            temperature_resample(df, "id", "s", 1, 2).collect()}
+
+    def u62(i):
+        h = hashlib.md5(f"{i}#temp".encode()).digest()
+        return struct.unpack("<Q", h[:8])[0] & ((1 << 62) - 1)
+
+    n = 76
+    w = {"A": math.floor(math.sqrt(64) * (1 << 20)),
+         "B": math.floor(math.sqrt(4) * (1 << 20)),
+         None: math.floor(math.sqrt(8) * (1 << 20))}
+    S = sum(w.values())
+    th = {k: math.floor(min(1.0, 1.0 * n * w[k] / (2.0 * S) / c) * (1 << 62))
+          for k, c in (("A", 64), ("B", 4), (None, 8))}
+    exp = {(i, st) for i, st in rows if u62(i) < th[st]}
+    assert kept == exp
+    # the capped stratum keeps every row
+    assert th["B"] == 1 << 62
+    assert {(i, st) for i, st in rows if st == "B"} <= kept
