@@ -990,6 +990,26 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                        chunk_size=256, bucket_docs=64)
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary health panel: tokens, types, hapax
+    legomena, type-token ratio and hapax share as exact integer
+    micro-rates (two map-side-combinable aggregations, no floats)."""
+    from cuckoofilter_spark.ops.text import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), "text", "lang")
+
+
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source signatures: top-3 most over-represented words per source
+    by keyness = PMI(source; word) in integer micro-nats (fixed-order
+    double chain over exact counts, see bigram_pmi); ties break on
+    word ascending."""
+    from cuckoofilter_spark.ops.text import group_keyness
+
+    return group_keyness(_t(spark, sf_dir, "documents"), "text", "source",
+                         top_k=3)
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=0.5) mixture resampling: per-language keep
     rates COMPUTED from the corpus (expected kept count proportional
@@ -1455,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
+        "vocab_growth": q_vocab_growth,
+        "source_keyness": q_source_keyness,
         "vocab_coverage": q_vocab_coverage,
         "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
@@ -1917,6 +1939,49 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'es' THEN 25 WHEN 'fr' THEN 10
                                WHEN 'zh' THEN 100 ELSE 0 END)
             GROUP BY lang ORDER BY lang
+        """,
+        "vocab_growth": f"""
+            WITH w AS (SELECT lang AS grp,
+                              COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
+            t AS (SELECT grp, unnest(W) AS w FROM w),
+            wc AS (SELECT grp, w, count(*) AS c FROM t GROUP BY 1, 2)
+            SELECT grp,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapax,
+                   CAST(count(*) * 1000000
+                        // greatest(sum(c), 1) AS BIGINT) AS ttr_e6,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                        // greatest(count(*), 1) AS BIGINT) AS hapax_e6
+            FROM wc GROUP BY grp ORDER BY grp
+        """,
+        "source_keyness": f"""
+            WITH w AS (SELECT source AS grp,
+                              COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
+            t AS (SELECT grp, unnest(W) AS w FROM w),
+            gw AS (SELECT grp, w, count(*) AS c_gw FROM t GROUP BY 1, 2),
+            gt AS (SELECT grp, CAST(sum(c_gw) AS BIGINT) AS t_g
+                   FROM gw GROUP BY grp),
+            wt AS (SELECT w, CAST(sum(c_gw) AS BIGINT) AS c_w
+                   FROM gw GROUP BY w),
+            tt AS (SELECT CAST(sum(t_g) AS BIGINT) AS t FROM gt),
+            -- fixed left-to-right double chain over exact counts,
+            -- ln'd + rounded once (see bigram_pmi)
+            s AS (SELECT gw.grp, gw.w, gw.c_gw,
+                         CAST(round(ln((CAST(c_gw AS DOUBLE) * t)
+                                       / (CAST(t_g AS DOUBLE) * c_w))
+                                    * 1000000) AS BIGINT) AS keyness_e6,
+                         row_number() OVER (PARTITION BY gw.grp
+                                            ORDER BY round(ln((CAST(c_gw AS DOUBLE) * t)
+                                                              / (CAST(t_g AS DOUBLE) * c_w))
+                                                           * 1000000) DESC,
+                                                     gw.w ASC) AS _r
+                  FROM gw JOIN gt USING (grp) JOIN wt USING (w), tt)
+            SELECT grp, w, c_gw, keyness_e6 FROM s WHERE _r <= 3
+            ORDER BY grp, keyness_e6 DESC, w
         """,
         # Temperature resampling: integer-quantized sqrt weights (IEEE
         # sqrt is correctly rounded -> floor(sqrt(int)*2^20) is

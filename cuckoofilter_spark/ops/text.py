@@ -7,7 +7,7 @@ in ANSI SQL, so the driver's DuckDB oracle can verify it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Cross-engine tokenization rule: split on runs of whitespace, drop empties.
 _WS = r"\s+"
@@ -414,3 +414,75 @@ def bigram_pmi(df: DataFrame, text_col: str, min_count: int = 5,
                       " AS BIGINT)").alias("pmi_e6")))
     return scored.orderBy(F.col("pmi_e6").desc(), F.col("x").asc(),
                           F.col("y").asc()).limit(int(top_k))
+
+
+def vocab_growth(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Per-group vocabulary statistics: token count, type count
+    (distinct words), hapax count (words seen exactly once in the
+    group), type-token ratio and hapax share in integer micro-rates —
+    the corpus-health panel a tokenizer/vocab pipeline reads per
+    language or source (a collapsing TTR or hapax share flags
+    template spam / boilerplate floods).
+
+    Scale shape: explode once, then TWO map-side-combinable
+    aggregations keyed (group, word) then (group) — all exact 64-bit
+    integers, no floats, no window; output rows = group cardinality.
+    """
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      words(F.coalesce(F.col(text_col), F.lit(""))).alias("_W"))
+            .select("grp", F.explode_outer("_W").alias("w"))
+            .where(F.col("w").isNotNull()))
+    wc = toks.groupBy("grp", "w").agg(F.count("*").alias("c"))
+    return (wc.groupBy("grp")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count("*").alias("n_types"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"))
+            .withColumn("ttr_e6",
+                        F.expr("n_types * 1000000 DIV greatest(n_tokens, 1)"))
+            .withColumn("hapax_e6",
+                        F.expr("hapax * 1000000 DIV greatest(n_types, 1)"))
+            .orderBy("grp"))
+
+
+def group_keyness(df: DataFrame, text_col: str, group_col: str,
+                  top_k: int = 3) -> DataFrame:
+    """Source signatures: the ``top_k`` most over-represented words per
+    group by keyness = PMI(group; word) = ln((c_gw * T) / (T_g * c_w))
+    — "which words does this source/language use far above the corpus
+    rate?", the per-source fingerprint a mixing pipeline inspects (and
+    the degenerate-template detector: a crawler dump whose signature
+    is navigation boilerplate). Plain idf dies when every word occurs
+    in every group; the rate ratio does not.
+
+    Reported in integer micro-nats: all four factors are exact 64-bit
+    counts, cast to DOUBLE in one fixed left-to-right product/divide
+    chain (deterministic cross-engine, see bigram_pmi), ln'd and
+    rounded once. Ties break on word ascending.
+
+    Scale shape: one (group, word) aggregation, a broadcastable
+    corpus-level word-frequency side (vocabulary-sized), broadcast
+    1-row total, then a per-group row_number window over candidates —
+    window input is |groups| * |vocab|, never the token stream. For
+    hot groups at extreme vocabulary sizes, per_key_topk's salted
+    form is the drop-in.
+    """
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      words(F.coalesce(F.col(text_col), F.lit(""))).alias("_W"))
+            .select("grp", F.explode_outer("_W").alias("w"))
+            .where(F.col("w").isNotNull()))
+    gw = toks.groupBy("grp", "w").agg(F.count("*").alias("c_gw"))
+    gtot = gw.groupBy("grp").agg(F.sum("c_gw").alias("t_g"))
+    wtot = gw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))
+    tot = gtot.agg(F.sum("t_g").alias("t"))
+    scored = (gw.join(F.broadcast(gtot), "grp")
+              .join(F.broadcast(wtot), "w")
+              .crossJoin(F.broadcast(tot))
+              .select("grp", "w", "c_gw",
+                      F.expr("CAST(round(ln((CAST(c_gw AS DOUBLE) * t)"
+                             " / (CAST(t_g AS DOUBLE) * c_w))"
+                             " * 1000000) AS BIGINT)").alias("keyness_e6")))
+    rk = Window.partitionBy("grp").orderBy(F.col("keyness_e6").desc(),
+                                           F.col("w").asc())
+    return (scored.withColumn("_r", F.row_number().over(rk))
+            .where(F.col("_r") <= int(top_k)).drop("_r")
+            .orderBy("grp", F.col("keyness_e6").desc(), "w"))

@@ -151,7 +151,9 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "source_topk",
                          "asof_attribution_bucketed",
                          "bigram_pmi",
-                         "temperature_mix"}
+                         "temperature_mix",
+                         "vocab_growth",
+                         "source_keyness"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

@@ -861,3 +861,24 @@ def test_temperature_resample_semantics(spark):
     # the capped stratum keeps every row
     assert th["B"] == 1 << 62
     assert {(i, st) for i, st in rows if st == "B"} <= kept
+
+
+def test_vocab_growth_and_keyness_semantics(spark):
+    """Hand-checkable two-group corpus: exact token/type/hapax panel
+    and the PMI keyness signature (over-represented word per group)."""
+    import math
+
+    from cuckoofilter_spark.ops.text import group_keyness, vocab_growth
+
+    df = spark.createDataFrame(
+        [("A", "x x x y"), ("B", "y y y x"), ("B", None)],
+        "grp string, text string")
+    vg = {r["grp"]: r for r in vocab_growth(df, "text", "grp").collect()}
+    assert (vg["A"]["n_tokens"], vg["A"]["n_types"], vg["A"]["hapax"]) == (4, 2, 1)
+    assert vg["A"]["ttr_e6"] == 500000 and vg["A"]["hapax_e6"] == 500000
+    assert (vg["B"]["n_tokens"], vg["B"]["n_types"], vg["B"]["hapax"]) == (4, 2, 1)
+
+    ks = group_keyness(df, "text", "grp", top_k=1).collect()
+    e6 = round(math.log(3 * 8 / (4 * 4)) * 1e6)  # ln(1.5) in micro-nats
+    assert [(r["grp"], r["w"], r["c_gw"], r["keyness_e6"]) for r in ks] == [
+        ("A", "x", 3, e6), ("B", "y", 3, e6)]
