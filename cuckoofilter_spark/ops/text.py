@@ -474,8 +474,11 @@ def group_keyness(df: DataFrame, text_col: str, group_col: str,
     gtot = gw.groupBy("grp").agg(F.sum("c_gw").alias("t_g"))
     wtot = gw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))
     tot = gtot.agg(F.sum("t_g").alias("t"))
+    # gtot is |groups| rows — always broadcastable. wtot is
+    # vocabulary-sized (can be 10^8 rows at corpus scale): leave the
+    # strategy to Catalyst/AQE, which broadcasts it exactly when small.
     scored = (gw.join(F.broadcast(gtot), "grp")
-              .join(F.broadcast(wtot), "w")
+              .join(wtot, "w")
               .crossJoin(F.broadcast(tot))
               .select("grp", "w", "c_gw",
                       F.expr("CAST(round(ln((CAST(c_gw AS DOUBLE) * t)"
