@@ -466,11 +466,17 @@ def group_keyness(df: DataFrame, text_col: str, group_col: str,
     hot groups at extreme vocabulary sizes, per_key_topk's salted
     form is the drop-in.
     """
+    from .dedup import _scoped_cache
+
     toks = (df.select(F.col(group_col).alias("grp"),
                       words(F.coalesce(F.col(text_col), F.lit(""))).alias("_W"))
             .select("grp", F.explode_outer("_W").alias("w"))
             .where(F.col("w").isNotNull()))
-    gw = toks.groupBy("grp", "w").agg(F.count("*").alias("c_gw"))
+    # gw is read four ways (itself + both marginals + the total); cache
+    # it so the token-stream aggregation runs ONCE — gw is only
+    # |groups| x |vocab| rows, corpus-independent in size
+    gw = _scoped_cache("keyness_gw",
+                       toks.groupBy("grp", "w").agg(F.count("*").alias("c_gw")))
     gtot = gw.groupBy("grp").agg(F.sum("c_gw").alias("t_g"))
     wtot = gw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))
     tot = gtot.agg(F.sum("t_g").alias("t"))
