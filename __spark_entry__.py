@@ -990,6 +990,18 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                        chunk_size=256, bucket_docs=64)
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level MinHash similarity matrix: estimated shingle-set
+    Jaccard between every source pair from one 32-slot signature per
+    source (slot hash = salted md5-LE64 masked to 62 bits, so DuckDB
+    derives the identical signature and the oracle is exact, not a
+    bound flag). min is associative — the signature is mergeable."""
+    from cuckoofilter_spark.ops.dedup import group_minhash_similarity
+
+    return group_minhash_similarity(_t(spark, sf_dir, "documents"),
+                                    "source", "text", num_hashes=32)
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary health panel: tokens, types, hapax
     legomena, type-token ratio and hapax share as exact integer
@@ -1477,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "vocab_growth": q_vocab_growth,
         "source_keyness": q_source_keyness,
+        "source_similarity": q_source_similarity,
         "vocab_coverage": q_vocab_coverage,
         "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
@@ -1939,6 +1952,29 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'es' THEN 25 WHEN 'fr' THEN 10
                                WHEN 'zh' THEN 100 ELSE 0 END)
             GROUP BY lang ORDER BY lang
+        """,
+        # Per-source MinHash signatures replayed exactly: slot hash =
+        # md5-LE64(shingle_md5 || ':' || slot) & 62-bit mask, min per
+        # (source, slot) — SQL explodes slots where Spark computes k
+        # min-aggregate columns; same multiset, same mins.
+        "source_similarity": f"""
+            WITH w AS (SELECT source, {_WORDS} AS W FROM documents),
+            sh AS (SELECT source, {_SHINGLES} AS ss FROM w),
+            ex AS (SELECT source AS grp, unnest(ss) AS gh FROM sh),
+            m AS (SELECT grp, i,
+                         min(CAST(md5_number_upper(gh || ':'
+                                                   || CAST(i AS VARCHAR))
+                                  & 4611686018427387903 AS BIGINT)) AS mi
+                  FROM ex, range(32) t(i) GROUP BY grp, i),
+            p AS (SELECT a.grp AS src_a, b.grp AS src_b,
+                         CAST(sum(CASE WHEN a.mi = b.mi
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS matches
+                  FROM m a JOIN m b ON a.i = b.i AND a.grp < b.grp
+                  GROUP BY 1, 2)
+            SELECT src_a, src_b, matches,
+                   CAST(matches * 1000000 // 32 AS BIGINT) AS jaccard_e6
+            FROM p ORDER BY src_a, src_b
         """,
         "vocab_growth": f"""
             WITH w AS (SELECT lang AS grp,

@@ -642,3 +642,56 @@ def contamination_check(train_df: DataFrame, test_df: DataFrame,
                  F.sum(F.col("hit").cast("long")).alias("amq_hit_grams"))
             .withColumn("amq_frac_e6",
                         F.expr("amq_hit_grams * 1000000L DIV n_grams")))
+
+
+def group_minhash_similarity(df: DataFrame, group_col: str, text_col: str,
+                             num_hashes: int = 32, window: int = 3) -> DataFrame:
+    """Corpus-level similarity matrix: estimated shingle-set Jaccard
+    between every pair of groups (sources/languages/snapshots) from one
+    MinHash signature per group — the "which crawls/sources are
+    near-copies of each other" diagnostic a mixing pipeline runs before
+    deciding what to deduplicate at source granularity.
+
+    Each group's signature slot i is min over its shingles of the
+    salted cross-engine hash md5-LE64(shingle_md5 || ':' || i) masked
+    to 62 bits (signed/unsigned-agnostic min; see md5hex_to_le64) —
+    P[slot matches] = Jaccard, so matches/k estimates it (reported as
+    ``jaccard_e6`` = matches * 1e6 DIV k, an exact integer both engines
+    derive identically). min is associative + commutative, so the
+    signature is a mergeable sketch: partial mins combine map-side and
+    across corpus increments the same way the HLL/MG registers do.
+
+    Scale shape: ONE aggregation pass over the shingle stream (k mins
+    with map-side partial combine — no explode by slot, no shuffle of
+    per-slot rows); everything downstream operates on |groups| rows.
+    The pair join is an inequality self-join of the signature table —
+    |groups|^2/2 pairs, broadcast-sized for any realistic source count.
+    The k md5s per shingle are the price of bit-exact SQL replay; swap
+    the slot hash for xxhash64(shingle, i) when oracle replay is not
+    needed.
+    """
+    from .text import md5hex_to_le64
+
+    k = int(num_hashes)
+    mask = (1 << 62) - 1
+    sets = shingle_sets(df, group_col, text_col, window)
+    ex = (sets.select(F.col("doc").alias("grp"),
+                      F.explode_outer("shingles").alias("gh"))
+          .where(F.col("gh").isNotNull()))
+    # min over the multiset == min over the set: no distinct pre-pass
+    sig = ex.groupBy("grp").agg(*[
+        F.min(md5hex_to_le64(F.md5(F.concat(F.col("gh"), F.lit(f":{i}"))))
+              .bitwiseAND(F.lit(mask))).alias(f"m{i}")
+        for i in range(k)])
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = None
+    for i in range(k):
+        t = F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    return (a.join(F.broadcast(b), F.col("a.grp") < F.col("b.grp"))
+            .select(F.col("a.grp").alias("src_a"),
+                    F.col("b.grp").alias("src_b"),
+                    matches.cast("long").alias("matches"))
+            .withColumn("jaccard_e6",
+                        F.expr(f"matches * 1000000L DIV {k}"))
+            .orderBy("src_a", "src_b"))

@@ -153,7 +153,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "bigram_pmi",
                          "temperature_mix",
                          "vocab_growth",
-                         "source_keyness"}
+                         "source_keyness",
+                         "source_similarity"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

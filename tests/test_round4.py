@@ -882,3 +882,44 @@ def test_vocab_growth_and_keyness_semantics(spark):
     e6 = round(math.log(3 * 8 / (4 * 4)) * 1e6)  # ln(1.5) in micro-nats
     assert [(r["grp"], r["w"], r["c_gw"], r["keyness_e6"]) for r in ks] == [
         ("A", "x", 3, e6), ("B", "y", 3, e6)]
+
+
+def test_group_minhash_similarity_semantics(spark):
+    """Identical groups estimate Jaccard 1, disjoint groups 0, and a
+    signature slot replicates the pure-Python md5 chain exactly (the
+    oracle's recipe, independent of DuckDB)."""
+    import hashlib
+    import struct
+
+    from cuckoofilter_spark.ops.dedup import group_minhash_similarity
+
+    txt = "a b c d e f g h"
+    rows = [("A", txt), ("B", txt),                 # identical sets
+            ("C", "q r s t u v w x y z q2 r2")]    # disjoint from A/B
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["src_a"], r["src_b"]): r for r in
+           group_minhash_similarity(df, "source", "text",
+                                    num_hashes=16).collect()}
+    assert out[("A", "B")]["jaccard_e6"] == 1_000_000
+    assert out[("A", "C")]["matches"] == 0
+    assert out[("B", "C")]["matches"] == 0
+
+    # pure-Python slot replication for group A, slot 0
+    def le62(s):
+        return struct.unpack(
+            "<Q", hashlib.md5(s.encode()).digest()[:8])[0] & ((1 << 62) - 1)
+
+    w = txt.split()
+    shingles = {hashlib.md5(" ".join(w[i:i + 3]).encode()).hexdigest()
+                for i in range(len(w) - 2)}
+    exp0 = min(le62(gh + ":0") for gh in shingles)
+    from cuckoofilter_spark.ops.dedup import shingle_sets
+    from cuckoofilter_spark.ops.text import md5hex_to_le64
+    from pyspark.sql import functions as F
+    got = (shingle_sets(df.where("source = 'A'"), "source", "text", 3)
+           .select(F.explode("shingles").alias("gh"))
+           .agg(F.min(md5hex_to_le64(F.md5(F.concat(F.col("gh"),
+                                                    F.lit(":0"))))
+                      .bitwiseAND(F.lit((1 << 62) - 1))).alias("m0"))
+           .collect()[0]["m0"])
+    assert got == exp0
