@@ -1514,6 +1514,10 @@ _SHINGLES = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from cuckoofilter_spark.ops.dedup import _slot_multipliers
+
+    _mh_a, _mh_b = _slot_multipliers(32)
+    _mh_vals = ", ".join(f"({i}, {_mh_a[i]}, {_mh_b[i]})" for i in range(32))
     sql = {
         "cf_membership": """
             SELECT p_partkey AS member_key FROM part
@@ -1953,19 +1957,26 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'zh' THEN 100 ELSE 0 END)
             GROUP BY lang ORDER BY lang
         """,
-        # Per-source MinHash signatures replayed exactly: slot hash =
-        # md5-LE64(shingle_md5 || ':' || slot) & 62-bit mask, min per
-        # (source, slot) — SQL explodes slots where Spark computes k
-        # min-aggregate columns; same multiset, same mins.
+        # Per-source MinHash signatures replayed exactly: ONE md5-LE64
+        # per shingle split into 31-bit halves, slot permutation
+        # g_i(h) = ((lo*A_i) & M61) XOR ((hi*B_i) & M61) with the same
+        # splitmix-derived odd multipliers inlined as a VALUES list —
+        # SQL explodes slots where Spark computes k min-aggregate
+        # columns; same multiset, same mins.
         "source_similarity": f"""
             WITH w AS (SELECT source, {_WORDS} AS W FROM documents),
             sh AS (SELECT source, {_SHINGLES} AS ss FROM w),
-            ex AS (SELECT source AS grp, unnest(ss) AS gh FROM sh),
+            ex AS (SELECT source AS grp,
+                          CAST(md5_number_upper(unnest(ss))
+                               & 4611686018427387903 AS BIGINT) AS h
+                   FROM sh),
+            hx AS (SELECT grp, h & 2147483647 AS lo, h >> 31 AS hi
+                   FROM ex),
             m AS (SELECT grp, i,
-                         min(CAST(md5_number_upper(gh || ':'
-                                                   || CAST(i AS VARCHAR))
-                                  & 4611686018427387903 AS BIGINT)) AS mi
-                  FROM ex, range(32) t(i) GROUP BY grp, i),
+                         min(xor((lo * a) & 2305843009213693951,
+                                 (hi * b) & 2305843009213693951)) AS mi
+                  FROM hx, (VALUES {_mh_vals}) s(i, a, b)
+                  GROUP BY grp, i),
             p AS (SELECT a.grp AS src_a, b.grp AS src_b,
                          CAST(sum(CASE WHEN a.mi = b.mi
                                        THEN 1 ELSE 0 END) AS BIGINT)

@@ -904,22 +904,36 @@ def test_group_minhash_similarity_semantics(spark):
     assert out[("A", "C")]["matches"] == 0
     assert out[("B", "C")]["matches"] == 0
 
-    # pure-Python slot replication for group A, slot 0
-    def le62(s):
-        return struct.unpack(
-            "<Q", hashlib.md5(s.encode()).digest()[:8])[0] & ((1 << 62) - 1)
+    # pure-Python slot replication for group A, slot 0 (the oracle's
+    # exact recipe: one md5-LE64 per shingle, 31-bit-half permutation)
+    from cuckoofilter_spark.ops.dedup import _slot_multipliers, shingle_sets
+    from cuckoofilter_spark.ops.text import md5hex_to_le64
+    from pyspark.sql import functions as F
+
+    a_mul, b_mul = _slot_multipliers(16)
+    m61 = (1 << 61) - 1
+
+    def slot0(gh_hex):
+        h = struct.unpack(
+            "<Q", hashlib.md5(gh_hex.encode()).digest()[:8]
+        )[0] & ((1 << 62) - 1)
+        # gh_hex is the shingle's md5 hex; the pipeline hashes THAT
+        return ((h & ((1 << 31) - 1)) * a_mul[0] & m61) ^ \
+               ((h >> 31) * b_mul[0] & m61)
 
     w = txt.split()
     shingles = {hashlib.md5(" ".join(w[i:i + 3]).encode()).hexdigest()
                 for i in range(len(w) - 2)}
-    exp0 = min(le62(gh + ":0") for gh in shingles)
-    from cuckoofilter_spark.ops.dedup import shingle_sets
-    from cuckoofilter_spark.ops.text import md5hex_to_le64
-    from pyspark.sql import functions as F
+    # NB slot0's md5 re-hash: the op hashes the shingle md5 HEX string
+    exp0 = min(slot0(gh) for gh in shingles)
     got = (shingle_sets(df.where("source = 'A'"), "source", "text", 3)
            .select(F.explode("shingles").alias("gh"))
-           .agg(F.min(md5hex_to_le64(F.md5(F.concat(F.col("gh"),
-                                                    F.lit(":0"))))
-                      .bitwiseAND(F.lit((1 << 62) - 1))).alias("m0"))
+           .select(md5hex_to_le64(F.md5("gh"))
+                   .bitwiseAND(F.lit((1 << 62) - 1)).alias("h"))
+           .agg(F.min((F.col("h").bitwiseAND(F.lit((1 << 31) - 1))
+                       * F.lit(a_mul[0])).bitwiseAND(F.lit(m61))
+                      .bitwiseXOR((F.shiftright("h", 31)
+                                   * F.lit(b_mul[0]))
+                                  .bitwiseAND(F.lit(m61)))).alias("m0"))
            .collect()[0]["m0"])
     assert got == exp0
