@@ -160,3 +160,39 @@ def test_vocab_coverage_broadcasts_vocab(spark, entry):
     plan = _plan(entry.queries()["vocab_coverage"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_temperature_resample_corpus_never_shuffles(spark):
+    """The mix filter's corpus path: per-stratum thresholds arrive via
+    BroadcastExchange + BroadcastHashJoin and the kept-rows filter runs
+    in the scan pipeline — corpus rows shuffle ZERO times (the only
+    shuffles live under the tiny per-stratum count aggregate)."""
+    from cuckoofilter_spark.ops.packing import temperature_resample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (temperature_resample(d, "doc_id", "lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastExchange") == 2, plan  # totals + rates
+    assert "CartesianProduct" not in plan
+    # no shuffle between the corpus scan and the probe join: every
+    # hash-exchange in the plan sits under an aggregate, none under
+    # the streamed (corpus) side of the join
+    streamed = plan.split("BroadcastHashJoin")[-1]
+    scan_side = streamed.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in scan_side, scan_side
+
+
+def test_group_minhash_pair_join_is_signature_sized(spark):
+    """The similarity matrix's inequality self-join runs as a
+    BroadcastNestedLoopJoin of the |groups|-row signature table — never
+    a CartesianProduct of anything corpus-sized; the token stream is
+    aggregated exactly once per branch (cached gw upstream)."""
+    from cuckoofilter_spark.ops.dedup import group_minhash_similarity
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (group_minhash_similarity(d, "source", "text", num_hashes=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 1, plan
