@@ -899,6 +899,95 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format("asof_ts", us), F.lit("")).alias("click_ts"))
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (ops/events.funnel): per user, the
+    earliest view -> click -> purchase chain with strictly increasing
+    timestamps — ONE user-keyed hash aggregate plus JVM higher-order
+    functions (sorted per-step arrays, F.get / F.filter / F.array_min),
+    no window, no per-step join cascade. The oracle restates the same
+    greedy chain with DuckDB ordered-list aggregates and list lambdas
+    (greedy-earliest is optimal, so both engines agree exactly)."""
+    from cuckoofilter_spark.ops.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"])
+    us = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.date_format(f"step_{i}_ts", us), F.lit(""))
+          .alias(f"step_{i}_ts") for i in (1, 2, 3)],
+        "steps_completed")
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (ops/events.retention_cohorts): users
+    bucketed by first active day, counted at each return-day offset.
+    One user-keyed aggregate (cohort min + distinct-day set in the SAME
+    aggregate — no second shuffle for the cohort join), explode, tiny
+    final aggregate. Oracle uses a null-safe cohort join."""
+    from cuckoofilter_spark.ops.events import retention_cohorts
+
+    out = retention_cohorts(_t(spark, sf_dir, "events"), "user_id", "ts")
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        F.col("n_users").cast("long").alias("n_users"))
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (ops/packing.hash_split):
+    98/1/1 by cross-engine md5-LE64 threshold — stateless, stable under
+    corpus growth (a new doc never moves an old one), and a pure
+    projection (no exchange). Verified as per-split counts + char sum +
+    id checksum."""
+    from cuckoofilter_spark.ops.packing import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, "doc_id", [("train", 98), ("val", 1), ("test", 1)])
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global pseudo-shuffle (ops/packing.shuffle_shard):
+    shard = md5-LE64(id) mod 8, pos = rank of the hash within the shard
+    — the training-data "global shuffle" materialized with one hash
+    exchange + per-shard sorts instead of a global order. Fully
+    deterministic, so the oracle reproduces every (doc, shard, pos)
+    exactly."""
+    from cuckoofilter_spark.ops.packing import shuffle_shard
+
+    d = _t(spark, sf_dir, "documents")
+    return (shuffle_shard(d, "doc_id", 8)
+            .select("doc_id", "shard", "pos"))
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per near-dup cluster
+    (ops/dedup.pick_canonical over connected_components of the
+    MinHash-LSH pair graph): keep the longest doc per cluster, ties to
+    the smallest id — as a min(struct) hash AGGREGATE, not a window, so
+    a boilerplate mega-cluster never sorts in one task. Oracle
+    recomputes components with the recursive-CTE exact-Jaccard graph
+    and picks by row_number."""
+    from cuckoofilter_spark.ops.dedup import (
+        connected_components, minhash_lsh_pairs, pick_canonical)
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8,
+                              num_hashes=64, bands=16, seed=SEED)
+    ids = d.select(F.col("doc_id").alias("doc"))
+    cl = connected_components(pairs, ids)
+    return (pick_canonical(cl, d, "doc_id", "n_chars")
+            .select("cluster_id", "keeper_id",
+                    F.col("keeper_quality").cast("long")
+                    .alias("keeper_chars"),
+                    "n_docs"))
+
+
 # --------------------------------------------------------------------------
 # text analysis (training-pipeline ops)
 # --------------------------------------------------------------------------
@@ -1445,6 +1534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,  # session 6: as-of join
         "asof_attribution_bucketed": q_asof_attribution_bucketed,
         "source_topk": q_source_topk,  # session 6: salted per-key quota
+        # -- session 8: pipeline breadth ---------------------------------
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "hash_split": q_hash_split,
+        "shuffle_shard": q_shuffle_shard,
+        "dedup_canonical": q_dedup_canonical,
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -1581,6 +1676,79 @@ def oracle_sql() -> dict[str, str]:
                        AS click_ts
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # funnel: same greedy-earliest chain — ordered-list aggregates,
+        # then one list_min(list_filter(...)) per step (strict >; a NULL
+        # previous step poisons the comparison, so later steps stay NULL)
+        "funnel_conversion": """
+            WITH g AS (
+                SELECT user_id,
+                       list(ts ORDER BY ts) FILTER (WHERE event_type = 'view'
+                                                    AND ts IS NOT NULL) AS l1,
+                       list(ts ORDER BY ts) FILTER (WHERE event_type = 'click'
+                                                    AND ts IS NOT NULL) AS l2,
+                       list(ts ORDER BY ts) FILTER (WHERE event_type = 'purchase'
+                                                    AND ts IS NOT NULL) AS l3
+                FROM events GROUP BY user_id),
+            s1 AS (SELECT user_id, l2, l3, l1[1] AS t1 FROM g),
+            s2 AS (SELECT user_id, l3, t1,
+                          list_min(list_filter(l2, x -> x > t1)) AS t2
+                   FROM s1),
+            s3 AS (SELECT user_id, t1, t2,
+                          list_min(list_filter(l3, x -> x > t2)) AS t3
+                   FROM s2)
+            SELECT user_id,
+                   COALESCE(strftime(t1, '%Y-%m-%d %H:%M:%S.%f'), '')
+                       AS step_1_ts,
+                   COALESCE(strftime(t2, '%Y-%m-%d %H:%M:%S.%f'), '')
+                       AS step_2_ts,
+                   COALESCE(strftime(t3, '%Y-%m-%d %H:%M:%S.%f'), '')
+                       AS step_3_ts,
+                   CAST(CAST(t1 IS NOT NULL AS INT)
+                        + CAST(t2 IS NOT NULL AS INT)
+                        + CAST(t3 IS NOT NULL AS INT) AS BIGINT)
+                       AS steps_completed
+            FROM s3
+        """,
+        # null-safe cohort join (IS NOT DISTINCT FROM): the Spark side
+        # keys one aggregate on the user, so a NULL user forms a cohort
+        "retention_cohorts": """
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT user_id, min(day) AS cohort_day
+                  FROM d GROUP BY user_id)
+            SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d JOIN c ON d.user_id IS NOT DISTINCT FROM c.user_id
+            GROUP BY c.cohort_day, d.day - c.cohort_day
+        """,
+        "hash_split": """
+            WITH h AS (
+                SELECT doc_id, n_chars,
+                       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
+                                             || '#split')
+                            & 4611686018427387903 AS BIGINT) % 100 AS b
+                FROM documents)
+            SELECT CASE WHEN b < 98 THEN 'train'
+                        WHEN b < 99 THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM h GROUP BY 1
+        """,
+        "shuffle_shard": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
+                                             || '#shuf')
+                            & 4611686018427387903 AS BIGINT) AS h
+                FROM documents)
+            SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY h % 8
+                                           ORDER BY h, doc_id)
+                        AS BIGINT) AS pos
+            FROM h
         """,
         "xor_membership": """
             SELECT p_partkey AS member_key FROM part
@@ -2234,6 +2402,43 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v)
             SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+        """,
+        # dedup_clusters' recursive-CTE component graph + a row_number
+        # pick (longest doc, ties to smallest id) per cluster
+        "dedup_canonical": f"""
+            WITH RECURSIVE w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+            ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+            sz AS (SELECT doc_id, len(ss) AS sz FROM sh),
+            pair AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            jp AS (
+                SELECT doc_a, doc_b FROM pair
+                JOIN sz x ON pair.doc_a = x.doc_id
+                JOIN sz y ON pair.doc_b = y.doc_id
+                WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8),
+            edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM jp
+                UNION SELECT doc_b, doc_a FROM jp),
+            reach(v, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v),
+            cl AS (SELECT v AS doc_id, min(r) AS cluster_id
+                   FROM reach GROUP BY v)
+            SELECT cluster_id, doc_id AS keeper_id, n_chars AS keeper_chars,
+                   n_docs
+            FROM (
+                SELECT cl.cluster_id, d.doc_id, d.n_chars,
+                       row_number() OVER (PARTITION BY cl.cluster_id
+                                          ORDER BY d.n_chars DESC, d.doc_id)
+                           AS rk,
+                       CAST(count(*) OVER (PARTITION BY cl.cluster_id)
+                            AS BIGINT) AS n_docs
+                FROM cl JOIN documents d USING (doc_id)
+            ) WHERE rk = 1
         """,
         "bpe_token_count": r"""
             SELECT source,

@@ -384,6 +384,36 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                          F.col("label").alias("cluster_id"))
 
 
+def pick_canonical(clusters: DataFrame, meta: DataFrame, id_col: str,
+                   quality_col: str) -> DataFrame:
+    """Representative selection per near-dup cluster: the doc a dedup
+    pipeline KEEPS — highest ``quality_col``, ties to the smallest id.
+
+    ``clusters`` is ``connected_components`` output (``doc_id``,
+    ``cluster_id``); ``meta`` carries ``id_col`` + ``quality_col``.
+    Returns one row per cluster: ``cluster_id``, ``keeper_id``,
+    ``keeper_quality``, ``n_docs`` (cluster size).
+
+    Plan shape: one equi-join on the id, then one AGGREGATE on the
+    cluster — the arg-max is a ``min(struct(-quality, id))`` (compiles
+    to a SortAggregate with a map-side partial_min; struct min has no
+    hash form), NOT a row_number window, so a million-doc boilerplate
+    cluster reduces to one struct per task map-side instead of sorting
+    all its rows in one window task.
+    """
+    j = clusters.join(
+        meta.select(F.col(id_col).alias("doc_id"),
+                    F.col(quality_col).alias("_q")), "doc_id")
+    return (j.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(F.struct((-F.col("_q")).alias("_nq"),
+                                F.col("doc_id").alias("_id"))).alias("_b"))
+            .select("cluster_id",
+                    F.col("_b._id").alias("keeper_id"),
+                    (-F.col("_b._nq")).alias("keeper_quality"),
+                    "n_docs"))
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        seed: int = 0x5EED) -> DataFrame:
     """(doc, simhash: long) — 64-bit SimHash over word hashes.

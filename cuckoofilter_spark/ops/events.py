@@ -1,6 +1,6 @@
-"""Event-stream operators: gap sessionization and as-of join.
+"""Event-stream operators: sessionization, as-of join, funnel, retention.
 
-Two classic event-table operators a training-data / analytics pipeline
+Classic event-table operators a training-data / analytics pipeline
 runs over append-only logs, re-expressed Spark-first:
 
 - ``sessionize``: gap-based session windows via ``F.session_window`` —
@@ -18,6 +18,11 @@ runs over append-only logs, re-expressed Spark-first:
   non-null right payload forward, keep left rows. ONE shuffle + sort
   on the key — same exchange count as the sort-merge join Catalyst
   would pick for an equi-join, no range explosion, no per-row Python.
+- ``funnel``: ordered-step conversion with strictly increasing
+  timestamps — one hash aggregate per user plus JVM higher-order
+  functions, no window, no per-step join cascade.
+- ``retention_cohorts``: first-active-day cohorts × return-day offsets
+  — the cohort join fused into the same single user-keyed aggregate.
 
 Semantics notes (pinned by tests/test_events.py):
 
@@ -93,6 +98,97 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
                     *[F.col(a) for a in
                       (("n_events", "value_sum") if value_col is not None
                        else ("n_events",))]))
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+           steps: list[str] | tuple[str, ...],
+           out_prefix: str = "step") -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest way to complete
+    ``steps`` in order with strictly increasing timestamps.
+
+    Returns one row per user: ``{out_prefix}_{i}_ts`` (the matched
+    timestamp of step i on the earliest-completion path, NULL once the
+    funnel stalls) and ``steps_completed`` (count of non-NULL steps —
+    monotone by construction: step i+1 can only match after step i).
+
+    Semantics: step 1 matches the user's earliest event of
+    ``steps[0]``; step i+1 matches the earliest event of ``steps[i]``
+    with ts STRICTLY greater than step i's matched ts (an equal-ts
+    event does not advance the funnel). Greedy-earliest is optimal
+    here: taking the earliest valid match at every step can only leave
+    more room for later steps, so it completes the funnel whenever any
+    assignment does. NULL-ts events are ignored (they cannot be
+    ordered), matching the oracle's ``FILTER (... AND ts IS NOT NULL)``.
+
+    Plan shape: ONE exchange (hash aggregate on the user), collecting
+    one sorted per-step timestamp array per user, then pure
+    higher-order-function chaining (``F.get`` / ``F.filter`` /
+    ``F.array_min``) — all JVM codegen, no window, no second shuffle,
+    no Python. Per-task memory is one user's events of the funnel's
+    step types, bounded for human-scale event logs; a pathologically
+    hot user bounds at its own event count (cap upstream with
+    ``per_key_topk`` if a key can be adversarially unbounded). The
+    step-(i+1) filter lambda references step i's expression, so the
+    per-element work grows with the step index — funnels are 3-5 steps
+    over per-user-per-type arrays, far below the O(n^2)
+    higher-order-function regime documented for shingling.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    k = len(steps)
+    aggs = [
+        F.sort_array(F.collect_list(
+            F.when(F.col(type_col) == s, F.col(ts_col)))).alias(f"_l{i}")
+        for i, s in enumerate(steps)]
+    g = df.groupBy(user_col).agg(*aggs)
+    # NOTE: the after-p predicate must be built by a closure FACTORY —
+    # a `lambda x, p=prev:` default-arg capture has arity 2, which
+    # pyspark's F.filter interprets as the (element, index) signature
+    # and binds p to the INT index (analyzer: TIMESTAMP > INT).
+    def _after(p):
+        return lambda x: x > p
+
+    out = g.withColumn(f"{out_prefix}_1_ts", F.get("_l0", 0))
+    for i in range(1, k):
+        prev = F.col(f"{out_prefix}_{i}_ts")
+        out = out.withColumn(
+            f"{out_prefix}_{i + 1}_ts",
+            F.array_min(F.filter(F.col(f"_l{i}"), _after(prev))))
+    names = [f"{out_prefix}_{i}_ts" for i in range(1, k + 1)]
+    completed = None
+    for n in names:
+        flag = F.when(F.col(n).isNotNull(), 1).otherwise(0)
+        completed = flag if completed is None else completed + flag
+    return out.select(user_col, *names,
+                      completed.cast("long").alias("steps_completed"))
+
+
+def retention_cohorts(df: DataFrame, user_col: str, ts_col: str,
+                      ) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first active
+    day (the cohort), counted on each later day-offset they return.
+
+    Returns (``cohort_day`` date, ``day_offset`` days since cohort,
+    ``n_users``) — offset 0 is the cohort size itself.
+
+    Plan shape: ONE exchange on the user (hash aggregate collecting the
+    user's distinct active-day set alongside its min — the
+    cohort-assignment join is fused into the same aggregate instead of
+    a second shuffle), an explode of the per-user day set (bounded by
+    the calendar, not the event count), and a tiny final aggregate on
+    (cohort, offset) — cardinality = active-days^2 / 2, trivially
+    broadcastable downstream. NULL-ts events are dropped (no day).
+    """
+    days = (df.where(F.col(ts_col).isNotNull())
+            .select(F.col(user_col).alias("_u"),
+                    F.to_date(ts_col).alias("_d")))
+    g = days.groupBy("_u").agg(F.min("_d").alias("cohort_day"),
+                               F.collect_set("_d").alias("_days"))
+    return (g.select("cohort_day", F.explode("_days").alias("_d"))
+            .groupBy("cohort_day",
+                     F.datediff("_d", "cohort_day").cast("long")
+                     .alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,

@@ -189,6 +189,78 @@ def temperature_resample(df: DataFrame, id_col: str, strata_col: str,
             .where(h < F.col("_t")).drop("_k", "_t"))
 
 
+def hash_split(df: DataFrame, id_col: str,
+               splits: list[tuple[str, int]] | tuple[tuple[str, int], ...],
+               den: int = 100, salt: str = "#split") -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    mapping each row to a named fraction by hash threshold.
+
+    ``splits`` is an ordered list of (label, weight) with integer
+    weights summing to ``den`` — e.g. ``[("train", 98), ("val", 1),
+    ("test", 1)]`` with ``den=100``. Row lands in the first label whose
+    cumulative weight exceeds ``md5-LE64(id || salt) mod den`` (the
+    cross-engine hash, ops/text.py), so the assignment is stateless,
+    reproducible on any engine, stable under corpus growth (a new row
+    never moves an old one — unlike rank- or random()-based splits),
+    and resumable.
+
+    Plan shape: a pure projection — no exchange, no Python; survives
+    column pruning and rides the scan. The split is a 100 TB no-op.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one label")
+    weights = [w for _, w in splits]
+    if any(w < 0 for w in weights) or sum(weights) != den:
+        raise ValueError(f"split weights must be >= 0 and sum to den={den}")
+    h = md5_le64(F.col(id_col).cast("string"), salt).bitwiseAND(
+        F.lit(_MASK62)) % den
+    expr = None
+    cum = 0
+    for label, w in splits[:-1]:
+        cum += w
+        clause = (h < cum, F.lit(label))
+        expr = (F.when(*clause) if expr is None else expr.when(*clause))
+    last = F.lit(splits[-1][0])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def shuffle_shard(df: DataFrame, id_col: str, n_shards: int,
+                  salt: str = "#shuf") -> DataFrame:
+    """Deterministic global pseudo-shuffle without a global sort: adds
+    ``shard`` (which output shard the row belongs to) and ``pos`` (its
+    position within the shard), both fully determined by
+    ``md5-LE64(id || salt)``.
+
+    This is how a training pipeline materializes "globally shuffled"
+    data at corpus scale: a true random permutation needs either RNG
+    state or a total order over 10^12 rows; hashing gives the same
+    statistical shuffle as ordering the whole corpus by h — shard =
+    h mod S is the high-level interleave, pos = rank of h within the
+    shard — while never sorting more than one shard in one place.
+    Reading shards in (shard, pos) order visits documents in global
+    h-order restricted to that shard: i.i.d.-looking batches with zero
+    coordination. Re-running on a grown corpus only inserts new rows;
+    a fixed doc keeps its shard forever.
+
+    Plan shape: ONE exchange (hash partition on shard — S times finer
+    than a global sort's single range partition) and a per-shard sort;
+    with ``n_shards`` scaled so a shard is a few GB, every task sorts
+    locally and in memory. Ties on h (2^-62) break on id, so the order
+    is total and the rank reproducible.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = md5_le64(F.col(id_col).cast("string"), salt).bitwiseAND(
+        F.lit(_MASK62))
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("long"))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
+                                            F.col(id_col).asc())
+    return (out.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_h"))
+
+
 def per_key_topk(df: DataFrame, key_col: str, order_by: list,
                  k: int, salt_buckets: int | None = None,
                  salt_on: str | None = None) -> DataFrame:

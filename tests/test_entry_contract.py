@@ -154,7 +154,13 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "temperature_mix",
                          "vocab_growth",
                          "source_keyness",
-                         "source_similarity"}
+                         "source_similarity",
+                         # session 8
+                         "funnel_conversion",
+                         "retention_cohorts",
+                         "hash_split",
+                         "shuffle_shard",
+                         "dedup_canonical"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

@@ -1,0 +1,232 @@
+"""Session-8 pipeline-breadth ops: funnel, retention cohorts,
+hash_split, shuffle_shard, pick_canonical.
+
+Each op's semantics are pinned on hand-built corner cases (the oracle
+replica at sf0.01 covers the bulk parity), plus the plan-shape claims
+the docstrings make (hash_split is exchange-free; pick_canonical is an
+aggregate, not a window).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.ops.dedup import pick_canonical
+from cuckoofilter_spark.ops.events import funnel, retention_cohorts
+from cuckoofilter_spark.ops.packing import hash_split, shuffle_shard
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- funnel
+
+def test_funnel_strictly_increasing_and_greedy(spark):
+    """Equal-ts events do NOT advance the funnel; greedy-earliest picks
+    the earliest valid match per step; a stalled step NULLs the rest."""
+    rows = [
+        # user 1: clean chain, click choice must be the EARLIEST > view
+        (1, _ts("2024-01-01T00:00:00"), "view"),
+        (1, _ts("2024-01-01T00:01:00"), "click"),
+        (1, _ts("2024-01-01T00:05:00"), "click"),
+        (1, _ts("2024-01-01T00:02:00"), "purchase"),
+        # user 2: click at EXACTLY the view ts -> does not count (strict >)
+        (2, _ts("2024-01-01T00:00:00"), "view"),
+        (2, _ts("2024-01-01T00:00:00"), "click"),
+        # user 3: purchase BEFORE any click -> stalls at step 2
+        (3, _ts("2024-01-01T00:00:00"), "purchase"),
+        (3, _ts("2024-01-01T00:01:00"), "view"),
+        (3, _ts("2024-01-01T00:02:00"), "click"),
+        # user 4: no view at all
+        (4, _ts("2024-01-01T00:00:00"), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    got = {r.user_id: r for r in
+           funnel(df, "user_id", "ts", "et",
+                  ["view", "click", "purchase"]).collect()}
+    r1 = got[1]
+    assert (r1.step_1_ts, r1.step_2_ts, r1.step_3_ts) == (
+        _ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:01:00"),
+        _ts("2024-01-01T00:02:00"))
+    assert r1.steps_completed == 3
+    r2 = got[2]
+    assert r2.step_1_ts is not None and r2.step_2_ts is None
+    assert r2.steps_completed == 1
+    r3 = got[3]
+    assert (r3.step_1_ts, r3.step_2_ts, r3.step_3_ts) == (
+        _ts("2024-01-01T00:01:00"), _ts("2024-01-01T00:02:00"), None)
+    assert r3.steps_completed == 2
+    r4 = got[4]
+    assert r4.step_1_ts is None and r4.steps_completed == 0
+
+
+def test_funnel_greedy_completes_when_any_assignment_does(spark):
+    """The adversarial case for greedy: view at t=0 and t=2, click only
+    at t=1. Greedy takes view@0 and still finds click@1 — but a
+    'latest-view' strategy would stall. Pin that greedy-earliest wins."""
+    rows = [(1, _ts("2024-01-01T00:00:00"), "view"),
+            (1, _ts("2024-01-01T00:00:02"), "view"),
+            (1, _ts("2024-01-01T00:00:01"), "click")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    out = funnel(df, "user_id", "ts", "et", ["view", "click"]).collect()[0]
+    assert out.steps_completed == 2
+    assert out.step_2_ts == _ts("2024-01-01T00:00:01")
+
+
+def test_funnel_null_ts_ignored_and_validation(spark):
+    rows = [(1, None, "view"), (1, _ts("2024-01-01T00:00:01"), "click")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    out = funnel(df, "user_id", "ts", "et", ["view", "click"]).collect()[0]
+    assert out.step_1_ts is None and out.steps_completed == 0
+    with pytest.raises(ValueError, match="two steps"):
+        funnel(df, "user_id", "ts", "et", ["view"])
+
+
+def test_funnel_single_aggregate_no_window_no_python(spark):
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), "view")],
+        "user_id long, ts timestamp, et string")
+    executed = (funnel(df, "user_id", "ts", "et",
+                       ["view", "click", "purchase"])
+                ._jdf.queryExecution().executedPlan().toString())
+    assert executed.count("Exchange") == 1, executed
+    assert "Window" not in executed, executed
+    assert "Python" not in executed, executed
+
+
+# ---------------------------------------------------- retention cohorts
+
+def test_retention_cohorts_triangle(spark):
+    """Two users, known cohorts/offsets; a same-day repeat counts once
+    (distinct-day set), NULL ts dropped."""
+    rows = [
+        (1, _ts("2024-01-01T08:00:00")),
+        (1, _ts("2024-01-01T22:00:00")),   # same day: one active day
+        (1, _ts("2024-01-03T00:00:00")),   # offset 2
+        (2, _ts("2024-01-02T00:00:00")),
+        (2, _ts("2024-01-03T00:00:00")),   # offset 1
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort_day), r.day_offset): r.n_users
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+                   ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
+
+
+def test_retention_cohorts_single_user_exchange(spark):
+    """The cohort join is fused into ONE user-keyed aggregate: the plan
+    has exactly two exchanges (user agg + tiny final agg), no join."""
+    df = spark.createDataFrame([(1, _ts("2024-01-01T00:00:00"))],
+                               "user_id long, ts timestamp")
+    executed = (retention_cohorts(df, "user_id", "ts")
+                ._jdf.queryExecution().executedPlan().toString())
+    assert executed.count("Exchange") == 2, executed
+    assert "Join" not in executed, executed
+
+
+# ------------------------------------------------------------ hash_split
+
+def test_hash_split_stability_and_fractions(spark):
+    """Each id's split is stable under corpus growth (subset agrees with
+    superset row-for-row) and fractions land near the weights."""
+    big = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    small = big.where(F.col("doc_id") < 1000)
+    splits = [("train", 90), ("val", 5), ("test", 5)]
+    a = {r.doc_id: r.split
+         for r in hash_split(big, "doc_id", splits).collect()}
+    b = {r.doc_id: r.split
+         for r in hash_split(small, "doc_id", splits).collect()}
+    assert all(a[k] == v for k, v in b.items())
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.85 * 4000 < n_train < 0.95 * 4000
+    assert {"train", "val", "test"} == set(a.values())
+
+
+def test_hash_split_validation_and_plan(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to den"):
+        hash_split(df, "doc_id", [("a", 50), ("b", 49)])
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(df, "doc_id", [])
+    plan = _plan(hash_split(df, "doc_id", [("train", 98), ("val", 1),
+                                           ("test", 1)]))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+# --------------------------------------------------------- shuffle_shard
+
+def test_shuffle_shard_is_permutation_and_deterministic(spark):
+    """pos is 1..n_shard_rows within every shard; the full output is a
+    permutation of the input ids; re-running reproduces it exactly."""
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shard(df, "doc_id", 8).collect()
+    assert sorted(r.doc_id for r in out) == list(range(2000))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = {(r.doc_id): (r.shard, r.pos)
+             for r in shuffle_shard(df, "doc_id", 8).collect()}
+    assert all(again[r.doc_id] == (r.shard, r.pos) for r in out)
+    # it actually shuffles: within a shard, pos order != id order
+    ids_in_pos_order = [r.doc_id for r in
+                        sorted(out, key=lambda r: (r.shard, r.pos))]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
+    with pytest.raises(ValueError, match="positive"):
+        shuffle_shard(df, "doc_id", 0)
+
+
+def test_shuffle_shard_stable_under_growth(spark):
+    """A doc keeps its shard (not its pos) when the corpus grows."""
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    small = big.where(F.col("doc_id") < 300)
+    a = {r.doc_id: r.shard for r in shuffle_shard(big, "doc_id", 8).collect()}
+    b = {r.doc_id: r.shard
+         for r in shuffle_shard(small, "doc_id", 8).collect()}
+    assert all(a[k] == v for k, v in b.items())
+
+
+# -------------------------------------------------------- pick_canonical
+
+def test_pick_canonical_argmax_and_ties(spark):
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40)], "doc_id long, cluster_id long")
+    meta = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 80), (4, 7)], "doc_id long, q long")
+    got = {r.cluster_id: r for r in
+           pick_canonical(clusters, meta, "doc_id", "q").collect()}
+    # cluster 10: max q=80 tie between ids 2,3 -> smallest id wins
+    assert got[10].keeper_id == 2 and got[10].keeper_quality == 80
+    assert got[10].n_docs == 3
+    assert got[40].keeper_id == 4 and got[40].n_docs == 1
+
+
+def test_pick_canonical_is_aggregate_not_window(spark):
+    """min(struct) compiles to a SortAggregate (struct min has no hash
+    form), but the scale property holds: a PARTIAL aggregate runs
+    before the cluster exchange, so a mega-cluster's rows reduce
+    map-side instead of sorting in one window task."""
+    clusters = spark.createDataFrame([(1, 10)], "doc_id long, cluster_id long")
+    meta = spark.createDataFrame([(1, 5)], "doc_id long, q long")
+    executed = (pick_canonical(clusters, meta, "doc_id", "q")
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in executed, executed
+    import re
+    aggs = re.findall(r"(Sort|Hash|ObjectHash)Aggregate", executed)
+    assert len(aggs) >= 2, executed  # partial + final
+    assert "partial_min" in executed, executed
