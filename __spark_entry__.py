@@ -1111,6 +1111,30 @@ def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
                          top_k=3)
 
 
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality funnel (ops/text.filter_cascade): per
+    source, cumulative survivor counts through four integer-exact
+    rules (word-count band, mean-word-length band as an integer
+    inequality, stopword floor, type-token floor) plus the surviving
+    word budget — ONE projection + ONE hash aggregate, the whole
+    cascade in a single corpus pass."""
+    from cuckoofilter_spark.ops.text import filter_cascade
+
+    return filter_cascade(_t(spark, sf_dir, "documents"), "text", "source",
+                          min_words=20, max_words=4000)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) slope per language (ops/text.zipf_fit):
+    OLS of ln(freq) on ln(rank) over the frequency table, every moment
+    an order-free INTEGER sum of micro-nat-quantized points and the
+    slope assembled once — the corpus-health scalar that flags
+    templated text (slope ~ 0) vs natural language (slope ~ -1)."""
+    from cuckoofilter_spark.ops.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text", "lang")
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=0.5) mixture resampling: per-language keep
     rates COMPUTED from the corpus (expected kept count proportional
@@ -1540,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "shuffle_shard": q_shuffle_shard,
         "dedup_canonical": q_dedup_canonical,
+        "filter_cascade": q_filter_cascade,
+        "zipf_fit": q_zipf_fit,
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -1749,6 +1775,74 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY h, doc_id)
                         AS BIGINT) AS pos
             FROM h
+        """,
+        # every rule an INTEGER inequality (no double ratios cross the
+        # engine boundary); list_sum on an empty list is NULL -> COALESCE
+        "filter_cascade": f"""
+            WITH w AS (SELECT source,
+                              COALESCE({_WORDS}, CAST([] AS VARCHAR[])) AS W
+                       FROM documents),
+            f AS (SELECT source,
+                         CAST(len(W) AS BIGINT) AS n,
+                         CAST(COALESCE(list_sum(
+                             list_transform(W, x -> length(x))), 0)
+                             AS BIGINT) AS sl,
+                         CAST(len(list_filter(W,
+                             x -> list_contains({_STOP}, lower(x))))
+                             AS BIGINT) AS sh,
+                         CAST(len(list_distinct(W)) AS BIGINT) AS nd
+                  FROM w),
+            r AS (SELECT source, n,
+                         (n >= 20 AND n <= 4000) AS c1,
+                         (2 * n <= sl AND sl <= 12 * n) AS c2,
+                         (sh * 50 >= n) AS c3,
+                         (nd * 10 >= n) AS c4
+                  FROM f)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pass_1,
+                   CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pass_2,
+                   CAST(sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pass_3,
+                   CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0
+                            END) AS BIGINT) AS pass_4,
+                   CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 THEN n ELSE 0
+                            END) AS BIGINT) AS words_kept
+            FROM r GROUP BY source
+        """,
+        # micro-nat-quantized points, order-free integer moments, one
+        # fixed double division at the end (the bigram_pmi recipe)
+        "zipf_fit": f"""
+            WITH w AS (SELECT lang,
+                              unnest(COALESCE({_WORDS},
+                                              CAST([] AS VARCHAR[]))) AS word
+                       FROM documents),
+            c AS (SELECT lang, word, count(*) AS c FROM w GROUP BY 1, 2),
+            r AS (SELECT lang, c,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY c DESC, word) AS rk
+                  FROM c),
+            p AS (SELECT lang,
+                         CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS x,
+                         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS y
+                  FROM r),
+            s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM p GROUP BY 1)
+            SELECT lang, n_types,
+                   CASE WHEN n_types * sxx - sx * sx <> 0 THEN
+                       CAST(round(CAST(n_types * sxy - sx * sy AS DOUBLE)
+                                  / CAST(n_types * sxx - sx * sx AS DOUBLE)
+                                  * 1000000) AS BIGINT)
+                   ELSE NULL END AS slope_e6
+            FROM s
         """,
         "xor_membership": """
             SELECT p_partkey AS member_key FROM part

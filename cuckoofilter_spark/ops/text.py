@@ -495,3 +495,107 @@ def group_keyness(df: DataFrame, text_col: str, group_col: str,
     return (scored.withColumn("_r", F.row_number().over(rk))
             .where(F.col("_r") <= int(top_k)).drop("_r")
             .orderBy("grp", F.col("keyness_e6").desc(), "w"))
+
+
+def filter_cascade(df: DataFrame, text_col: str, group_col: str,
+                   min_words: int = 5, max_words: int = 4000,
+                   awl_lo: int = 2, awl_hi: int = 12,
+                   stop_div: int = 50, ttr_div: int = 10) -> DataFrame:
+    """Gopher-style quality-filter funnel: per group, how many docs
+    survive each CUMULATIVE rule, and how many words survive the whole
+    cascade (the number a pipeline actually budgets on).
+
+    Rules (applied in order; every threshold is integer-exact, so the
+    DuckDB oracle reproduces the booleans bit-for-bit — no double
+    ratios cross the engine boundary):
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [awl_lo, awl_hi]   (as awl_lo*n <= sum_len <= awl_hi*n)
+    3. stopword ratio >= 1/stop_div           (as stop_hits*stop_div >= n)
+    4. type-token ratio >= 1/ttr_div          (as n_distinct*ttr_div >= n)
+
+    Output per group: ``n_docs``, ``pass_1``..``pass_4`` (cumulative
+    survivor counts) and ``words_kept`` (sum of word counts over docs
+    passing all four).
+
+    Plan shape: one projection (the word array materialized once per
+    doc in a sub-select — the per-element HOF re-evaluation trap — and
+    four linear JVM array ops over it), then ONE hash aggregate on the
+    group with map-side partials. No window, no join, no Python; the
+    whole cascade is a single pass over the corpus.
+
+    Reference parity: the conditional-survival accounting mirrors the
+    reference harness's found_count/total counting loops
+    (benchmarks/bulk-insert-and-query.cc:509-542) re-expressed as one
+    conditional aggregation instead of per-item branches.
+    """
+    base = df.select(F.col(group_col).alias("grp"),
+                     words(F.coalesce(F.col(text_col), F.lit(""))).alias("W"))
+    n = F.size("W")
+    sum_len = F.aggregate("W", F.lit(0), lambda acc, x: acc + F.length(x))
+    stop_hits = F.size(F.filter("W", lambda x: F.lower(x).isin(*EN_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("W"))
+    feats = base.select(
+        "grp", n.alias("_n"), sum_len.alias("_sl"),
+        stop_hits.alias("_sh"), n_distinct.alias("_nd"))
+    r1 = (F.col("_n") >= min_words) & (F.col("_n") <= max_words)
+    r2 = ((F.lit(awl_lo) * F.col("_n") <= F.col("_sl"))
+          & (F.col("_sl") <= F.lit(awl_hi) * F.col("_n")))
+    r3 = F.col("_sh") * stop_div >= F.col("_n")
+    r4 = F.col("_nd") * ttr_div >= F.col("_n")
+    c1, c2, c3, c4 = r1, r1 & r2, r1 & r2 & r3, r1 & r2 & r3 & r4
+    as_n = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (feats.groupBy(F.col("grp").alias(group_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 as_n(c1).alias("pass_1"), as_n(c2).alias("pass_2"),
+                 as_n(c3).alias("pass_3"), as_n(c4).alias("pass_4"),
+                 F.sum(F.when(c4, F.col("_n")).otherwise(0))
+                 .cast("long").alias("words_kept")))
+
+
+def zipf_fit(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Rank-frequency (Zipf) slope per group: OLS fit of ln(freq) on
+    ln(rank) over the group's word-frequency table — the corpus-health
+    scalar that flags templated/duplicated text (slope near 0) vs
+    natural language (slope near -1).
+
+    Cross-engine determinism (the unigram_xent / bigram_pmi recipe):
+    each point's coordinates are quantized ONCE to integer micro-nats
+    (x = round(ln(rank)*1e6), y = round(ln(freq)*1e6) — ln of exact
+    64-bit integers, one double op each), all OLS moments are then
+    INTEGER sums (order-free, overflow-checked: |x| <= ln(2^63)*1e6 <
+    4.4e7, so x*y < 2e15 and 31-term sums stay far under 2^63), and
+    the slope is assembled from the four moments in one fixed double
+    expression rounded once to micro-units. Groups with a single type
+    (denominator 0) report NULL.
+
+    Plan shape: one exchange for the (group, word) frequency aggregate,
+    a vocabulary-sized window for the rank (partitioned by group —
+    vocab-sized, NOT corpus-sized: the window input is the frequency
+    table), and one tiny final aggregate per group.
+    """
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      words(F.coalesce(F.col(text_col),
+                                       F.lit(""))).alias("_W"))
+            .select("grp", F.explode_outer("_W").alias("w"))
+            .where(F.col("w").isNotNull()))
+    freq = toks.groupBy("grp", "w").agg(F.count("*").alias("c"))
+    rk = Window.partitionBy("grp").orderBy(F.col("c").desc(),
+                                           F.col("w").asc())
+    pts = (freq.withColumn("_rk", F.row_number().over(rk))
+           .select("grp",
+                   F.expr("CAST(round(ln(CAST(_rk AS DOUBLE)) * 1000000) "
+                          "AS BIGINT)").alias("x"),
+                   F.expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) "
+                          "AS BIGINT)").alias("y")))
+    s = (pts.groupBy(F.col("grp").alias(group_col))
+         .agg(F.count(F.lit(1)).alias("n_types"),
+              F.sum("x").alias("_sx"), F.sum("y").alias("_sy"),
+              F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("_sxx")))
+    den = F.col("n_types") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = F.col("n_types") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    return s.select(
+        group_col, "n_types",
+        F.when(den != 0, F.round(num.cast("double") / den.cast("double")
+                                 * 1000000).cast("long")).alias("slope_e6"))

@@ -160,7 +160,9 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "retention_cohorts",
                          "hash_split",
                          "shuffle_shard",
-                         "dedup_canonical"}
+                         "dedup_canonical",
+                         "filter_cascade",
+                         "zipf_fit"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

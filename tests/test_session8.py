@@ -230,3 +230,75 @@ def test_pick_canonical_is_aggregate_not_window(spark):
     aggs = re.findall(r"(Sort|Hash|ObjectHash)Aggregate", executed)
     assert len(aggs) >= 2, executed  # partial + final
     assert "partial_min" in executed, executed
+
+
+# -------------------------------------------------------- filter_cascade
+
+def test_filter_cascade_rules_and_cumulation(spark):
+    """Hand-built docs that fail exactly one rule each; survivors
+    monotone; words_kept counts only full survivors."""
+    from cuckoofilter_spark.ops.text import filter_cascade
+
+    rows = [
+        # passes everything: 6 words, awl 4, stopwords 'the a', distinct
+        (1, "s", "the red fox ate a pear"),
+        # fails r1: too short
+        (2, "s", "tiny doc"),
+        # fails r2: mean word length > 12
+        (3, "s", " ".join(["supercalifragilistic"] * 6)),
+        # fails r3: no stopwords
+        (4, "s", "red fox ate pear green tree"),
+        # fails r4: TTR < 0.1 -> needs > 10x repeats of one word + a stopword
+        (5, "s", "the " + " ".join(["word"] * 30)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = filter_cascade(df, "text", "source", min_words=5, max_words=100,
+                         ttr_div=10).collect()[0]
+    assert out.n_docs == 5
+    assert out.pass_1 == 4      # doc 2 out
+    assert out.pass_2 == 3      # doc 3 out
+    assert out.pass_3 == 2      # doc 4 out
+    # doc 5: 31 words, 2 distinct -> 2*10 < 31 -> out
+    assert out.pass_4 == 1
+    assert out.words_kept == 6  # doc 1 only
+    # survivors are monotone by construction
+    assert out.pass_1 >= out.pass_2 >= out.pass_3 >= out.pass_4
+
+
+def test_filter_cascade_single_pass_plan(spark):
+    from cuckoofilter_spark.ops.text import filter_cascade
+
+    df = spark.createDataFrame([(1, "s", "the a b")],
+                               "doc_id long, source string, text string")
+    executed = (filter_cascade(df, "text", "source")
+                ._jdf.queryExecution().executedPlan().toString())
+    assert executed.count("Exchange") == 1, executed
+    assert "Join" not in executed and "Python" not in executed, executed
+
+
+# --------------------------------------------------------------- zipf_fit
+
+def test_zipf_fit_exact_two_point_slope(spark):
+    """Two types with freqs 4 and 1: slope = (ln1-ln4)/(ln1-ln2) ...
+    points are (ln1, ln4) and (ln2, ln1) -> slope = -ln4/ln2 = -2."""
+    from cuckoofilter_spark.ops.text import zipf_fit
+
+    rows = [(1, "en", "aa aa aa aa bb")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = zipf_fit(df, "text", "lang").collect()[0]
+    assert out.n_types == 2
+    assert abs(out.slope_e6 - (-2_000_000)) <= 2  # quantization slack
+    # perfectly Zipfian 3 points: freqs 6,3,2 -> ln(c) = ln6 - ln(rank)
+    rows = [(1, "fr", " ".join(["x"] * 6 + ["y"] * 3 + ["z"] * 2))]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = zipf_fit(df, "text", "lang").collect()[0]
+    assert abs(out.slope_e6 - (-1_000_000)) <= 2
+
+
+def test_zipf_fit_single_type_null_slope(spark):
+    from cuckoofilter_spark.ops.text import zipf_fit
+
+    df = spark.createDataFrame([(1, "en", "solo solo solo")],
+                               "doc_id long, lang string, text string")
+    out = zipf_fit(df, "text", "lang").collect()[0]
+    assert out.n_types == 1 and out.slope_e6 is None
