@@ -1292,6 +1292,31 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.8, num_hashes=64, bands=16, seed=SEED)
 
 
+def q_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix: near-dup pairs (MinHash-LSH at the
+    same tau/seed as minhash_lsh_pairs) whose two docs come from
+    DIFFERENT sources, counted per unordered source pair — the
+    train/test contamination report a pipeline runs before a split is
+    trusted. Broadcast-joins the tiny (doc -> source) map onto both
+    pair endpoints; the pair list is linear in true near-dups, so the
+    matrix aggregate is trivially small."""
+    from cuckoofilter_spark.ops.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8,
+                              num_hashes=64, bands=16, seed=SEED)
+    src = d.select(F.col("doc_id"), F.col("source"))
+    j = (pairs
+         .join(F.broadcast(src.withColumnRenamed("source", "_sa")
+                           .withColumnRenamed("doc_id", "doc_a")), "doc_a")
+         .join(F.broadcast(src.withColumnRenamed("source", "_sb")
+                           .withColumnRenamed("doc_id", "doc_b")), "doc_b")
+         .where(F.col("_sa") != F.col("_sb")))
+    return (j.groupBy(F.least("_sa", "_sb").alias("source_x"),
+                      F.greatest("_sa", "_sb").alias("source_y"))
+            .agg(F.count(F.lit(1)).alias("n_leaked_pairs")))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: connected components over the
     MinHash-LSH pair graph (min-label propagation), assigning every doc
@@ -1566,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "filter_cascade": q_filter_cascade,
         "zipf_fit": q_zipf_fit,
+        "leakage_matrix": q_leakage_matrix,
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -2445,6 +2471,30 @@ def oracle_sql() -> dict[str, str]:
             FROM pair JOIN sz x ON pair.doc_a = x.doc_id
                       JOIN sz y ON pair.doc_b = y.doc_id
             WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8
+        """,
+        # the exact-Jaccard pair graph (= the LSH set at this tau/seed)
+        # joined to each endpoint's source; unordered source pairs
+        "leakage_matrix": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS W FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+            ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+            sz AS (SELECT doc_id, len(ss) AS sz FROM sh),
+            pair AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            jp AS (
+                SELECT doc_a, doc_b
+                FROM pair JOIN sz x ON pair.doc_a = x.doc_id
+                          JOIN sz y ON pair.doc_b = y.doc_id
+                WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8)
+            SELECT least(da.source, db.source) AS source_x,
+                   greatest(da.source, db.source) AS source_y,
+                   CAST(count(*) AS BIGINT) AS n_leaked_pairs
+            FROM jp JOIN documents da ON jp.doc_a = da.doc_id
+                    JOIN documents db ON jp.doc_b = db.doc_id
+            WHERE da.source <> db.source
+            GROUP BY 1, 2
         """,
         "ann_cosine_topk": """
             SELECT q.vec_id AS q_id, e.vec_id,

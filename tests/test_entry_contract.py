@@ -162,7 +162,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "shuffle_shard",
                          "dedup_canonical",
                          "filter_cascade",
-                         "zipf_fit"}
+                         "zipf_fit",
+                         "leakage_matrix"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:
