@@ -779,6 +779,31 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_distinct_exact(_t(spark, sf_dir, "events"), "user_id")
 
 
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product equi-join cardinality estimate
+    (ops/dataflow.cms_join_size, Cormode-Muthukrishnan 2005 §4.2)
+    beside the exact join count: exact = sum_k f_partkey(k) *
+    f_suppkey(k) over lineitem's two key columns. The gate row carries
+    the exact count plus two replay-stable flags — the DETERMINISTIC
+    one-sided bound (the CMS estimate never undercounts an inner
+    product) and a 3x-slack width bound (the hll/kll bound-flag
+    convention)."""
+    from cuckoofilter_spark.ops.dataflow import cms_join_size
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = cms_join_size(li, "l_partkey", li, "l_suppkey", eps=0.0001,
+                      seed=SEED)
+    exact = (li.select(F.col("l_partkey").alias("k"))
+             .join(li.select(F.col("l_suppkey").alias("k")), "k")
+             .agg(F.count(F.lit(1)).alias("exact_join_size")))
+    return exact.select(
+        F.col("exact_join_size").cast("long").alias("exact_join_size"),
+        (F.lit(int(r["est"])) >= F.col("exact_join_size"))
+        .alias("cms_ge_exact"),
+        (F.lit(float(r["est"])) - F.col("exact_join_size")
+         <= F.lit(float(r["err_bound"]))).alias("cms_within_bound"))
+
+
 def q_has_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoofilter_spark.ops.dataflow import has_duplicates
 
@@ -1592,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_cascade": q_filter_cascade,
         "zipf_fit": q_zipf_fit,
         "leakage_matrix": q_leakage_matrix,
+        "join_size_est": q_join_size_est,
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -2054,6 +2080,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "count_distinct": """
             SELECT count(DISTINCT user_id) AS distinct_cnt FROM events
+        """,
+        # the CMS inner-product flags are deterministic for a fixed
+        # seed: >= is a structural property, the width bound has 3x
+        # slack (the hll/kll bound-flag convention)
+        "join_size_est": """
+            SELECT CAST(count(*) AS BIGINT) AS exact_join_size,
+                   TRUE AS cms_ge_exact,
+                   TRUE AS cms_within_bound
+            FROM (SELECT l_partkey AS k FROM lineitem) a
+            JOIN (SELECT l_suppkey AS k FROM lineitem) b USING (k)
         """,
         "has_duplicates": """
             SELECT count(o_custkey) <> count(DISTINCT o_custkey) AS has_dups

@@ -84,6 +84,33 @@ class CountMinSketch:
             np.minimum(est, self.table[r][self._row_idx(keys, r)], out=est)
         return est
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate: min over rows of
+        dot(self.table[r], other.table[r]) — the Cormode-Muthukrishnan
+        (2005, §4.2) equi-join cardinality estimator.
+
+        Deterministic guarantee: every row's dot OVERcounts the true
+        inner product sum_k f_a(k)*f_b(k) (hash collisions only add
+        cross terms), so the min is always >= the truth; the
+        probabilistic side is error <= eps * ||f_a||_1 * ||f_b||_1
+        per row with probability 1 - 1/e, driven to ~delta by the min
+        over ``depth`` independent rows. Requires identical
+        (width, depth, seed) — both tables must bucket keys the same
+        way for the row dots to be meaningful.
+        """
+        if self._params() != other._params():
+            raise ValueError(
+                f"incompatible CMS sketches: {self._params()} vs "
+                f"{other._params()}")
+        # row dots in exact integers (object would be slow; int64 rows
+        # with int128-free safety: cap via Python ints per row)
+        best = None
+        for r in range(self.depth):
+            d = int(np.dot(self.table[r].astype(object),
+                           other.table[r].astype(object)))
+            best = d if best is None else min(best, d)
+        return int(best)
+
     def _params(self) -> tuple:
         return (self.width, self.depth, self.seed)
 

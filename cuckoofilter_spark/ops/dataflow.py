@@ -65,6 +65,42 @@ def hll_overlap(a: DataFrame, a_col: str, b: DataFrame, b_col: str,
     }
 
 
+def cms_join_size(a: DataFrame, a_col: str, b: DataFrame, b_col: str,
+                  eps: float = 0.0001, delta: float = 0.01,
+                  seed: int = 0x5EED) -> dict:
+    """Join-free equi-join CARDINALITY estimate via the CMS inner
+    product (Cormode-Muthukrishnan 2005 §4.2) — the optimizer-style
+    "how big would a JOIN b on k be?" answer without shuffling either
+    side on the key.
+
+    The exact join size is sum_k f_a(k) * f_b(k) (multiplicities on
+    both sides). Each side is one linear CMS pass (blob-only shuffle,
+    the sketch-aggregate convention); the estimate is the min over
+    depth rows of the row dot products. Two properties the caller can
+    assert: (1) est >= exact ALWAYS (collisions only add mass — a
+    deterministic one-sided bound), (2) est - exact <=
+    eps * |a| * |b| per row with constant probability, sharpened by
+    the min over rows; the 3x-slack check below is replay-stable for
+    a fixed seed.
+
+    Returns driver-side scalars: est (int), err_bound
+    (3 * eps * rows_a * rows_b + 8, absolute), rows_a, rows_b.
+    """
+    from ..kernels.cms import CountMinSketch  # noqa: F401 (type of result)
+    from ..sketch.aggregates import cms_sketch
+
+    sa = cms_sketch(a, a_col, eps=eps, delta=delta, seed=seed)
+    sb = cms_sketch(b, b_col, eps=eps, delta=delta, seed=seed)
+    est = sa.inner_product(sb)
+    rows_a, rows_b = int(sa.total), int(sb.total)
+    return {
+        "est": est,
+        "err_bound": 3.0 * eps * rows_a * rows_b + 8.0,
+        "rows_a": rows_a,
+        "rows_b": rows_b,
+    }
+
+
 def count_distinct_exact(df: DataFrame, col: str) -> DataFrame:
     """Exact distinct count (count_distinct, bulk-insert-and-query.cc:456-468)."""
     return df.agg(F.countDistinct(col).alias("distinct_cnt"))

@@ -163,7 +163,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "dedup_canonical",
                          "filter_cascade",
                          "zipf_fit",
-                         "leakage_matrix"}
+                         "leakage_matrix",
+                         "join_size_est"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

@@ -302,3 +302,60 @@ def test_zipf_fit_single_type_null_slope(spark):
                                "doc_id long, lang string, text string")
     out = zipf_fit(df, "text", "lang").collect()[0]
     assert out.n_types == 1 and out.slope_e6 is None
+
+
+# ------------------------------------------------- CMS inner product
+
+def test_cms_inner_product_bounds_and_merge():
+    """est >= exact always; est <= exact + eps*L1a*L1b; distributed
+    merge (elementwise add) gives the SAME inner product as a single
+    build; param mismatch raises."""
+    import numpy as np
+
+    from cuckoofilter_spark.kernels.cms import CountMinSketch
+
+    rng = np.random.default_rng(20260819)
+    a = rng.integers(0, 2000, 100_000).astype(np.uint64)
+    b = rng.integers(0, 500, 100_000).astype(np.uint64)
+    fa = np.bincount(a.astype(int), minlength=2000)
+    fb = np.bincount(b.astype(int), minlength=2000)
+    exact = int(np.dot(fa.astype(object), fb.astype(object)))
+
+    sa = CountMinSketch.create(eps=0.0001, seed=7)
+    sb = CountMinSketch.create(eps=0.0001, seed=7)
+    sa.add_many(a)
+    sb.add_many(b)
+    est = sa.inner_product(sb)
+    assert est >= exact
+    assert est - exact <= 0.0001 * a.size * b.size
+
+    # mergeability: two half-builds merged == one full build (exact,
+    # because the table add is elementwise)
+    h1, h2 = (CountMinSketch.create(eps=0.0001, seed=7) for _ in range(2))
+    h1.add_many(a[:50_000])
+    h2.add_many(a[50_000:])
+    merged = CountMinSketch.merge(h1, h2)
+    assert merged.inner_product(sb) == est
+
+    other = CountMinSketch.create(eps=0.0001, seed=8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="incompatible"):
+        sa.inner_product(other)
+
+
+def test_cms_inner_product_exact_when_collision_free():
+    """With few distinct keys relative to width, each key owns its
+    cells in SOME row w.h.p. — but the deterministic check here is
+    self-product >= sum of squares, with equality when no row has a
+    collision among the present keys."""
+    import numpy as np
+
+    from cuckoofilter_spark.kernels.cms import CountMinSketch
+
+    keys = np.array([1, 1, 1, 2, 2, 7], dtype=np.uint64)
+    s = CountMinSketch.create(eps=0.00005, seed=3)  # width >> 3 keys
+    s.add_many(keys)
+    exact_f2 = 9 + 4 + 1
+    est = s.inner_product(s)
+    assert est >= exact_f2
+    assert est == exact_f2  # collision among 3 keys in all 4 rows ~ 0
