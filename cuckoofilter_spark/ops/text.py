@@ -531,13 +531,17 @@ def filter_cascade(df: DataFrame, text_col: str, group_col: str,
     """
     base = df.select(F.col(group_col).alias("grp"),
                      words(F.coalesce(F.col(text_col), F.lit(""))).alias("W"))
-    n = F.size("W")
-    sum_len = F.aggregate("W", F.lit(0), lambda acc, x: acc + F.length(x))
+    n = F.size("W").cast("long")
+    # fold zero is LONG: an int accumulator would wrap on a >2^31-char
+    # document (length() is fine per word; the SUM is what grows)
+    sum_len = F.aggregate("W", F.lit(0).cast("long"),
+                          lambda acc, x: acc + F.length(x))
     stop_hits = F.size(F.filter("W", lambda x: F.lower(x).isin(*EN_STOPWORDS)))
     n_distinct = F.size(F.array_distinct("W"))
     feats = base.select(
         "grp", n.alias("_n"), sum_len.alias("_sl"),
-        stop_hits.alias("_sh"), n_distinct.alias("_nd"))
+        stop_hits.cast("long").alias("_sh"),
+        n_distinct.cast("long").alias("_nd"))
     r1 = (F.col("_n") >= min_words) & (F.col("_n") <= max_words)
     r2 = ((F.lit(awl_lo) * F.col("_n") <= F.col("_sl"))
           & (F.col("_sl") <= F.lit(awl_hi) * F.col("_n")))
@@ -563,11 +567,15 @@ def zipf_fit(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
     each point's coordinates are quantized ONCE to integer micro-nats
     (x = round(ln(rank)*1e6), y = round(ln(freq)*1e6) — ln of exact
     64-bit integers, one double op each), all OLS moments are then
-    INTEGER sums (order-free, overflow-checked: |x| <= ln(2^63)*1e6 <
-    4.4e7, so x*y < 2e15 and 31-term sums stay far under 2^63), and
-    the slope is assembled from the four moments in one fixed double
-    expression rounded once to micro-units. Groups with a single type
-    (denominator 0) report NULL.
+    EXACT integer sums (order-free), and the slope is assembled from
+    the four moments in one fixed double expression rounded once to
+    micro-units. Overflow envelope: |x|,|y| <= ln(2^63)*1e6 < 4.4e7,
+    so a term x*y < 2e15 — a 10^7-type vocabulary pushes sum(x*y)
+    past int64, so the second-order moments accumulate as
+    DECIMAL(38,0) (Spark's exact decimal sum; DuckDB's BIGINT sum is
+    HUGEINT, also exact) and the cross products of first-order sums
+    are computed in decimal too (sx^2 alone can reach 1e33). Groups
+    with a single type (denominator 0) report NULL.
 
     Plan shape: one exchange for the (group, word) frequency aggregate,
     a vocabulary-sized window for the rank (partitioned by group —
@@ -588,13 +596,16 @@ def zipf_fit(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
                           "AS BIGINT)").alias("x"),
                    F.expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) "
                           "AS BIGINT)").alias("y")))
+    dec = "decimal(38,0)"
     s = (pts.groupBy(F.col("grp").alias(group_col))
          .agg(F.count(F.lit(1)).alias("n_types"),
               F.sum("x").alias("_sx"), F.sum("y").alias("_sy"),
-              F.sum(F.col("x") * F.col("y")).alias("_sxy"),
-              F.sum(F.col("x") * F.col("x")).alias("_sxx")))
-    den = F.col("n_types") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    num = F.col("n_types") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+              F.sum(F.col("x").cast(dec) * F.col("y")).alias("_sxy"),
+              F.sum(F.col("x").cast(dec) * F.col("x")).alias("_sxx")))
+    nt = F.col("n_types").cast(dec)
+    sx, sy = F.col("_sx").cast(dec), F.col("_sy").cast(dec)
+    den = nt * F.col("_sxx") - sx * sx
+    num = nt * F.col("_sxy") - sx * sy
     return s.select(
         group_col, "n_types",
         F.when(den != 0, F.round(num.cast("double") / den.cast("double")
