@@ -530,6 +530,28 @@ def q_cf_checkpoint_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # cardinality / frequency / quantiles
 # --------------------------------------------------------------------------
+def q_skew_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew statistic: exact F2 = sum_k f(k)^2 of lineitem's
+    partkey (the self-join size a planner consults before shuffling on
+    the key) + an AMS tug-of-war estimate flag
+    (sketch/aggregates.ams_f2_sketch — unbiased, two-sided, blob-only
+    shuffle). The 6-sigma slack (sigma = sqrt(2/width) per row,
+    median-of-5 rows) makes the flag replay-stable for a fixed seed
+    under the fuzz harness's corpus resampling."""
+    from cuckoofilter_spark.sketch.aggregates import ams_f2_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = ams_f2_sketch(li, "l_partkey", width=4096, depth=5, seed=SEED)
+    est = float(sk.estimate())
+    exact = (li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2")))
+    return exact.select(
+        F.col("exact_f2").cast("long").alias("exact_f2"),
+        (F.abs(F.lit(est) - F.col("exact_f2"))
+         <= F.lit(6.0 * sk.rel_error()) * F.col("exact_f2") + F.lit(8.0))
+        .alias("ams_within_bound"))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct customers: exact value + estimate-within-1.04/sqrt(m)
     bound flag (3 sigma), both computed Spark-side."""
@@ -1618,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "leakage_matrix": q_leakage_matrix,
         "join_size_est": q_join_size_est,
+        "skew_f2": q_skew_f2,
         # -- green at the r3 gate --------------------------------------
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
@@ -2090,6 +2113,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS cms_within_bound
             FROM (SELECT l_partkey AS k FROM lineitem) a
             JOIN (SELECT l_suppkey AS k FROM lineitem) b USING (k)
+        """,
+        # the AMS flag is deterministic for a fixed seed; 6-sigma slack
+        "skew_f2": """
+            SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2,
+                   TRUE AS ams_within_bound
+            FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
         """,
         "has_duplicates": """
             SELECT count(o_custkey) <> count(DISTINCT o_custkey) AS has_dups

@@ -186,6 +186,26 @@ def cms_sketch(df: DataFrame, col: str, eps: float = 0.0005, delta: float = 0.01
     )
 
 
+def ams_f2_sketch(df: DataFrame, col: str, width: int = 4096,
+                  depth: int = 5, seed: int = 0x5EED,
+                  fanout: int = 16) -> "AmsF2":
+    """Distributed second-moment (F2 / self-join size / key-skew)
+    sketch: one AMS tug-of-war table per partition, tree-merged by
+    elementwise add (kernels/ams.py). Blob-only shuffle — the key
+    column never re-partitions."""
+    from ..kernels.ams import AmsF2
+
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: AmsF2(width=width, depth=depth, seed=seed),
+        update=lambda k_, s: k_.add_many(_series_to_keys(s, arr)),
+        merge=AmsF2.merge,
+        from_bytes=AmsF2.from_bytes,
+        fanout=fanout,
+    )
+
+
 def kll_sketch(df: DataFrame, col: str, k: int = 200, seed: int = 0x5EED,
                fanout: int = 16) -> KLLSketch:
     """Distributed quantile sketch over a numeric column."""

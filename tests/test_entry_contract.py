@@ -164,7 +164,8 @@ def test_driver_gate_artifact_covers_all_queries(contract):
                          "filter_cascade",
                          "zipf_fit",
                          "leakage_matrix",
-                         "join_size_est"}
+                         "join_size_est",
+                         "skew_f2"}
         assert missing - added_post_r3 == known_r3_gap, (
             f"{latest}: unexpected coverage gap {missing}")
     else:

@@ -359,3 +359,58 @@ def test_cms_inner_product_exact_when_collision_free():
     est = s.inner_product(s)
     assert est >= exact_f2
     assert est == exact_f2  # collision among 3 keys in all 4 rows ~ 0
+
+
+# --------------------------------------------------------- AMS F2 sketch
+
+def test_ams_f2_estimate_merge_and_blob():
+    """Estimate within 6 sigma of exact F2 on a skewed multiset;
+    half-build merge reproduces the full table bit-for-bit; blob
+    round-trip; param mismatch raises; degenerate shape raises."""
+    import numpy as np
+
+    from cuckoofilter_spark.kernels.ams import AmsF2
+
+    rng = np.random.default_rng(20260819)
+    # zipf-ish skew: hot keys dominate F2
+    keys = (rng.zipf(1.5, 200_000) % 5000).astype(np.uint64)
+    f = np.bincount(keys.astype(int))
+    exact = int(np.dot(f.astype(object), f.astype(object)))
+
+    s = AmsF2(width=4096, depth=5, seed=11)
+    s.add_many(keys)
+    est = s.estimate()
+    sigma = (2.0 / 4096) ** 0.5
+    assert abs(est - exact) <= 6 * sigma * exact + 8
+    assert s.total == keys.size
+
+    h1, h2 = AmsF2(4096, 5, 11), AmsF2(4096, 5, 11)
+    h1.add_many(keys[:100_000])
+    h2.add_many(keys[100_000:])
+    m = AmsF2.merge(h1, h2)
+    assert (m.table == s.table).all() and m.total == s.total
+    assert m.estimate() == est
+
+    rt = AmsF2.from_bytes(s.to_bytes())
+    assert (rt.table == s.table).all() and rt._params() == s._params()
+    assert rt.total == s.total
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="incompatible"):
+        AmsF2.merge(s, AmsF2(4096, 5, 12))
+    with _pytest.raises(ValueError, match="degenerate"):
+        AmsF2(width=1)
+
+
+def test_ams_f2_distinct_keys_near_n():
+    """All-distinct multiset: F2 = N exactly; the estimate lands within
+    the bound of N (the hardest relative case — no hot mass)."""
+    import numpy as np
+
+    from cuckoofilter_spark.kernels.ams import AmsF2
+
+    keys = np.arange(50_000, dtype=np.uint64)
+    s = AmsF2(width=4096, depth=5, seed=3)
+    s.add_many(keys)
+    sigma = (2.0 / 4096) ** 0.5
+    assert abs(s.estimate() - 50_000) <= 6 * sigma * 50_000 + 8
