@@ -1,5 +1,6 @@
 """Session-8 pipeline-breadth ops: funnel, retention cohorts,
-hash_split, shuffle_shard, pick_canonical.
+hash_split, shuffle_shard, pick_canonical, filter_cascade, zipf_fit,
+CMS inner product, AMS F2.
 
 Each op's semantics are pinned on hand-built corner cases (the oracle
 replica at sf0.01 covers the bulk parity), plus the plan-shape claims
