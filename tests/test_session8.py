@@ -415,3 +415,70 @@ def test_ams_f2_distinct_keys_near_n():
     s.add_many(keys)
     sigma = (2.0 / 4096) ** 0.5
     assert abs(s.estimate() - 50_000) <= 6 * sigma * 50_000 + 8
+
+
+# ------------------------------------- randomized funnel/retention parity
+
+def test_funnel_matches_bruteforce_on_random_logs(spark):
+    """300 users x random events vs a per-user greedy brute force in
+    plain Python — catches any drift between the HOF chain and the
+    stated greedy-earliest strict-> semantics (duplicate timestamps,
+    missing steps, interleavings all arise at this size)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260819)
+    types = ["view", "click", "purchase"]
+    rows = []
+    for u in range(300):
+        n = int(rng.integers(0, 12))
+        for _ in range(n):
+            t = dt.datetime(2024, 1, 1) + dt.timedelta(
+                seconds=int(rng.integers(0, 50)))  # many exact ties
+            rows.append((u, t, types[int(rng.integers(0, 3))]))
+    if not rows:
+        rows = [(0, dt.datetime(2024, 1, 1), "view")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    got = {r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts,
+                       r.steps_completed)
+           for r in funnel(df, "user_id", "ts", "et", types).collect()}
+
+    by_user = {}
+    for u, t, et in rows:
+        by_user.setdefault(u, []).append((t, et))
+    for u, evs in by_user.items():
+        matched, prev = [], None
+        for step in types:
+            cand = [t for t, et in evs
+                    if et == step and (prev is None or t > prev)]
+            nxt = min(cand) if cand else None
+            matched.append(nxt)
+            if nxt is None:
+                matched.extend([None] * (len(types) - len(matched)))
+                break
+            prev = nxt
+        want = (*matched, sum(1 for m in matched if m is not None))
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_retention_matches_bruteforce_on_random_logs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(int(rng.integers(0, 40)),
+             dt.datetime(2024, 1, 1)
+             + dt.timedelta(hours=int(rng.integers(0, 24 * 20))))
+            for _ in range(600)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort_day), r.day_offset): r.n_users
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+
+    days = {}
+    for u, t in rows:
+        days.setdefault(u, set()).add(t.date())
+    want = {}
+    for u, ds in days.items():
+        c = min(ds)
+        for d in ds:
+            k = (str(c), (d - c).days)
+            want[k] = want.get(k, 0) + 1
+    assert got == want
