@@ -129,6 +129,27 @@ def q_multimap_find(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(multimap_values_col(spark, mm, "mm_key")).alias("mm_val"))
 
 
+def q_multimap_find_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of ``multimap_find``: same build, same probe set,
+    but the Find runs through ``multimap_lookup_sharded`` — probe rows
+    hash-exchange on the JVM shard id and each task deserializes
+    exactly ONE shard's CSR blob, never broadcasting the whole exact
+    structure (which, unlike AMQ filters, grows ~128 bits/pair and
+    cannot ride a broadcast at 10^10 pairs). Answer-identical to the
+    broadcast probe (quotient-dysect.hpp:289-397 Find semantics);
+    parity + broadcast-interception pinned in tests/test_round4.py."""
+    from cuckoofilter_spark.sketch.multimap import (multimap_build,
+                                                    multimap_lookup_sharded)
+
+    li = _t(spark, sf_dir, "lineitem")
+    mm = multimap_build(li, "l_partkey", "l_suppkey", num_shards=16)
+    part = _t(spark, sf_dir, "part")
+    probes = (part.select(F.col("p_partkey").alias("mm_key"))
+              .unionAll(part.select((F.col("p_partkey") + 10_000_000)
+                                    .alias("mm_key"))))
+    return multimap_lookup_sharded(probes, "mm_key", mm, out_col="mm_val")
+
+
 def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-indexed scan pruning (AMQ data skipping): one cuckoo
     filter per parquet file of lineitem over l_partkey; a selective
@@ -1021,11 +1042,11 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes components with the recursive-CTE exact-Jaccard graph
     and picks by row_number."""
     from cuckoofilter_spark.ops.dedup import (
-        connected_components, minhash_lsh_pairs, pick_canonical)
+        connected_components, near_dup_pairs, pick_canonical)
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8,
-                              num_hashes=64, bands=16, seed=SEED)
+    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8,
+                           num_hashes=64, bands=16, seed=SEED)
     ids = d.select(F.col("doc_id").alias("doc"))
     cl = connected_components(pairs, ids)
     return (pick_canonical(cl, d, "doc_id", "n_chars")
@@ -1332,11 +1353,12 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact verification; must equal the exact
-    Jaccard pairs at this tau when LSH recall is 1 (verified for SEED)."""
-    from cuckoofilter_spark.ops.dedup import minhash_lsh_pairs
+    Jaccard pairs at this tau when LSH recall is 1 (verified for SEED).
+    Served from the shared pair graph (ops/dedup.near_dup_pairs)."""
+    from cuckoofilter_spark.ops.dedup import near_dup_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
-                             threshold=0.8, num_hashes=64, bands=16, seed=SEED)
+    return near_dup_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                          threshold=0.8, num_hashes=64, bands=16, seed=SEED)
 
 
 def q_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,20 +1366,24 @@ def q_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same tau/seed as minhash_lsh_pairs) whose two docs come from
     DIFFERENT sources, counted per unordered source pair — the
     train/test contamination report a pipeline runs before a split is
-    trusted. Broadcast-joins the tiny (doc -> source) map onto both
-    pair endpoints; the pair list is linear in true near-dups, so the
-    matrix aggregate is trivially small."""
-    from cuckoofilter_spark.ops.dedup import minhash_lsh_pairs
+    trusted. The (doc -> source) map is corpus-sized (one row per doc),
+    so it is NOT broadcast-hinted: the pair list is linear in true
+    near-dups and usually far smaller, and AQE picks broadcast only
+    when a side actually fits; the matrix aggregate is trivially
+    small either way. Consumes the SHARED pair graph
+    (ops/dedup.near_dup_pairs): dedup_clusters, dedup_canonical,
+    minhash_lsh_pairs and this query all reuse one cached build."""
+    from cuckoofilter_spark.ops.dedup import near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8,
-                              num_hashes=64, bands=16, seed=SEED)
+    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8,
+                           num_hashes=64, bands=16, seed=SEED)
     src = d.select(F.col("doc_id"), F.col("source"))
     j = (pairs
-         .join(F.broadcast(src.withColumnRenamed("source", "_sa")
-                           .withColumnRenamed("doc_id", "doc_a")), "doc_a")
-         .join(F.broadcast(src.withColumnRenamed("source", "_sb")
-                           .withColumnRenamed("doc_id", "doc_b")), "doc_b")
+         .join(src.withColumnRenamed("source", "_sa")
+                  .withColumnRenamed("doc_id", "doc_a"), "doc_a")
+         .join(src.withColumnRenamed("source", "_sb")
+                  .withColumnRenamed("doc_id", "doc_b"), "doc_b")
          .where(F.col("_sa") != F.col("_sb")))
     return (j.groupBy(F.least("_sa", "_sb").alias("source_x"),
                       F.greatest("_sa", "_sb").alias("source_y"))
@@ -1372,11 +1398,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE over the exact Jaccard pair graph (LSH pairs equal the exact
     set at this tau for SEED)."""
     from cuckoofilter_spark.ops.dedup import (
-        connected_components, minhash_lsh_pairs)
+        connected_components, near_dup_pairs)
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8,
-                              num_hashes=64, bands=16, seed=SEED)
+    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8,
+                           num_hashes=64, bands=16, seed=SEED)
     ids = d.select(F.col("doc_id").alias("doc"))
     return connected_components(pairs, ids)
 
@@ -1605,32 +1631,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the r3 driver gate stopped after 50 of 56 queries,
-    # leaving the dict TAIL unrecorded. Queries without a prior driver
-    # row (the six the r3 gate missed) and this round's new queries run
-    # FIRST; long-standing green rows run last, so any future gate
-    # truncation costs the least-informative coverage.
+    # ORDER MATTERS: the driver gate records only the FIRST 50 entries
+    # (observed at r3 and r4). Rotation policy (VERDICT r4 #1): the
+    # first-50 window holds (a) queries with no driver row in ANY round,
+    # (b) queries new this round, (c) the rows the r4 gate missed
+    # (gated r3 only), then (d) newest r4-gated rows to fill; the
+    # long-stable rows gated at BOTH r3 and r4 sit past 50. Invariant
+    # (pinned by tests/test_entry_contract.py): every query absent from
+    # the union of the last two gate artifacts must sit inside this
+    # window, so the rolling union of consecutive gates covers all
+    # queries.
     base = {
-        # -- no r3 driver row (gate stopped at 50/56) — run first ------
-        "token_count_total": q_token_count_total,
-        "bpe_token_count": q_bpe_token_count,
-        "multimodal_features": q_multimodal_features,
-        "tokens_pipeline": q_tokens_pipeline,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
-        # -- new in round 4 --------------------------------------------
+        # -- (a) never driver-gated (r4 gate stopped at 50/80) ---------
+        "bigram_pmi": q_bigram_pmi,
+        "temperature_mix": q_temperature_mix,
+        "vocab_growth": q_vocab_growth,
+        "source_keyness": q_source_keyness,
+        "source_similarity": q_source_similarity,
+        # -- (b) new in round 5 ----------------------------------------
+        "multimap_find_sharded": q_multimap_find_sharded,
+        # -- (c) gated r3 but dropped by the r4 gate's 50-row cap ------
+        "cqf_enumerate": q_cqf_enumerate,
+        "kll_quantiles": q_kll_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "match_size": q_match_size,
+        "count_distinct": q_count_distinct,
+        "has_duplicates": q_has_duplicates,
+        "mixin_sample": q_mixin_sample,
+        "windowed_events": q_windowed_events,
+        "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
+        "unigram_xent": q_unigram_xent,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "spooky_membership": q_spooky_membership,
+        "sequence_pack": q_sequence_pack,
+        "stratified_sample": q_stratified_sample,
+        "vocab_coverage": q_vocab_coverage,
+        "exact_dedup": q_exact_dedup,
+        "corpus_filter": q_corpus_filter,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        # -- (d) newest r4-gated rows (one driver row each) ------------
         "cf_sharded_membership": q_cf_sharded_membership,
-        "contamination": q_contamination,  # now builds kind=xor_sharded
-        "dup_spans": q_dup_spans,  # now the salted two-level aggregate
         "blocked_bloom64_membership": q_blocked_bloom64_membership,
         "fixed_blocked_bloom_membership": q_fixed_blocked_bloom_membership,
         "multimap_find": q_multimap_find,
-        "pruned_scan": q_pruned_scan,  # session 5: AMQ data skipping
-        "sessionize": q_sessionize,  # session 6: session_window batch form
-        "asof_attribution": q_asof_attribution,  # session 6: as-of join
+        "pruned_scan": q_pruned_scan,
+        "sessionize": q_sessionize,
+        "asof_attribution": q_asof_attribution,
         "asof_attribution_bucketed": q_asof_attribution_bucketed,
-        "source_topk": q_source_topk,  # session 6: salted per-key quota
-        # -- session 8: pipeline breadth ---------------------------------
+        "source_topk": q_source_topk,
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "hash_split": q_hash_split,
@@ -1641,7 +1696,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_matrix": q_leakage_matrix,
         "join_size_est": q_join_size_est,
         "skew_f2": q_skew_f2,
-        # -- green at the r3 gate --------------------------------------
+        # ============ position 51+: gated at BOTH r3 and r4 (or r4 with
+        # two-artifact union coverage) — least-informative to re-gate ==
+        "token_count_total": q_token_count_total,
+        "bpe_token_count": q_bpe_token_count,
+        "multimodal_features": q_multimodal_features,
+        "tokens_pipeline": q_tokens_pipeline,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "contamination": q_contamination,
+        "dup_spans": q_dup_spans,
         "cf_membership": q_cf_membership,
         "xor_membership": q_xor_membership,
         "xorplus_membership": q_xorplus_membership,
@@ -1665,36 +1729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_freq": q_cms_topk_freq,
         "mg_topk_freq": q_mg_topk_freq,
         "cqf_topk_freq": q_cqf_topk_freq,
-        "cqf_enumerate": q_cqf_enumerate,
-        "kll_quantiles": q_kll_quantiles,
-        "grouped_quantiles": q_grouped_quantiles,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "match_size": q_match_size,
-        "count_distinct": q_count_distinct,
-        "has_duplicates": q_has_duplicates,
-        "mixin_sample": q_mixin_sample,
-        "windowed_events": q_windowed_events,
-        "text_stats": q_text_stats,
-        "repetition_stats": q_repetition_stats,
-        "unigram_xent": q_unigram_xent,
-        "bigram_pmi": q_bigram_pmi,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "spooky_membership": q_spooky_membership,
-        "sequence_pack": q_sequence_pack,
-        "stratified_sample": q_stratified_sample,
-        "temperature_mix": q_temperature_mix,
-        "vocab_growth": q_vocab_growth,
-        "source_keyness": q_source_keyness,
-        "source_similarity": q_source_similarity,
-        "vocab_coverage": q_vocab_coverage,
-        "exact_dedup": q_exact_dedup,
-        "corpus_filter": q_corpus_filter,
-        "jaccard_pairs": q_jaccard_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
     }
     return {k: _with_pkg(fn) for k, fn in base.items()}
 
@@ -1905,11 +1939,15 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
                               AS BIGINT) AS y
                   FROM r),
+            -- sums stay HUGEINT (no BIGINT casts): the Spark side
+            -- accumulates the second-order moments as DECIMAL(38,0)
+            -- because they exceed int64 at large vocab, so the oracle
+            -- must share that overflow envelope (ADVICE r4)
             s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
-                         CAST(sum(x) AS BIGINT) AS sx,
-                         CAST(sum(y) AS BIGINT) AS sy,
-                         CAST(sum(x * y) AS BIGINT) AS sxy,
-                         CAST(sum(x * x) AS BIGINT) AS sxx
+                         sum(x) AS sx,
+                         sum(y) AS sy,
+                         sum(x * y) AS sxy,
+                         sum(x * x) AS sxx
                   FROM p GROUP BY 1)
             SELECT lang, n_types,
                    CASE WHEN n_types * sxx - sx * sx <> 0 THEN
@@ -1991,6 +2029,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE probe IN (SELECT l_suppkey FROM lineitem)
         """,
         "multimap_find": """
+            WITH probes AS (
+                SELECT p_partkey AS mm_key FROM part
+                UNION ALL SELECT p_partkey + 10000000 FROM part)
+            SELECT probes.mm_key AS mm_key, l_suppkey AS mm_val
+            FROM probes JOIN lineitem ON probes.mm_key = l_partkey
+        """,
+        "multimap_find_sharded": """
             WITH probes AS (
                 SELECT p_partkey AS mm_key FROM part
                 UNION ALL SELECT p_partkey + 10000000 FROM part)

@@ -102,8 +102,9 @@ class CountMinSketch:
             raise ValueError(
                 f"incompatible CMS sketches: {self._params()} vs "
                 f"{other._params()}")
-        # row dots in exact integers (object would be slow; int64 rows
-        # with int128-free safety: cap via Python ints per row)
+        # row dots in object (arbitrary-precision Python int) arrays —
+        # the exact-math path, matching AmsF2.estimate: depth is tiny,
+        # so exactness beats an int64 dot that could overflow
         best = None
         for r in range(self.depth):
             d = int(np.dot(self.table[r].astype(object),

@@ -329,6 +329,46 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+# memoized pair graphs: (params) -> (session id, input plan hash, pairs df).
+# One entry per parameter set; a changed input plan or a new session
+# rebuilds (the old cached df dies with its session / scoped cache).
+_PAIR_GRAPH_MEMO: dict[tuple, tuple[int, int, DataFrame]] = {}
+
+
+def near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                   threshold: float = 0.8, num_hashes: int = 64,
+                   bands: int = 16, window: int = 3,
+                   seed: int = 0x5EED) -> DataFrame:
+    """The SHARED near-dup pair graph: ``minhash_lsh_pairs`` computed
+    once per (input, parameters) and cached, returned as the same
+    DataFrame object on every later call in the session.
+
+    At 100 TB the pair graph is the expensive artifact (shingle +
+    signature + band join over the whole corpus); cluster resolution
+    (``connected_components``), keeper selection (``pick_canonical``)
+    and the cross-source leakage matrix all consume the SAME graph, so
+    a pipeline computes it once and fans out. Memo key = parameters +
+    the input's ANALYZED-plan semantic hash (two reads of the same
+    parquet path hash equal; a different corpus or filter rebuilds) +
+    the session id (a cached df must not outlive its session).
+    """
+    key = (id_col, text_col, threshold, num_hashes, bands, window, seed)
+    sess = id(df.sparkSession)
+    plan_hash = int(df._jdf.queryExecution().analyzed().semanticHash())
+    with _CACHE_LOCK:
+        hit = _PAIR_GRAPH_MEMO.get(key)
+        if hit is not None and hit[0] == sess and hit[1] == plan_hash:
+            return hit[2]
+    pairs = _scoped_cache(
+        "near_dup_pairs",
+        minhash_lsh_pairs(df, id_col, text_col, threshold=threshold,
+                          num_hashes=num_hashes, bands=bands,
+                          window=window, seed=seed))
+    with _CACHE_LOCK:
+        _PAIR_GRAPH_MEMO[key] = (sess, plan_hash, pairs)
+    return pairs
+
+
 def connected_components(pairs: DataFrame, ids: DataFrame,
                          id_col: str = "doc",
                          a_col: str = "doc_a", b_col: str = "doc_b",

@@ -30,6 +30,20 @@ from .text import md5_le64
 _MASK62 = (1 << 62) - 1
 
 
+def _require_absent(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    """Refuse input columns that collide with the fixed output/internal
+    names an op adds. Spark's column resolution is case-insensitive and
+    withColumn/join silently REPLACE a same-named input column (the
+    salted-bucket-join trap in CLAUDE.md), so collide loudly instead.
+    """
+    have = {c.lower() for c in df.columns}
+    hit = [n for n in names if n.lower() in have]
+    if hit:
+        raise ValueError(
+            f"{op}: input already has column(s) {hit} (case-insensitive); "
+            f"rename them — the op would silently replace them")
+
+
 def pack_chunks(df: DataFrame, id_col: str, len_col,
                 chunk_size: int = 256, bucket_docs: int = 64) -> DataFrame:
     """Concat-and-chunk packing: per-chunk occupancy stats.
@@ -169,6 +183,7 @@ def temperature_resample(df: DataFrame, id_col: str, strata_col: str,
     wide shuffle of the corpus at any width. Replaces the sequential
     reservoir of benchmarks/random.h:73-93 at mixture granularity.
     """
+    _require_absent(df, ("_k", "_t"), "temperature_resample")
     c = df.groupBy(strata_col).agg(F.count("*").alias("_c"))
     w = c.withColumn(
         "_w", F.floor(F.sqrt(F.col("_c").cast("double"))
@@ -207,6 +222,7 @@ def hash_split(df: DataFrame, id_col: str,
     Plan shape: a pure projection — no exchange, no Python; survives
     column pruning and rides the scan. The split is a 100 TB no-op.
     """
+    _require_absent(df, ("split",), "hash_split")
     if not splits:
         raise ValueError("splits must name at least one label")
     weights = [w for _, w in splits]
@@ -249,6 +265,7 @@ def shuffle_shard(df: DataFrame, id_col: str, n_shards: int,
     locally and in memory. Ties on h (2^-62) break on id, so the order
     is total and the rank reproducible.
     """
+    _require_absent(df, ("_h", "shard", "pos"), "shuffle_shard")
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     h = md5_le64(F.col(id_col).cast("string"), salt).bitwiseAND(
