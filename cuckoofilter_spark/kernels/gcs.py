@@ -51,6 +51,16 @@ _SUPER = 64  # buckets per superblock in the succinct offset list
 
 _REV_LUTS: dict[int, np.ndarray] = {}
 
+# De Bruijn multiply for log2 of a power of two (the isolated lowest
+# zero bit): (p2 * _DEBRUIJN64) >> 58 indexes a 64-entry LUT — integer
+# mul + shift + gather, replacing the float64 convert + np.log2 pass
+_DEBRUIJN64 = np.uint64(0x03F79D71B4CB0A89)
+_DEBRUIJN_LUT = np.zeros(64, dtype=np.uint64)
+_p2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+_DEBRUIJN_LUT[(_p2 * _DEBRUIJN64) >> np.uint64(58)] = np.arange(
+    64, dtype=np.uint64)
+del _p2
+
 
 def _rev_lut(k: int) -> np.ndarray:
     """2^k-entry k-bit reversal table (Rice residues are MSB-first in
@@ -180,11 +190,18 @@ class GcsFilter:
         return self._contains_bitloop(keys)
 
     def _contains_windowed(self, keys) -> np.ndarray:
-        """Vectorized bucket scan, ONE uint64 window gather per Rice
-        code: trailing-ones count (unary q) via lowest-zero isolation,
-        remainder via a 2^k bit-reversal LUT (codes store the residue
-        MSB-first). Replaces the per-BIT masked scan (measured ~5x on
-        the 40M-probe bench row)."""
+        """Vectorized bucket scan decoding SEVERAL Rice codes per
+        uint64 window gather: one 8-byte fetch guarantees 57 valid
+        stream bits, and a code is only q+1+k bits (envelope-checked
+        <= 57, ~12.5 bits at default parameters), so one gather feeds
+        up to ``57 // (1+k)`` codes decoded register-resident (shift
+        the word right by each code's length and repeat). Trailing-ones
+        (unary q) come from lowest-zero isolation + a De Bruijn
+        multiply LUT (no float convert); the residue via a 2^k
+        bit-reversal LUT (codes store it MSB-first). vs the one-code-
+        per-gather round loop this cuts both the window gathers and the
+        per-round scatter/gather bookkeeping ~3x (measured speedup
+        recorded in BASELINE.md)."""
         keys = np.asarray(keys, dtype=np.uint64)
         if self.n == 0:
             return np.zeros(keys.size, dtype=bool)
@@ -195,6 +212,8 @@ class GcsFilter:
         k = np.uint64(self.log2fpp)
         kmask = np.uint64((1 << self.log2fpp) - 1)
         one = np.uint64(1)
+        w57 = np.int64(57)
+        max_codes = max(1, 57 // (1 + self.log2fpp))
         pos = self.offsets[bucket].copy()
         end = self.offsets[bucket + 1]
         acc = np.zeros(keys.size, dtype=np.uint64)
@@ -205,18 +224,46 @@ class GcsFilter:
             p = pos[ai]
             w = np.ascontiguousarray(win[p >> 3]).view("<u8")[:, 0]
             w >>= (p & 7).astype(np.uint64)
-            inv = ~w
-            low = inv & (np.uint64(0) - inv)   # lowest zero of the window
-            # exact for powers of two; inv is never 0 (the terminator
-            # zero of a complete code is within the 57-bit reach)
-            qu = np.log2(low.astype(np.float64)).astype(np.uint64)
-            rem = rev[(w >> (qu + one)) & kmask]
-            acc[ai] += (qu << k) | rem
-            cursor = p + qu.astype(np.int64) + 1 + int(k)
-            hit = acc[ai] == value[ai]
-            found[ai] |= hit
+            endl = end[ai]
+            valuel = value[ai]
+            accl = acc[ai]
+            foundl = np.zeros(ai.size, dtype=bool)
+            alive = np.ones(ai.size, dtype=bool)  # not hit/overshot yet
+            consumed = np.zeros(ai.size, dtype=np.int64)
+            for _ in range(max_codes):
+                inv = ~w
+                low = inv & (np.uint64(0) - inv)  # lowest zero bit
+                qu = _DEBRUIJN_LUT[(low * _DEBRUIJN64) >> np.uint64(58)]
+                need = (qu + one + k).astype(np.int64)
+                # decode iff still scanning, the whole code sits inside
+                # the 57 guaranteed-valid window bits, and the bucket
+                # still has codes (cursor short of end). The FIRST code
+                # of a window always fits (envelope: q+1+k <= 57), so
+                # every active lane makes progress each gather.
+                ok = alive & (consumed + need <= w57) \
+                    & (p + consumed < endl)
+                if not ok.any():
+                    break
+                rem = rev[(w >> np.minimum(qu + one, np.uint64(63)))
+                          & kmask]
+                delta = (qu << k) | rem
+                # in-place masked updates (ufunc where=): no per-code
+                # full-width temporaries — first-touch page faults are
+                # ~50 MB/s in this sandbox, so allocation pressure in
+                # the hot loop is real cost, not just GC noise
+                np.add(accl, delta, out=accl, where=ok)
+                hit = ok & (accl == valuel)
+                foundl |= hit
+                alive &= ~(hit | (ok & (accl > valuel)))
+                np.add(consumed, need, out=consumed, where=ok)
+                np.right_shift(
+                    w, np.minimum(need, 63).astype(np.uint64),
+                    out=w, where=ok)
+            cursor = p + consumed
+            acc[ai] = accl
+            found[ai] |= foundl
             pos[ai] = cursor
-            done = hit | (acc[ai] > value[ai]) | (cursor >= end[ai])
+            done = ~alive | (cursor >= endl)
             active[ai[done]] = False
         return found
 

@@ -9,8 +9,15 @@ Validates, at 10M distinct keys / 20M probes:
   (the maintainable family's build/maintain path),
 - contains_sharded (store path, colocate) over 20M probes with a
   2-shard LRU cap (bounded per-task filter memory), for both families,
+- 10M events through sessionize (conservation), plain-vs-bucketed asof
+  with a 50%-hot key, funnel (vs an independent join formulation) and
+  retention (cell mass == exact user-day pairs),
+- shuffle_shard at 10M rows (dense per-shard ranks, deterministic),
+- MinHash-LSH leakage at 1M docs with planted cross-source duplicates
+  and a hot source holding half the corpus (recall == 100% on exact
+  dups),
 - bounded-memory check: peak RSS of the driver stays far below the
-  naive collect-everything path.
+  naive collect-everything path (asserted < 2 GB).
 """
 import os, resource, sys, time
 import numpy as np
@@ -143,7 +150,132 @@ print(f"asof {left.count()} lefts / hot key 50%: plain {t_p:.1f}s, "
 assert tuple(plain_chk) == tuple(buck_chk), \
     f"bucketed asof diverged: {tuple(plain_chk)} vs {tuple(buck_chk)}"
 
+# ---- funnel at 10M events, hot user holds 50% (round 5) ----
+# independent check: the greedy-earliest chain recomputed with plain
+# min-aggregates + joins (a second formulation, not the HOF one)
+from cuckoofilter_spark.ops.events import funnel
+
+t0 = time.time()
+fun = funnel(ev, "user_id", "ts", "etype", steps=[0, 1, 2]).cache()
+n_users_fun = fun.count()
+t_f = time.time() - t0
+s1 = (ev.where("etype = 0").groupBy("user_id")
+      .agg(F.min("ts").alias("step_1_ts")))
+s2 = (ev.where("etype = 1").join(s1, "user_id")
+      .where(F.col("ts") > F.col("step_1_ts"))
+      .groupBy("user_id").agg(F.min("ts").alias("step_2_ts")))
+s3 = (ev.where("etype = 2").join(s2, "user_id")
+      .where(F.col("ts") > F.col("step_2_ts"))
+      .groupBy("user_id").agg(F.min("ts").alias("step_3_ts")))
+ref = (ev.select("user_id").distinct()
+       .join(s1, "user_id", "left").join(
+           s2.select("user_id", "step_2_ts"), "user_id", "left")
+       .join(s3.select("user_id", "step_3_ts"), "user_id", "left"))
+n_diff = (fun.select("user_id", "step_1_ts", "step_2_ts", "step_3_ts")
+          .exceptAll(ref).count()
+          + ref.exceptAll(
+              fun.select("user_id", "step_1_ts", "step_2_ts",
+                         "step_3_ts")).count())
+n_dist_users = ev.select("user_id").distinct().count()
+print(f"funnel: {EV} events -> {n_users_fun} users in {t_f:.1f}s "
+      f"({EV/t_f/1e6:.1f}M events/s); join-formulation diff rows "
+      f"{n_diff}", flush=True)
+assert n_users_fun == n_dist_users, "funnel lost/duplicated users"
+assert n_diff == 0, "funnel HOF chain diverged from the join formulation"
+fun.unpersist()
+
+# ---- retention at 10M events (round 5) ----
+from cuckoofilter_spark.ops.events import retention_cohorts
+
+t0 = time.time()
+ret = retention_cohorts(ev, "user_id", "ts").cache()
+tot_cells = ret.count()
+t_r = time.time() - t0
+sums = ret.agg(F.sum("n_users").alias("s"),
+               F.sum(F.when(F.col("day_offset") == 0, F.col("n_users"))
+                     .otherwise(0)).alias("c0")).collect()[0]
+exact_pairs = (ev.select("user_id", F.to_date("ts").alias("d"))
+               .distinct().count())
+print(f"retention: {tot_cells} (cohort,offset) cells in {t_r:.1f}s; "
+      f"sum(n_users)={sums['s']} vs exact user-day pairs {exact_pairs}; "
+      f"offset-0 total {sums['c0']} vs users {n_dist_users}", flush=True)
+assert sums["s"] == exact_pairs, "retention cell mass != user-day pairs"
+assert sums["c0"] == n_dist_users, "cohort sizes != distinct users"
+ret.unpersist()
+
+# ---- shuffle_shard at 10M rows (round 5) ----
+from cuckoofilter_spark.ops.packing import shuffle_shard
+
+docs10 = spark.range(N).select(F.col("id").alias("doc_id"))
+t0 = time.time()
+sh = shuffle_shard(docs10, "doc_id", n_shards=64).cache()
+n_rows = sh.count()
+t_sh = time.time() - t0
+per = sh.groupBy("shard").agg(F.count(F.lit(1)).alias("c"),
+                              F.max("pos").alias("mx"),
+                              F.count_distinct("pos").alias("dp"))
+bad = per.where("mx != c OR dp != c").count()
+# bit_xor: order-independent AND overflow-free (ANSI sum of 10M
+# xxhash64 values overflows int64)
+chk1 = sh.agg(F.bit_xor(F.xxhash64("doc_id", "shard", "pos"))) \
+    .collect()[0][0]
+chk2 = (shuffle_shard(docs10, "doc_id", n_shards=64)
+        .agg(F.bit_xor(F.xxhash64("doc_id", "shard", "pos")))
+        .collect()[0][0])
+print(f"shuffle_shard: {n_rows} rows -> 64 shards in {t_sh:.1f}s "
+      f"({N/t_sh/1e6:.1f}M rows/s); dense-rank shards bad={bad}; "
+      f"deterministic {'OK' if chk1 == chk2 else 'BROKEN'}", flush=True)
+assert n_rows == N and bad == 0 and chk1 == chk2
+sh.unpersist()
+
+# ---- LSH leakage at 1M docs, planted cross-source dups (round 5) ----
+# every doc gets 8 near-unique words; docs i and i+500000 (i<1000) are
+# exact duplicates planted across sources 0 and 1; source 0 also holds
+# HALF the corpus (the hot source)
+from cuckoofilter_spark.ops.dedup import near_dup_pairs
+
+D = 1_000_000
+PLANT = 1_000
+base = spark.range(D).select(
+    F.col("id").alias("doc_id"),
+    F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+        1 + F.col("id") % 3).alias("source"),
+    F.when(F.col("id") >= D // 2,
+           (F.col("id") - D // 2) % (D // 2)).otherwise(
+        F.col("id")).alias("seed_id"))
+# text from seed_id: dup pairs (i, i+D/2) share seed_id for i < PLANT;
+# all other docs get a distinct word tuple
+text = F.concat_ws(" ", *[
+    F.concat(F.lit(f"w{j}_"), ((
+        F.when((F.col("seed_id") < PLANT) | (F.col("doc_id") < D // 2),
+               F.col("seed_id"))
+        .otherwise(F.col("doc_id"))) * (2 * j + 1)) % 999983)
+    for j in range(8)])
+docs = base.select("doc_id", "source", text.alias("text"))
+t0 = time.time()
+pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.8,
+                       num_hashes=32, bands=8).cache()
+n_pairs = pairs.count()
+t_l = time.time() - t0
+src = docs.select("doc_id", "source")
+cross = (pairs
+         .join(src.withColumnRenamed("doc_id", "doc_a")
+               .withColumnRenamed("source", "sa"), "doc_a")
+         .join(src.withColumnRenamed("doc_id", "doc_b")
+               .withColumnRenamed("source", "sb"), "doc_b")
+         .where("sa <> sb").count())
+planted_found = (pairs.where(
+    (F.col("doc_b") - F.col("doc_a") == D // 2)
+    & (F.col("doc_a") < PLANT)).count())
+print(f"leakage: {D} docs -> {n_pairs} near-dup pairs in {t_l:.1f}s "
+      f"({D/t_l/1e6:.2f}M docs/s); cross-source {cross}; planted "
+      f"{planted_found}/{PLANT}", flush=True)
+assert planted_found == PLANT, "LSH missed planted exact duplicates"
+pairs.unpersist()
+
 rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 print(f"final driver peak RSS {rss_gb:.2f} GB", flush=True)
+assert rss_gb < 2.0, f"driver RSS {rss_gb:.2f} GB — a scale path is " \
+    "materializing row data driver-side"
 spark.stop()
 print("SCALE-STRESS-OK")

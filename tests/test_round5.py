@@ -1,0 +1,146 @@
+"""Round-5 surfaces: shared near-dup pair graph memo, GCS multi-code
+windowed decode, packing column-collision guards, bench summary line."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# near_dup_pairs: the memoized shared LSH pair graph (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+def test_near_dup_pairs_shared_object(spark):
+    from cuckoofilter_spark.ops.dedup import minhash_lsh_pairs, near_dup_pairs
+
+    d1 = spark.read.parquet(f"{SF}/documents.parquet")
+    d2 = spark.read.parquet(f"{SF}/documents.parquet")
+    p1 = near_dup_pairs(d1, "doc_id", "text")
+    # a SECOND read of the same path has an equal analyzed plan ->
+    # the same cached DataFrame object comes back (the pair graph is
+    # computed once and fanned out to clusters/canonical/leakage)
+    assert near_dup_pairs(d2, "doc_id", "text") is p1
+    # a different input plan or different parameters rebuild
+    assert near_dup_pairs(d1.where("n_chars >= 0"), "doc_id",
+                          "text") is not p1
+    assert near_dup_pairs(d1, "doc_id", "text", threshold=0.9) is not p1
+    # and the shared graph answers exactly like a fresh build
+    fresh = minhash_lsh_pairs(d1, "doc_id", "text")
+    assert sorted(map(tuple, p1.collect())) == \
+        sorted(map(tuple, fresh.collect()))
+
+
+def test_near_dup_pairs_memo_is_session_scoped(spark):
+    from cuckoofilter_spark.ops import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = dedup.near_dup_pairs(d, "doc_id", "text")
+    key = next(k for k, v in dedup._PAIR_GRAPH_MEMO.items() if v[2] is p)
+    sess_id, plan_hash, _ = dedup._PAIR_GRAPH_MEMO[key]
+    # poison the session id: the memo must refuse the stale entry and
+    # rebuild rather than hand out a DataFrame from a dead session
+    dedup._PAIR_GRAPH_MEMO[key] = (sess_id + 1, plan_hash, p)
+    try:
+        assert dedup.near_dup_pairs(d, "doc_id", "text") is not p
+    finally:
+        dedup._PAIR_GRAPH_MEMO.pop(key, None)
+
+
+# ---------------------------------------------------------------------------
+# GCS: multi-code-per-gather windowed decode (VERDICT r4 #5)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("n,lf,lb", [
+    (100_000, 10, 4),   # default parameters, dense
+    (50_000, 8, 3),     # short codes: many codes per window
+    (65_000, 14, 4),    # wide residue: ~3 codes per window
+    (5_000, 16, 5),     # near the envelope edge
+    (4_096, 4, 4),      # tiny k: max codes per window
+    (37, 10, 4),        # nearly-empty buckets
+    (0, 10, 4),         # empty filter
+])
+def test_gcs_windowed_equals_bitloop(n, lf, lb):
+    from cuckoofilter_spark.kernels.gcs import GcsFilter
+
+    rng = np.random.default_rng(0xC0DE + n + lf)
+    keys = np.unique(rng.integers(0, 2**63, int(n * 1.3) + 16,
+                                  dtype=np.uint64))[:n]
+    f = GcsFilter.build(keys, log2fpp=lf, log2bucket=lb)
+    probes = np.concatenate([
+        keys, rng.integers(0, 2**63, 2 * max(n, 10), dtype=np.uint64)])
+    got_w = f._contains_windowed(probes)
+    got_b = f._contains_bitloop(probes)
+    assert np.array_equal(got_w, got_b)
+    if keys.size:
+        assert got_w[:keys.size].all(), "false negative in windowed decode"
+    neg = got_w[keys.size:]
+    if neg.size >= 1000:
+        assert neg.mean() <= 3 * 2.0 ** (-lf) + 2e-3
+
+
+def test_gcs_debruijn_lut_is_exact():
+    from cuckoofilter_spark.kernels.gcs import _DEBRUIJN64, _DEBRUIJN_LUT
+
+    p2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    got = _DEBRUIJN_LUT[(p2 * _DEBRUIJN64) >> np.uint64(58)]
+    assert np.array_equal(got, np.arange(64, dtype=np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# packing: fixed-name output columns refuse colliding inputs (ADVICE r4)
+# ---------------------------------------------------------------------------
+def test_packing_column_collision_guards(spark):
+    from cuckoofilter_spark.ops.packing import (hash_split, shuffle_shard,
+                                                temperature_resample)
+
+    # case-INSENSITIVE: Spark resolution would silently replace "SPLIT"
+    df = spark.range(4).withColumn("SPLIT", F.lit("x"))
+    with pytest.raises(ValueError, match="split"):
+        hash_split(df, "id", [("a", 1)], den=1)
+    with pytest.raises(ValueError, match="pos"):
+        shuffle_shard(spark.range(4).withColumn("Pos", F.lit(1)), "id", 2)
+    with pytest.raises(ValueError, match="_t"):
+        temperature_resample(
+            spark.range(4).withColumn("_T", F.lit(1))
+            .withColumn("s", F.lit("a")), "id", "s")
+    # clean frames still flow
+    assert hash_split(spark.range(4), "id", [("a", 1)], den=1).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# bench: the driver-tail summary line stays compact and parseable
+# ---------------------------------------------------------------------------
+def test_bench_summary_line_fits_tail_capture():
+    """The driver json-parses its last ~2000 captured stdout chars;
+    bench.py must end with one compact JSON object (VERDICT r4 #4).
+    Reconstruct the summary from the committed BENCH_DETAIL.json the
+    same way bench.__main__ does and bound its size."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = json.load(open(os.path.join(here, "BENCH_DETAIL.json")))
+    q = res.get("queries") or {}
+    qsec = {k: v for k, v in q.items() if isinstance(v, (int, float))}
+    slowest = dict(sorted(qsec.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": res["metric"],
+        "value": res["value"],
+        "unit": res["unit"],
+        "sf": res["sf"],
+        "cpus": res["cpus"],
+        "n_queries": len(q),
+        "queries_total_sec": round(sum(qsec.values()), 2),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "queries_note": f"slowest 5 of {len(q)}; full per-query "
+                        f"table in BENCH_DETAIL.json",
+        "cf_probes_per_sec": res["build"].get("cf_probes_per_sec"),
+        "total_bench_sec": res["total_bench_sec"],
+        "loadavg_start": res["loadavg_start"],
+        "loadavg_end": res["loadavg_end"],
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1500, f"summary line {len(line)} chars — may " \
+        "truncate inside the driver's 2000-char tail capture"
+    assert json.loads(line)["value"] == res["value"]
