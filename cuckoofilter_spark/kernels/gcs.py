@@ -199,9 +199,14 @@ class GcsFilter:
         (unary q) come from lowest-zero isolation + a De Bruijn
         multiply LUT (no float convert); the residue via a 2^k
         bit-reversal LUT (codes store it MSB-first). vs the one-code-
-        per-gather round loop this cuts both the window gathers and the
-        per-round scatter/gather bookkeeping ~3x (measured speedup
-        recorded in BASELINE.md)."""
+        per-gather round loop this cuts window gathers ~3x and the
+        per-round scatter/gather bookkeeping, and `found` is derived
+        once at the end (acc freezes at the first prefix >= value), so
+        the per-code chain is ~6 fewer vector ops. Measured A/B vs the
+        r4 one-code decode (quiet host, interleaved min-of-5, 1M keys
+        k=10): 1.50 -> 1.75 M neg probes/s, 1.39 -> 1.71 M mixed —
+        the residual floor is the sequential Rice chain itself (each
+        code's start depends on the previous length); see BASELINE.md."""
         keys = np.asarray(keys, dtype=np.uint64)
         if self.n == 0:
             return np.zeros(keys.size, dtype=bool)
@@ -210,62 +215,68 @@ class GcsFilter:
         win = self._windows()
         rev = _rev_lut(self.log2fpp)
         k = np.uint64(self.log2fpp)
+        kp1 = np.uint64(self.log2fpp + 1)
         kmask = np.uint64((1 << self.log2fpp) - 1)
         one = np.uint64(1)
-        w57 = np.int64(57)
+        w57 = np.uint64(57)
+        s63 = np.uint64(63)
         max_codes = max(1, 57 // (1 + self.log2fpp))
         pos = self.offsets[bucket].copy()
         end = self.offsets[bucket + 1]
         acc = np.zeros(keys.size, dtype=np.uint64)
-        found = np.zeros(keys.size, dtype=bool)
         active = pos < end
+        touched = active.copy()
+        # found is derived ONCE at the end: acc freezes at the first
+        # prefix-sum >= value (alive drops), so found == (acc == value)
+        # for every touched lane — no per-code hit bookkeeping.
         while active.any():
             ai = np.flatnonzero(active)
             p = pos[ai]
             w = np.ascontiguousarray(win[p >> 3]).view("<u8")[:, 0]
             w >>= (p & 7).astype(np.uint64)
-            endl = end[ai]
+            # bits left in this lane's bucket, uint64 (end >= pos)
+            left = (end[ai] - p).astype(np.uint64)
             valuel = value[ai]
             accl = acc[ai]
-            foundl = np.zeros(ai.size, dtype=bool)
-            alive = np.ones(ai.size, dtype=bool)  # not hit/overshot yet
-            consumed = np.zeros(ai.size, dtype=np.int64)
+            # active lanes are exactly those whose scan hasn't reached
+            # value yet (done = ~alive below), so alive re-enters True.
+            # NOT `accl < valuel`: a value==0 lane must still decode
+            # its first code (found iff the bucket's first delta is 0).
+            alive = np.ones(ai.size, dtype=bool)
+            consumed = np.zeros(ai.size, dtype=np.uint64)
             for _ in range(max_codes):
                 inv = ~w
                 low = inv & (np.uint64(0) - inv)  # lowest zero bit
                 qu = _DEBRUIJN_LUT[(low * _DEBRUIJN64) >> np.uint64(58)]
-                need = (qu + one + k).astype(np.int64)
+                need = qu + kp1
                 # decode iff still scanning, the whole code sits inside
                 # the 57 guaranteed-valid window bits, and the bucket
                 # still has codes (cursor short of end). The FIRST code
                 # of a window always fits (envelope: q+1+k <= 57), so
                 # every active lane makes progress each gather.
                 ok = alive & (consumed + need <= w57) \
-                    & (p + consumed < endl)
+                    & (consumed < left)
                 if not ok.any():
                     break
-                rem = rev[(w >> np.minimum(qu + one, np.uint64(63)))
-                          & kmask]
+                rem = rev[(w >> np.minimum(qu + one, s63)) & kmask]
                 delta = (qu << k) | rem
                 # in-place masked updates (ufunc where=): no per-code
                 # full-width temporaries — first-touch page faults are
                 # ~50 MB/s in this sandbox, so allocation pressure in
                 # the hot loop is real cost, not just GC noise
                 np.add(accl, delta, out=accl, where=ok)
-                hit = ok & (accl == valuel)
-                foundl |= hit
-                alive &= ~(hit | (ok & (accl > valuel)))
+                # acc only grows; a lane dies the moment acc >= value
+                # (frozen there — ok requires alive), so the unmasked
+                # &= is correct for not-ok lanes too (acc unchanged)
+                alive &= accl < valuel
                 np.add(consumed, need, out=consumed, where=ok)
                 np.right_shift(
-                    w, np.minimum(need, 63).astype(np.uint64),
-                    out=w, where=ok)
-            cursor = p + consumed
+                    w, np.minimum(need, s63), out=w, where=ok)
             acc[ai] = accl
-            found[ai] |= foundl
-            pos[ai] = cursor
-            done = ~alive | (cursor >= endl)
+            pos[ai] = p + consumed.astype(np.int64)
+            done = ~alive | (consumed >= left)
             active[ai[done]] = False
-        return found
+        return touched & (acc == value)
 
     def _contains_bitloop(self, keys) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
