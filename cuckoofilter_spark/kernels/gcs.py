@@ -32,6 +32,24 @@ probe's bucket).
 
 Space: ~ (log2fpp + 1.5) bits/fingerprint + offsets — the
 near-optimal AMQ the reference uses GCS to demonstrate.
+
+Layouts: ``layout=2`` is the classic full-delta Rice stream above
+(blob versions 1/2, kept readable + probeable forever). ``layout=3``
+(the default for new builds, blob version 3) re-codes each bucket as
+*quotient-delta unary + absolute LSB-first remainders*::
+
+    [c zeros, one per element, with (value>>k)-delta ones interleaved,
+     padded to exactly 2^log2bucket - 1 ones]  [c * k remainder bits]
+
+The two layouts represent the SAME sorted fingerprint set exactly, so
+membership answers are bit-identical; space is within ~1 bit/item
+(both spend ~(m-1) unary ones per bucket, m = 2^log2bucket). What v3
+buys is random access: because every element's quotient is recovered
+from ONE select over the bucket's unary word (<= c + m - 1 <= 57 bits
+= a single gather) and remainders are fixed k-bit LSB-first slots, a
+probe is select(g), select(g+1), then ~c/m direct remainder compares —
+no sequential Rice chain. Measured 4-6x the v2 windowed decode
+(BASELINE.md round-5 notes).
 """
 
 from __future__ import annotations
@@ -60,6 +78,22 @@ _p2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 _DEBRUIJN_LUT[(_p2 * _DEBRUIJN64) >> np.uint64(58)] = np.arange(
     64, dtype=np.uint64)
 del _p2
+
+# byte-granular select LUTs for the v3 split-layout probe:
+# _POP8[b] = popcount(b); _SEL8[b, r] = bit position (0-7) of the
+# (r+1)-th set bit of byte b (7 if absent — clamped lanes are masked)
+_POP8 = np.zeros(256, dtype=np.int16)
+_SEL8 = np.full((256, 8), 7, dtype=np.int16)
+_EMPTY_I64 = np.zeros(0, dtype=np.int64)
+for _b in range(256):
+    _r = 0
+    for _i in range(8):
+        if (_b >> _i) & 1:
+            _POP8[_b] += 1
+            _SEL8[_b, _r] = _i
+            _r += 1
+del _b, _r, _i
+_BYTESHIFTS = (np.arange(8, dtype=np.uint64) * np.uint64(8))
 
 
 def _rev_lut(k: int) -> np.ndarray:
@@ -100,10 +134,14 @@ def rice_encode(deltas: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 class GcsFilter:
     """Static GCS filter over uint64 keys (duplicate-free)."""
 
-    def __init__(self, log2fpp: int = 10, log2bucket: int = 4, seed: int = 0x5EED):
+    def __init__(self, log2fpp: int = 10, log2bucket: int = 4, seed: int = 0x5EED,
+                 layout: int = 3):
+        if layout not in (2, 3):
+            raise ValueError("gcs layout must be 2 (rice) or 3 (split)")
         self.log2fpp = int(log2fpp)       # rice parameter & fpp = 2^-log2fpp
         self.log2bucket = int(log2bucket)  # expected entries per bucket
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.layout = int(layout)         # 2 = rice delta, 3 = split unary
         self.n = 0
         self.num_buckets = 0
         self.bits = np.zeros(0, dtype=np.uint8)   # bit-granular code stream
@@ -125,11 +163,11 @@ class GcsFilter:
     # -- build ------------------------------------------------------------
     @classmethod
     def build(cls, keys: np.ndarray, log2fpp: int = 10, log2bucket: int = 4,
-              seed: int = 0x5EED) -> "GcsFilter":
-        """Single-node build: sort fingerprints, rice-encode per bucket
+              seed: int = 0x5EED, layout: int = 3) -> "GcsFilter":
+        """Single-node build: sort fingerprints, encode per bucket
         (the distributed build in sketch/gcsfilter.py produces identical
         blobs via Spark sort + grouped encode)."""
-        f = cls(log2fpp, log2bucket, seed)
+        f = cls(log2fpp, log2bucket, seed, layout=layout)
         keys = np.asarray(keys, dtype=np.uint64)
         n = keys.size
         bucket, value = f._fingerprints(keys, n)
@@ -142,7 +180,53 @@ class GcsFilter:
 
     def _encode_all(self, bucket: np.ndarray, value: np.ndarray,
                     num_buckets: int) -> tuple[np.ndarray, np.ndarray]:
-        """Encode the full sorted stream; returns (bits, offsets)."""
+        """Encode the full stream in this filter's layout; returns
+        (bits, offsets). Bucket runs are independent in both layouts,
+        so grouped distributed encodes concatenate bit-identically."""
+        if self.layout == 3:
+            return self._encode_all_split(bucket, value, num_buckets)
+        return self._encode_all_rice(bucket, value, num_buckets)
+
+    def _encode_all_split(self, bucket: np.ndarray, value: np.ndarray,
+                          num_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+        """v3 split layout. Per bucket with c sorted values:
+        unary section of exactly ``c + m - 1`` bits (m = 2^log2bucket):
+        element j's zero sits at local bit ``j + (value_j >> k)`` —
+        j zeros and quotient_j ones precede it — padded with trailing
+        ones to a fixed m - 1 ones total; then c fixed k-bit LSB-first
+        absolute remainders. Every section length is determined by c,
+        so probes recover c from the bucket bit length alone."""
+        m = 1 << self.log2bucket
+        k = self.log2fpp
+        order = np.lexsort((value, bucket))
+        b, v = bucket[order], value[order]
+        g = (v >> np.uint64(k)).astype(np.int64)
+        r = v & np.uint64((1 << k) - 1)
+        cnt = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        lengths = cnt * (1 + k) + (m - 1)
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        total = int(offsets[-1])
+        # unary sections default to all-ones (diff trick via bincount —
+        # start/end indices may collide across buckets when c == 0)
+        u_start = offsets[:-1]
+        u_end = u_start + cnt + (m - 1)
+        d = (np.bincount(u_start, minlength=total + 1)
+             - np.bincount(u_end, minlength=total + 1))
+        bits = np.cumsum(d[:total]).astype(np.uint8)
+        if v.size:
+            starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            local = np.arange(v.size, dtype=np.int64) - starts[b]
+            bits[offsets[b] + local + g] = 0  # element zeros
+            # remainders: k bits LSB-first at fixed slots
+            rem_base = offsets[b] + cnt[b] + (m - 1) + local * k
+            for t in range(k):
+                bits[rem_base + t] = (
+                    (r >> np.uint64(t)) & np.uint64(1)).astype(np.uint8)
+        return bits, offsets
+
+    def _encode_all_rice(self, bucket: np.ndarray, value: np.ndarray,
+                         num_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+        """v1/v2 full-delta Rice stream (layout=2)."""
         order = np.lexsort((value, bucket))
         b, v = bucket[order], value[order]
         # delta within bucket; first value of a bucket is delta'd from 0
@@ -181,6 +265,8 @@ class GcsFilter:
         return self._win8
 
     def contains_many(self, keys) -> np.ndarray:
+        if self.layout == 3:
+            return self._contains_split(keys)
         # the single-gather decode needs q + 1 + k <= 57 bits per code
         # from one word; outside that envelope (huge buckets / wide
         # residues) fall back to the per-bit loop
@@ -188,6 +274,112 @@ class GcsFilter:
                 and self.log2fpp <= 16:
             return self._contains_windowed(keys)
         return self._contains_bitloop(keys)
+
+    def _contains_split(self, keys) -> np.ndarray:
+        """v3 probe — random access, no sequential decode chain.
+
+        Per lane: one uint64 gather covers the bucket's whole unary
+        section (c + m - 1 <= 57, else the rare slow path); two
+        byte-LUT selects turn the probe quotient g into the element
+        index range [j_lo, j_hi) holding quotient g; the (sorted)
+        absolute remainders in that range sit at fixed k-bit LSB-first
+        slots, so each candidate is one direct gather + compare
+        (expected candidates = c/m ~ 1)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if self.n == 0:
+            return np.zeros(keys.size, dtype=bool)
+        m = 1 << self.log2bucket
+        k = self.log2fpp
+        ku = np.uint64(k)
+        kmask = np.uint64((1 << k) - 1)
+        bucket, value = self._fingerprints(keys, self.n)
+        bucket = np.minimum(bucket, self.num_buckets - 1)
+        win = self._windows()
+        pos = self.offsets[bucket]
+        L = self.offsets[bucket + 1] - pos          # bucket bit length
+        c = (L - (m - 1)) // (1 + k)                # element count
+        g = (value >> ku).astype(np.int64)          # probe quotient
+        r = value & kmask                           # probe remainder
+        found = np.zeros(keys.size, dtype=bool)
+        fast = (c + m - 1 <= 57) & (k <= 57)
+        if fast.all():
+            slow = _EMPTY_I64
+            idx = None
+            p, gl, cl, rl = pos, g, c, r
+        else:
+            slow = np.flatnonzero(~fast)
+            idx = np.flatnonzero(fast)
+            p, gl, cl, rl = pos[idx], g[idx], c[idx], r[idx]
+        if p.size:
+            w = np.ascontiguousarray(win[p >> 3]).view("<u8")[:, 0]
+            w >>= (p & 7).astype(np.uint64)
+            # per-byte popcounts + running ones, shared by both
+            # selects; all (lanes, 8) temporaries stay 1-2 bytes wide
+            # (an 8-byte-wide version measured 14 ms of a 20 ms probe
+            # in pure memory traffic)
+            wb = w.view(np.uint8).reshape(-1, 8)  # free LE byte view
+            popb = _POP8[wb]                      # int16 (lanes, 8)
+            cum = np.cumsum(popb, axis=1, dtype=np.int16)
+            excl = cum - popb                     # ones BEFORE byte i
+            gl16 = gl.astype(np.int16)
+
+            def select(rank):
+                """bit position of the rank-th one (rank >= 1 lanes
+                only meaningful; clamped elsewhere, callers mask)."""
+                bi = (cum < rank[:, None]).sum(axis=1)
+                bi = np.minimum(bi, 7)[:, None]
+                prior = np.take_along_axis(excl, bi, axis=1)[:, 0]
+                bv = np.take_along_axis(wb, bi, axis=1)[:, 0]
+                rk = np.clip(rank - prior - 1, 0, 7)
+                return bi[:, 0] * 8 + _SEL8[bv, rk]
+
+            sel_g = select(np.maximum(gl16, np.int16(1)))
+            sel_g1 = select(np.minimum(gl16 + np.int16(1), np.int16(m - 1)))
+            j_lo = np.where(gl == 0, 0, sel_g - gl + 1)
+            j_hi = np.where(gl == m - 1, cl, sel_g1 - gl)
+            # candidate remainders: absolute, sorted, fixed k-bit slots
+            rem_base = p + cl + (m - 1)
+            j = j_lo.copy()
+            alive = j < j_hi
+            fl = np.zeros(p.size, dtype=bool)
+            while alive.any():
+                ai = np.flatnonzero(alive)
+                rb = rem_base[ai] + j[ai] * k
+                rw = np.ascontiguousarray(win[rb >> 3]).view("<u8")[:, 0]
+                rv = (rw >> (rb & 7).astype(np.uint64)) & kmask
+                ri = rl[ai]
+                fl[ai] |= rv == ri
+                j[ai] += 1
+                # remainders ascend within the group: stop on >= probe
+                alive[ai] = (rv < ri) & (j[ai] < j_hi[ai])
+            if idx is None:
+                found = fl
+            else:
+                found[idx] = fl
+        for i in slow:
+            found[i] = self._split_probe_slow(
+                int(pos[i]), int(c[i]), int(g[i]), int(r[i]), m, k)
+        return found
+
+    def _split_probe_slow(self, pos: int, c: int, g: int, r: int,
+                          m: int, k: int) -> bool:
+        """Rare path: bucket unary section wider than one 57-bit
+        window (c + m - 1 > 57). Decodes the bucket from the unpacked
+        bit array directly."""
+        unary = self.bits[pos:pos + c + m - 1]
+        zp = np.flatnonzero(unary == 0)             # element positions
+        quot = zp - np.arange(zp.size)              # per-element quotient
+        j_lo, j_hi = np.searchsorted(quot, [g, g + 1])
+        rem_base = pos + c + m - 1
+        pw = (np.uint64(1) << np.arange(k, dtype=np.uint64))
+        for j in range(int(j_lo), int(j_hi)):
+            rb = rem_base + j * k
+            rv = int((self.bits[rb:rb + k].astype(np.uint64) * pw).sum())
+            if rv == r:
+                return True
+            if rv > r:
+                return False
+        return False
 
     def _contains_windowed(self, keys) -> np.ndarray:
         """Vectorized bucket scan decoding SEVERAL Rice codes per
@@ -353,10 +545,12 @@ class GcsFilter:
         anchors, intra, w = self._offset_parts()
         packed = np.packbits(self.bits)
         if w > 32:  # pack_nbits ceiling; unreachable at sane parameters
-            hdr = struct.pack(_FMT, _MAGIC, 1, self.log2fpp, self.log2bucket,
+            ver = 1 if self.layout == 2 else 4  # plain int64 offsets
+            hdr = struct.pack(_FMT, _MAGIC, ver, self.log2fpp, self.log2bucket,
                               self.n, self.bits.size, self.seed)
             return hdr + self.offsets.astype("<i8").tobytes() + packed.tobytes()
-        hdr = struct.pack(_FMT2, _MAGIC, 2, self.log2fpp, self.log2bucket,
+        ver = 2 if self.layout == 2 else 3
+        hdr = struct.pack(_FMT2, _MAGIC, ver, self.log2fpp, self.log2bucket,
                           self.n, self.bits.size, self.seed, w)
         return (hdr + anchors.astype("<i8").tobytes()
                 + pack_nbits(intra.astype(np.uint32), w) + packed.tobytes())
@@ -367,11 +561,11 @@ class GcsFilter:
 
         magic, ver, log2fpp, log2bucket, n, nbits, seed = \
             struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver not in (1, 2):
+        if magic != _MAGIC or ver not in (1, 2, 3, 4):
             raise ValueError("bad gcs blob header")
-        f = cls(log2fpp, log2bucket, seed)
+        f = cls(log2fpp, log2bucket, seed, layout=2 if ver in (1, 2) else 3)
         nb = f.num_buckets_for(n)
-        if ver == 1:  # plain int64 offsets (pre-succinct blobs still read)
+        if ver in (1, 4):  # plain int64 offsets (v1 pre-succinct; v4 wide)
             off = np.frombuffer(blob, dtype="<i8", offset=_HDR_SIZE,
                                 count=nb + 1).astype(np.int64)
             pos = _HDR_SIZE + (nb + 1) * 8

@@ -33,7 +33,8 @@ from .udaf import keys_to_u64, require_key_col
 
 
 def gcs_build(df: DataFrame, col: str, log2fpp: int = 10, log2bucket: int = 4,
-              seed: int = 0x5EED, buckets_per_group: int = 4096) -> GcsFilter:
+              seed: int = 0x5EED, buckets_per_group: int = 4096,
+              layout: int = 3) -> GcsFilter:
     """Build a GcsFilter with the distributed sort-encode plan."""
     if require_key_col(df, col):
         raise TypeError("gcs_build takes a scalar integer column; explode or "
@@ -41,13 +42,13 @@ def gcs_build(df: DataFrame, col: str, log2fpp: int = 10, log2bucket: int = 4,
     uniq = df.select(F.col(col).cast("long").alias("k")) \
              .where(F.col(col).isNotNull()).distinct()
     n = uniq.count()
-    proto = GcsFilter(log2fpp, log2bucket, seed)
+    proto = GcsFilter(log2fpp, log2bucket, seed, layout=layout)
     num_buckets = proto.num_buckets_for(n)
     if n == 0:
         return proto
 
     def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        f = GcsFilter(log2fpp, log2bucket, seed)
+        f = GcsFilter(log2fpp, log2bucket, seed, layout=layout)
         for pdf in batches:
             b, v = f._fingerprints(keys_to_u64(pdf["k"]), n)
             yield pd.DataFrame({"bucket": b, "value": v.view(np.int64),
@@ -56,7 +57,7 @@ def gcs_build(df: DataFrame, col: str, log2fpp: int = 10, log2bucket: int = 4,
     fps = uniq.mapInPandas(fingerprint, schema="bucket long, value long, grp long")
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        f = GcsFilter(log2fpp, log2bucket, seed)
+        f = GcsFilter(log2fpp, log2bucket, seed, layout=layout)
         grp = int(pdf["grp"].iloc[0])
         lo = grp * buckets_per_group
         hi = min(lo + buckets_per_group, num_buckets)
@@ -75,15 +76,20 @@ def gcs_build(df: DataFrame, col: str, log2fpp: int = 10, log2bucket: int = 4,
             .collect())
     by_grp = {int(r["grp"]): r for r in rows}
 
-    # driver assembly in group order (empty groups contribute 0 bits)
+    # driver assembly in group order. Empty groups still carry bits in
+    # the v3 split layout: every bucket spends exactly m - 1 padding
+    # ones even at count 0 (fixed-length unary section).
     num_groups = (num_buckets + buckets_per_group - 1) // buckets_per_group
+    pad = (1 << log2bucket) - 1 if layout == 3 else 0
     all_bits, all_lengths = [], []
     for g in range(num_groups):
         lo = g * buckets_per_group
         hi = min(lo + buckets_per_group, num_buckets)
         r = by_grp.get(g)
         if r is None:
-            all_lengths.append(np.zeros(hi - lo, dtype=np.int64))
+            if pad:
+                all_bits.append(np.ones((hi - lo) * pad, dtype=np.uint8))
+            all_lengths.append(np.full(hi - lo, pad, dtype=np.int64))
             continue
         all_bits.append(np.unpackbits(
             np.frombuffer(bytes(r["bits"]), dtype=np.uint8), count=int(r["nbits"])))

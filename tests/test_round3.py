@@ -33,7 +33,7 @@ def test_gcs_space_parity():
 
 def test_gcs_v2_roundtrip_and_v1_compat():
     keys = _rand_keys(50_000, 4)
-    f = GcsFilter.build(keys, log2fpp=10, seed=0x5EED)
+    f = GcsFilter.build(keys, log2fpp=10, seed=0x5EED, layout=2)
     g = GcsFilter.from_bytes(f.to_bytes())
     assert (g.offsets == f.offsets).all() and (g.bits == f.bits).all()
     assert g.contains_many(keys).all()

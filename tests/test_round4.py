@@ -661,7 +661,7 @@ def test_gcs_windowed_probe_matches_bitloop():
                                          dtype=np.uint64)])
     for log2fpp, log2bucket in ((8, 4), (10, 4), (14, 5), (16, 6)):
         f = GcsFilter.build(keys, log2fpp=log2fpp, log2bucket=log2bucket,
-                            seed=0x5EED)
+                            seed=0x5EED, layout=2)
         a = f._contains_windowed(probe) if (
             (1 << log2bucket) + 1 + log2fpp <= 57 and log2fpp <= 16) else None
         b = f._contains_bitloop(probe)

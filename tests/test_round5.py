@@ -65,7 +65,7 @@ def test_gcs_windowed_equals_bitloop(n, lf, lb):
     rng = np.random.default_rng(0xC0DE + n + lf)
     keys = np.unique(rng.integers(0, 2**63, int(n * 1.3) + 16,
                                   dtype=np.uint64))[:n]
-    f = GcsFilter.build(keys, log2fpp=lf, log2bucket=lb)
+    f = GcsFilter.build(keys, log2fpp=lf, log2bucket=lb, layout=2)
     probes = np.concatenate([
         keys, rng.integers(0, 2**63, 2 * max(n, 10), dtype=np.uint64)])
     got_w = f._contains_windowed(probes)
@@ -144,3 +144,76 @@ def test_bench_summary_line_fits_tail_capture():
     assert len(line) < 1500, f"summary line {len(line)} chars — may " \
         "truncate inside the driver's 2000-char tail capture"
     assert json.loads(line)["value"] == res["value"]
+
+
+# ---------------------------------------------------------------------------
+# GCS v3 split layout (round 5): quotient-delta unary + absolute remainders
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("n,lf,lb", [
+    (1, 10, 4),
+    (1000, 10, 4),
+    (1000, 6, 2),
+    (1000, 14, 6),    # m-1 = 63 > 57: every lane takes the slow path
+    (50_000, 10, 4),
+    (50_000, 8, 0),   # single-slot buckets (m = 1, no unary ones)
+    (20_000, 12, 5),
+    (3_000, 10, 1),
+    (777, 16, 4),
+    (0, 10, 4),
+])
+def test_gcs_v3_split_matches_v2(n, lf, lb):
+    """The v3 split layout answers membership bit-identically to the
+    v2 rice stream (both are exact codings of the same sorted
+    fingerprint set), round-trips through version-3 blobs, and stays
+    within ~1 bit/item of v2 (the fixed m-1 unary padding)."""
+    from cuckoofilter_spark.kernels.gcs import GcsFilter
+
+    rng = np.random.default_rng(0x5EED + n + lf)
+    keys = (rng.choice(np.arange(4 * max(n, 1), dtype=np.uint64),
+                       size=n, replace=False)
+            if n else np.array([], dtype=np.uint64))
+    v2 = GcsFilter.build(keys, log2fpp=lf, log2bucket=lb, layout=2)
+    v3 = GcsFilter.build(keys, log2fpp=lf, log2bucket=lb, layout=3)
+    probes = np.concatenate(
+        [keys, rng.integers(0, 1 << 62, 30_000).astype(np.uint64)])
+    a2 = v2.contains_many(probes)
+    a3 = v3.contains_many(probes)
+    assert np.array_equal(a2, a3)
+    if n:
+        assert a3[:n].all(), "false negative in v3 probe"
+    if n >= 100:  # fixed m-1 padding/bucket dominates degenerate sizes
+        assert v3.bits_per_item() - v2.bits_per_item() < 1.5
+    rt = GcsFilter.from_bytes(v3.to_bytes())
+    assert rt.layout == 3
+    assert np.array_equal(rt.contains_many(probes), a3)
+
+
+def test_gcs_v3_value_zero_lane_decodes():
+    """A probe whose fingerprint value is exactly 0 must still check
+    the bucket (found iff the bucket holds value 0) in both layouts —
+    the regression guard for the acc==value found-at-end derivation."""
+    from cuckoofilter_spark.kernels.gcs import GcsFilter
+
+    # craft: tiny filters over many seeds so some probe lands value 0
+    rng = np.random.default_rng(3)
+    hit = 0
+    for seed in range(40):
+        keys = rng.integers(0, 1 << 40, 300).astype(np.uint64)
+        f2 = GcsFilter.build(keys, log2fpp=4, log2bucket=2,
+                             seed=seed, layout=2)
+        f3 = GcsFilter.build(keys, log2fpp=4, log2bucket=2,
+                             seed=seed, layout=3)
+        probes = rng.integers(0, 1 << 40, 4000).astype(np.uint64)
+        _, vals = f3._fingerprints(probes, f3.n)
+        hit += int((vals == 0).sum())
+        assert np.array_equal(f2.contains_many(probes),
+                              f3.contains_many(probes))
+    assert hit > 0, "sweep never produced a value==0 probe"
+
+
+def test_gcs_default_build_is_v3():
+    from cuckoofilter_spark.kernels.gcs import GcsFilter
+
+    f = GcsFilter.build(np.arange(100, dtype=np.uint64))
+    assert f.layout == 3
+    assert GcsFilter.from_bytes(f.to_bytes()).layout == 3
