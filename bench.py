@@ -14,6 +14,13 @@ Modes:
   python bench.py --scaling       # run --build-only at local[8] and local[32]
                                   # subprocesses; report scaling efficiency
                                   # (sandbox stand-in for N vs 4N executors)
+  python bench.py --families      # filter-family probe/space table only
+  python bench.py --figure5       # hit-ratio sweep (conext-figure5.cc)
+  python bench.py --table3        # fill-to-failure table (conext-table3.cc)
+  python bench.py --batchsweep    # probe rate vs Arrow batch width
+                                  # (cuckoo-batch-prefetch.h analogue)
+  python bench.py --metrics       # Spark task-metrics capture
+                                  # (linux-perf-events.h analogue)
 """
 
 from __future__ import annotations
@@ -461,6 +468,90 @@ def figure5_suite(spark) -> dict:
     return out
 
 
+def batchsweep_suite(spark) -> dict:
+    """Probe throughput vs Arrow batch size (VERDICT r4 #9).
+
+    The reference's ``Contain64_aggressive`` (cuckoo-batch-prefetch.h:
+    141-164) is a 3-pass software-prefetch loop over a 64-key batch; our
+    claim is that Arrow batching subsumes it — every pandas-UDF probe
+    already sees a whole column batch, so the kernel's gathers are
+    naturally grouped and the batch WIDTH is the only remaining knob.
+    This documents that claim with a measurement instead of an
+    assertion: the same 20M-probe leg per family at
+    maxRecordsPerBatch 8192 vs 65536 (the build-side and probe-side
+    defaults). Two time-separated sweeps, min over passes per point
+    (same stall-proofing as the family table).
+    """
+    import time as _t
+
+    from cuckoofilter_spark.sketch.membership import (
+        cuckoo_build, cuckoo_contains_col, xor_build, xor_contains_col)
+    from cuckoofilter_spark.sketch.aggregates import (
+        fixed_blocked_bloom_sketch, fixed_blocked_bloom_contains_col)
+
+    n = 1_000_000
+    probes_n = NEG_PROBES
+    keys = spark.range(n)
+    probes = spark.range(n, n + probes_n)
+    out: dict = {"note": (
+        "negative-probe finds/sec at Arrow maxRecordsPerBatch 8192 vs "
+        "65536; ratio_64k_over_8k > 1 means wider batches win "
+        "(cuckoo-batch-prefetch.h:141-164 analogue — batching IS the "
+        "prefetch)")}
+    variants = (
+        ("cuckoo12", lambda: cuckoo_build(
+            keys, "id", capacity=n, seed=SEED, num_shards=8, bits=12),
+         cuckoo_contains_col),
+        ("semisort13", lambda: cuckoo_build(
+            keys, "id", capacity=n, seed=SEED, num_shards=8, bits=13,
+            mode="semisort"), cuckoo_contains_col),
+        ("xor8", lambda: xor_build(keys, "id", fp_bits=8, seed=SEED),
+         xor_contains_col),
+        ("blocked_bloom_fixed", lambda: fixed_blocked_bloom_sketch(
+            keys, "id", capacity=n, seed=SEED, bits_per_key=12),
+         fixed_blocked_bloom_contains_col),
+    )
+    points = []
+    try:
+        for name, build, contains_col in variants:
+            filt = build()
+            out[name] = {}
+            for batch in (8192, 65536):
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch",
+                    str(batch))
+                fn = lambda f=filt, cc=contains_col: probes.where(  # noqa: E731
+                    cc(spark, f, "id")).count()
+                t0 = _t.time()
+                fn()  # cold pass warms the stage shape
+                t_cold = _t.time() - t0
+                t0 = _t.time()
+                fn()
+                t_warm = _t.time() - t0
+                out[name][f"batch_{batch}"] = {
+                    "probe_runs_sec": [round(t_cold, 3), round(t_warm, 3)],
+                }
+                points.append((name, f"batch_{batch}", batch, fn))
+        for name, key, batch, fn in points:  # second sweep, later window
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+            t0 = _t.time()
+            fn()
+            out[name][key]["probe_runs_sec"].append(round(_t.time() - t0, 3))
+        for name, _, _ in variants:
+            for v in out[name].values():
+                if isinstance(v, dict) and "probe_runs_sec" in v:
+                    v["finds_per_sec"] = round(
+                        probes_n / min(v["probe_runs_sec"]), 1)
+            out[name]["ratio_64k_over_8k"] = round(
+                out[name]["batch_65536"]["finds_per_sec"]
+                / out[name]["batch_8192"]["finds_per_sec"], 3)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "8192")
+    return out
+
+
 def table3_suite() -> dict:
     """Space efficiency and construction speed (conext-table3.cc:1-11).
 
@@ -777,6 +868,13 @@ if __name__ == "__main__":
         _spark = get_spark(
             "bench", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         print(json.dumps({"figure5": figure5_suite(_spark)}))
+        _spark.stop()
+    elif "--batchsweep" in sys.argv:
+        # Arrow batch-width A/B per family (VERDICT r4 #9)
+        from cuckoofilter_spark.session import get_spark
+        _spark = get_spark(
+            "bench", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        print(json.dumps({"batchsweep": batchsweep_suite(_spark)}))
         _spark.stop()
     elif "--table3" in sys.argv:
         # fill-to-failure space/speed table only (conext-table3.cc)
