@@ -28,7 +28,85 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "PLANS.md")
 
 
+def _dedupe_cached_bodies(plan: str) -> str:
+    """Keep ONE copy of each distinct InMemoryRelation body.
+
+    A cached DataFrame consumed k times (e.g. the shared near-dup pair
+    graph under leakage_matrix's two endpoint joins) prints its FULL
+    cached plan under every InMemoryTableScan in ``toString()``, but
+    the relation is computed once at runtime — counting its exchanges
+    k times reads as a plan regression that isn't there. Tree depth =
+    the position of the ``+-``/``:-`` marker; a relation's body is the
+    maximal run of deeper lines after its header.
+    """
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[+:]-", ln)
+        return m.start() if m else -1
+
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        out.append(ln)
+        if "InMemoryRelation" not in ln:
+            i += 1
+            continue
+        d = depth(ln)
+        j = i + 1
+        body = []
+        # marker-less lines (depth -1: AQE "== Final Plan ==" bodies,
+        # ReusedExchange detail) belong to the enclosing body
+        while j < len(lines) and (depth(lines[j]) > d
+                                  or depth(lines[j]) == -1):
+            body.append(lines[j])
+            j += 1
+        # key on the body with expression ids (#123) normalized: every
+        # reference to one cached relation re-prints its plan with
+        # fresh ids, so the raw text never repeats verbatim
+        key = re.sub(r"#\d+", "#", "\n".join(x.strip() for x in body))
+        if key in seen:
+            i = j  # drop the duplicate body wholesale
+        else:
+            seen.add(key)
+            i += 1  # keep scanning INSIDE the kept body — caches nest
+    return "\n".join(out)
+
+
+def _drop_initial_plans(plan: str) -> str:
+    """Drop ``== Initial Plan ==`` bodies of materialized AQE nodes.
+
+    Once an AdaptiveSparkPlan has executed (e.g. a cached relation was
+    materialized by an earlier eager consumer in the same session), its
+    toString prints BOTH the final and the initial plan — every
+    exchange in that subtree would be counted twice.
+    """
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[+:]-|==", ln)
+        return m.start() if m else -1
+
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if "== Initial Plan ==" in ln:
+            d = depth(ln)
+            i += 1
+            while i < len(lines) and (depth(lines[i]) > d
+                                      or depth(lines[i]) == -1):
+                i += 1
+            continue
+        out.append(ln)
+        i += 1
+    return "\n".join(out)
+
+
 def audit(plan: str) -> dict:
+    plan = _dedupe_cached_bodies(_drop_initial_plans(plan))
     ex_all = plan.count("Exchange")
     bc = plan.count("BroadcastExchange")
     return {
@@ -77,7 +155,10 @@ def main() -> None:
         "partition counts scale with the session). Compiled via "
         "`executedPlan` — never executed. Columns: shuffle / broadcast "
         "exchanges, Python (Arrow) stages, whole-stage-codegen spans, "
-        "parquet scans (with pushed filters), terminal top-k, AQE.",
+        "parquet scans (with pushed filters), terminal top-k, AQE. "
+        "Repeated InMemoryRelation bodies (a cached DataFrame consumed "
+        "k times prints its build plan k times but computes once) are "
+        "counted ONCE.",
         "",
         "| query | shuffle ex | bcast ex | py stages | codegen | scans "
         "(pushed) | top-k | AQE |",
