@@ -44,8 +44,12 @@ def _ensure_pkg(spark: SparkSession) -> None:
         return
     import tempfile
 
-    sys.path.insert(0, str(pathlib.Path(_REPO) / "scripts"))
-    from make_pyfiles_zip import main as make_zip
+    scripts_dir = str(pathlib.Path(_REPO) / "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        from make_pyfiles_zip import main as make_zip
+    finally:
+        sys.path.remove(scripts_dir)
 
     zip_path = os.path.join(tempfile.gettempdir(), "cuckoofilter_spark_pyfiles.zip")
     src_mtime = max(q.stat().st_mtime for q in
@@ -53,6 +57,14 @@ def _ensure_pkg(spark: SparkSession) -> None:
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
         make_zip(zip_path, quiet=True)
     spark.sparkContext.addPyFile(zip_path)
+    # addPyFile prepends the session-temp COPY of the zip to driver
+    # sys.path; keep the live repo ahead of it so driver-side imports
+    # never bind the package __path__ to a file that dies with
+    # spark.stop() (the zip is for executors).
+    if sys.path[0] != _REPO:
+        if _REPO in sys.path:
+            sys.path.remove(_REPO)
+        sys.path.insert(0, _REPO)
     _PKG_READY.add(sid)
 
 

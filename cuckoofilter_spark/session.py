@@ -25,6 +25,11 @@ def get_spark(app: str = "cuckoofilter-spark", cores: int | None = None,
     pp = os.environ.get("PYTHONPATH", "")
     if _PKG_ROOT not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = _PKG_ROOT + (os.pathsep + pp if pp else "")
+    # The env export above only reaches workers if the JVM launches
+    # AFTER it; a JVM left over from an earlier (stopped) session keeps
+    # its old env. executorEnv is applied per SparkContext, so it covers
+    # that case too (measured: plain session -> stop -> get_spark).
+    worker_pp = os.environ["PYTHONPATH"]
     # Freed large buffers must stay reusable inside long-lived Python
     # workers: this sandbox's VM hands pages to the guest at ~50 MB/s on
     # FIRST touch (demand faulting), so the win is never giving pages
@@ -45,6 +50,7 @@ def get_spark(app: str = "cuckoofilter-spark", cores: int | None = None,
         # batch count, is what hurts
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )

@@ -63,10 +63,15 @@ def _dedupe_cached_bodies(plan: str) -> str:
                                   or depth(lines[j]) == -1):
             body.append(lines[j])
             j += 1
-        # key on the body with expression ids (#123) normalized: every
-        # reference to one cached relation re-prints its plan with
-        # fresh ids, so the raw text never repeats verbatim
-        key = re.sub(r"#\d+", "#", "\n".join(x.strip() for x in body))
+        # key on the body with tree art (":"/"|" rails differ by
+        # position in the outer tree) and expression ids (#123, fresh
+        # per reference) normalized — the raw text never repeats
+        # verbatim for one cached relation
+        def node(x: str) -> str:
+            dd = depth(x)
+            return (x[dd + 2:] if dd >= 0 else x).strip()
+
+        key = re.sub(r"#\d+", "#", "\n".join(node(x) for x in body))
         if key in seen:
             i = j  # drop the duplicate body wholesale
         else:

@@ -217,3 +217,60 @@ def test_gcs_default_build_is_v3():
     f = GcsFilter.build(np.arange(100, dtype=np.uint64))
     assert f.layout == 3
     assert GcsFilter.from_bytes(f.to_bytes()).layout == 3
+
+
+# ---------------------------------------------------------------------------
+# plan_audit normalizers: counts reflect EXECUTED work (round-5 s3)
+# ---------------------------------------------------------------------------
+def _plan_audit_mod():
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit_r5", os.path.join(here, "scripts", "plan_audit.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_plan_audit_dedupes_cached_bodies():
+    """A cached relation consumed twice prints its build plan twice
+    (fresh expr ids each time) but computes once — audit counts it
+    once."""
+    pa = _plan_audit_mod()
+    plan = "\n".join([
+        "Project [a#1L]",
+        "+- SortMergeJoin",
+        "   :- InMemoryTableScan [a#1L]",
+        "   :     +- InMemoryRelation [a#1L], StorageLevel(memory)",
+        "   :           +- Exchange hashpartitioning(a#1L, 8)",
+        "   :              +- Scan parquet [a#1L]",
+        "   +- InMemoryTableScan [a#9L]",
+        "         +- InMemoryRelation [a#9L], StorageLevel(memory)",
+        "               +- Exchange hashpartitioning(a#9L, 8)",
+        "                  +- Scan parquet [a#9L]",
+    ])
+    a = pa.audit(plan)
+    assert a["shuffle_ex"] == 1, "duplicate cached body double-counted"
+    assert a["scans"] == 1
+
+
+def test_plan_audit_drops_aqe_initial_plans():
+    """A materialized AdaptiveSparkPlan prints final AND initial plans;
+    only the final one executes."""
+    pa = _plan_audit_mod()
+    plan = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=true",
+        "+- == Final Plan ==",
+        "   ResultQueryStage",
+        "   +- Exchange hashpartitioning(a#1L, 8)",
+        "      +- Scan parquet [a#1L]",
+        "+- == Initial Plan ==",
+        "   Exchange hashpartitioning(a#1L, 8)",
+        "   +- Scan parquet [a#1L]",
+    ])
+    a = pa.audit(plan)
+    assert a["shuffle_ex"] == 1
+    assert a["scans"] == 1
+    assert a["aqe"]
