@@ -316,6 +316,28 @@ def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("probe").alias("member_key")))
 
 
+def q_blocked_bloom_jvm_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Bloom semi-join probed entirely JVM-side: the key hash
+    is Spark's xxhash64 (numpy twin proven bit-exact), so Contain
+    (simd-block.h:197-206) compiles to whole-stage codegen + ONE
+    broadcast hash join against the bucket directory AS DATA — zero
+    Python stages, zero Arrow crossings in the probe (the pipe-floor
+    workaround; sketch/membership.blocked_bloom_jvm_filter). Sized so
+    FP=0 on this keyspace (verified for SEED)."""
+    from cuckoofilter_spark.sketch.aggregates import blocked_bloom_jvm_sketch
+    from cuckoofilter_spark.sketch.membership import blocked_bloom_jvm_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    cap = sup.count()  # dim-table bound, not a fact-table distinct scan
+    filt = blocked_bloom_jvm_sketch(li, "l_suppkey",
+                                    capacity=int(cap * 4) + 64, seed=SEED)
+    probes = (sup.select(F.col("s_suppkey").alias("probe"))
+              .unionAll(sup.select((F.col("s_suppkey") + 100).alias("probe"))))
+    return (blocked_bloom_jvm_filter(spark, filt, probes, "probe")
+            .select(F.col("probe").alias("member_key")))
+
+
 def q_blocked_bloom64_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-byte-block blocked Bloom (SimdBlockFilter64, simd-block.h:
     213-375: 512-bit buckets, one bit per 64-bit lane) semi-join over
@@ -1662,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": q_source_similarity,
         # -- (b) new in round 5 ----------------------------------------
         "multimap_find_sharded": q_multimap_find_sharded,
+        "blocked_bloom_jvm_membership": q_blocked_bloom_jvm_membership,
         # -- (c) gated r3 but dropped by the r4 gate's 50-row cap ------
         "cqf_enumerate": q_cqf_enumerate,
         "kll_quantiles": q_kll_quantiles,
@@ -2013,6 +2036,13 @@ def oracle_sql() -> dict[str, str]:
                                 WHERE l_partkey >= 500 AND l_partkey < 1000)
         """,
         "blocked_bloom_membership": """
+            WITH probes AS (
+                SELECT s_suppkey AS probe FROM supplier
+                UNION ALL SELECT s_suppkey + 100 FROM supplier)
+            SELECT probe AS member_key FROM probes
+            WHERE probe IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "blocked_bloom_jvm_membership": """
             WITH probes AS (
                 SELECT s_suppkey AS probe FROM supplier
                 UNION ALL SELECT s_suppkey + 100 FROM supplier)

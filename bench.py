@@ -229,14 +229,21 @@ def filter_family_suite(spark) -> dict:
 
     from cuckoofilter_spark.sketch.aggregates import (
         blocked_bloom64_contains_col, blocked_bloom64_sketch,
-        blocked_bloom_contains_col, blocked_bloom_sketch, bloom_contains_col,
+        blocked_bloom_contains_col, blocked_bloom_jvm_sketch,
+        blocked_bloom_sketch, bloom_contains_col,
         bloom_sketch, fixed_blocked_bloom_contains_col,
         fixed_blocked_bloom_sketch)
     from cuckoofilter_spark.sketch.gcsfilter import gcs_build, gcs_contains_col
     from cuckoofilter_spark.sketch.membership import (
-        crate_build, crate_contains_col, shingle_build,
-        shingle_contains_col, tail_build, tail_contains_col, xor_build,
-        xor_contains_col, xorplus_build, xorplus_contains_col)
+        blocked_bloom_jvm_filter, crate_build, crate_contains_col,
+        shingle_build, shingle_contains_col, tail_build, tail_contains_col,
+        xor_build, xor_contains_col, xorplus_build, xorplus_contains_col)
+
+    # JVM-native probe: returns the FILTERED DataFrame (codegen +
+    # broadcast join, no Python stage) — the loop counts it directly
+    def _jvm_probe_df(spark_, filt, probes_):
+        return blocked_bloom_jvm_filter(spark_, filt, probes_, "id")
+    _jvm_probe_df.takes_df = True
 
     n = 1_000_000
     # 40M probes: the probe stage has a ~0.5s fixed pipeline cost
@@ -293,6 +300,12 @@ def filter_family_suite(spark) -> dict:
             ("blocked_bloom64", lambda: blocked_bloom64_sketch(
                 keys_bb, "id", capacity=n_bb, seed=SEED, bits_per_key=8),
              blocked_bloom64_contains_col, n_bb),
+            # same 12.8 b/i point, xxhash64 key hash: the probe is pure
+            # JVM (codegen + broadcast join), the one family that steps
+            # around the Arrow pipe floor entirely
+            ("blocked_bloom_jvm", lambda: blocked_bloom_jvm_sketch(
+                keys_bb, "id", capacity=n_bb, seed=SEED, bits_per_key=8),
+             _jvm_probe_df, n_bb),
             # fixed-fpp variant: exact 12.0 b/i spend, non-pow2 directory
             ("blocked_bloom_fixed", lambda: fixed_blocked_bloom_sketch(
                 keys, "id", capacity=n, seed=SEED, bits_per_key=12),
@@ -348,8 +361,12 @@ def filter_family_suite(spark) -> dict:
             t0 = _t.time()
             filt = build()
             t_build = _t.time() - t0
-            fn = lambda filt=filt, contains=contains: probes.where(  # noqa: E731
-                contains(spark, filt, "id")).count()
+            if getattr(contains, "takes_df", False):
+                fn = lambda filt=filt, contains=contains: contains(  # noqa: E731
+                    spark, filt, probes).count()
+            else:
+                fn = lambda filt=filt, contains=contains: probes.where(  # noqa: E731
+                    contains(spark, filt, "id")).count()
             t0 = _t.time()
             fp = fn()  # cold pass warms the probe stage shape
             t_cold = _t.time() - t0

@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 
-from .hashing import U64, simple_mix_split, upperpower2
+from .hashing import U64, simple_mix_split, upperpower2, xxhash64_long
 
 _MAGIC = b"SBF1"
 _FMT = "<4sHBBIQQ"
@@ -47,6 +47,7 @@ class BlockedBloomFilter:
     """256-bit-bucket blocked Bloom over uint64 keys."""
 
     BITS_PER_KEY = 24  # reference heuristic: bytes = n * 3 (simd-block usage)
+    _BLOB_MAGIC = _MAGIC
 
     def __init__(self, num_buckets: int, seed: int):
         if num_buckets & (num_buckets - 1):
@@ -68,8 +69,14 @@ class BlockedBloomFilter:
         nb = upperpower2(max(1, max_num_keys * bpk // 256))
         return cls(nb, seed)
 
+    def _hash64(self, keys: np.ndarray) -> np.ndarray:
+        """64-bit key hash — the filter-identity function. Subclasses
+        override to trade hash families (JvmBlockedBloomFilter picks
+        the Spark-built-in-expressible one)."""
+        return simple_mix_split(keys, self.seed)
+
     def _bucket_mask(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        h = simple_mix_split(keys, self.seed)
+        h = self._hash64(keys)
         bucket = ((h >> U64(32)) & U64(self.num_buckets - 1)).astype(np.int64)
         h32 = (h & U64(0xFFFFFFFF)).astype(np.uint32)
         # MakeMask: lane bit = top 5 bits of (h32 * salt_lane)
@@ -105,7 +112,7 @@ class BlockedBloomFilter:
         out = np.empty(keys.size, dtype=bool)
         for lo in range(0, keys.size, _CHUNK):
             ck = keys[lo:lo + _CHUNK]
-            h = simple_mix_split(ck, self.seed)
+            h = self._hash64(ck)
             bucket = ((h >> U64(32)) & U64(self.num_buckets - 1)).astype(np.int64)
             h32 = (h & U64(0xFFFFFFFF)).astype(np.uint32)
             mask = h32[:, None] * _SALTS  # (n, 8) wrapping uint32
@@ -131,7 +138,9 @@ class BlockedBloomFilter:
         return self.buckets.nbytes
 
     def _params(self) -> tuple:
-        return (self.num_buckets, self.seed)
+        # class name included: the JVM-hash subclass shares the layout
+        # but not the hash family, so cross-class merges must refuse
+        return (type(self).__name__, self.num_buckets, self.seed)
 
     @classmethod
     def merge(cls, a: "BlockedBloomFilter", b: "BlockedBloomFilter") -> "BlockedBloomFilter":
@@ -143,20 +152,51 @@ class BlockedBloomFilter:
         return out
 
     def to_bytes(self) -> bytes:
-        hdr = struct.pack(_FMT, _MAGIC, 1, int(np.log2(self.num_buckets)), 0, 0,
+        hdr = struct.pack(_FMT, self._BLOB_MAGIC, 1,
+                          int(np.log2(self.num_buckets)), 0, 0,
                           self.seed, self.n_added)
         return hdr + self.buckets.astype("<u4").tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "BlockedBloomFilter":
         magic, ver, log2nb, _p1, _p2, seed, n_added = struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 1:
+        if magic != cls._BLOB_MAGIC or ver != 1:
             raise ValueError("bad blocked-bloom blob header")
         f = cls(1 << log2nb, seed)
         f.buckets = np.frombuffer(blob, dtype="<u4", offset=_HDR_SIZE,
                                   count=(1 << log2nb) * 8).astype(np.uint32).reshape(-1, 8)
         f.n_added = n_added
         return f
+
+
+class JvmBlockedBloomFilter(BlockedBloomFilter):
+    """Blocked Bloom whose key hash is Spark's built-in ``xxhash64``
+    over the seed-xored key — the ONLY change vs BlockedBloomFilter
+    (same 256-bit buckets, same MakeMask salts, simd-block.h:158-206).
+
+    The point of the hash swap: every probe-side operation becomes a
+    Spark-built-in expression, so Contain compiles to pure
+    whole-stage-codegen JVM arithmetic plus one broadcast hash join
+    against the bucket table AS DATA (sketch/membership.py:
+    blocked_bloom_jvm_filter) — zero Python stages, zero Arrow
+    crossings. The Arrow pipe floor (~49 M probes/s end-to-end at
+    local[32], measured round 5) bounds every pandas/mapInArrow probe
+    regardless of kernel speed; this family is the one that steps
+    around the floor entirely, the Spark-first answer to the
+    reference's AVX2 ``Find`` (simd-block.h:197-206).
+
+    numpy and JVM agree bit-for-bit because kernels/hashing.py's
+    ``xxhash64_long`` is the proven twin of ``F.xxhash64(long_col)``
+    (the shard_of/shard_col contract). Seeding rides the key
+    (``key XOR seed`` then fixed-seed-42 xxhash64) because the Spark
+    function's seed is not user-settable.
+    """
+
+    _BLOB_MAGIC = b"SBFV"
+
+    def _hash64(self, keys: np.ndarray) -> np.ndarray:
+        v = np.asarray(keys).astype(np.uint64, copy=False)
+        return xxhash64_long(v ^ U64(self.seed), 42)
 
 
 # SimdBlockFilter64's 8 odd 64-bit constants (simd-block.h:310-324);

@@ -309,6 +309,39 @@ def blocked_bloom_contains_col(spark: SparkSession, filt, col) -> Column:
                             method="contains_many")
 
 
+def blocked_bloom_jvm_sketch(df: DataFrame, col: str, capacity: int,
+                             seed: int = 0x5EED, fanout: int = 16,
+                             bits_per_key: int | None = None
+                             ) -> "JvmBlockedBloomFilter":
+    """Distributed build of the JVM-probeable blocked Bloom (same
+    simd-block.h bucket layout as blocked_bloom_sketch; key hash =
+    Spark xxhash64 so the probe side compiles to codegen + one
+    broadcast join — see sketch/membership.blocked_bloom_jvm_filter)."""
+    from ..kernels.blocked_bloom import JvmBlockedBloomFilter
+
+    arr = _is_array_col(df, col)
+    return aggregate_sketch(
+        df, col,
+        make=lambda: JvmBlockedBloomFilter.create(capacity, seed=seed,
+                                                  bits_per_key=bits_per_key),
+        update=lambda k, s: k.add_many(_series_to_keys(s, arr)),
+        merge=JvmBlockedBloomFilter.merge,
+        from_bytes=JvmBlockedBloomFilter.from_bytes,
+        fanout=fanout,
+    )
+
+
+def blocked_bloom_jvm_contains_col(spark: SparkSession, filt, col) -> Column:
+    """Boolean membership Column for the JVM-hash variant through the
+    BLOB path (pandas probe) — the parity twin of the pure-JVM join in
+    sketch/membership.py; answers are bit-identical by construction."""
+    from ..kernels.blocked_bloom import JvmBlockedBloomFilter
+    from .membership import _blob_method_col
+
+    return _blob_method_col(spark, filt, col, JvmBlockedBloomFilter,
+                            method="contains_many")
+
+
 def blocked_bloom64_sketch(df: DataFrame, col: str, capacity: int,
                            seed: int = 0x5EED, fanout: int = 16,
                            bits_per_key: int | None = None

@@ -1160,3 +1160,143 @@ def crate_contains_col(spark: SparkSession, filt: ShardedCrateFilter,
             yield pd.Series(local.contains_u64(keys_to_u64(s)))
 
     return probe(F.col(col).cast("long") if isinstance(col, str) else col)
+
+
+# -- JVM-native blocked-Bloom probe (zero Python in the probe path) ---------
+#
+# The Arrow pipe floor bounds EVERY Python-side probe: at local[32] a
+# constant-true pandas_udf filter over 40M longs costs ~0.82 s (~49 M
+# rows/s), and a mapInArrow pass-through measures the same — the cost is
+# the JVM<->Python Arrow crossing plus scheduling, not pandas (measured
+# round 5, BASELINE.md). JvmBlockedBloomFilter steps around the floor:
+# its hash is Spark's own xxhash64 (kernels/hashing.xxhash64_long is the
+# bit-exact numpy twin — the shard_of/shard_col contract), so Contain
+# (simd-block.h:197-206) compiles to whole-stage-codegen integer
+# arithmetic plus ONE broadcast hash join against the bucket table AS
+# DATA. The probe plan has no Python stage at all; at 100 TB it is a
+# map-side broadcast join running at JVM scan speed, and the broadcast
+# payload is the filter itself (the family's existing contract — the
+# blob broadcast the pandas probes ship is the same bytes).
+#
+# ANSI-safe MakeMask (simd-block.h:158-172): the reference's per-lane
+# 32-bit wrapping multiply (h32 * salt) mod 2^32 cannot be written as a
+# single BIGINT multiply under ANSI (h32, salt < 2^32 makes the product
+# overflow signed int64), so it is decomposed into 16-bit limbs — every
+# intermediate stays under 2^49:
+#   h32 = a + b*2^16  (a, b < 2^16)
+#   (h32*s) mod 2^32 = (a*s + ((b*s mod 2^16) << 16)) mod 2^32
+
+_BB_JVM_COLS = ("_bb_bucket", "_bb_h",
+                "_bb_n0", "_bb_n1", "_bb_n2", "_bb_n3",
+                "_bb_w0", "_bb_w1", "_bb_w2", "_bb_w3")
+
+
+def blocked_bloom_jvm_bucket_df(spark: SparkSession, filt) -> DataFrame:
+    """The filter's bucket directory as a DataFrame: one row per
+    256-bit bucket, the 8 uint32 lanes packed pairwise into four
+    64-bit words (lane 2j = low half, LE). This is the broadcast side
+    of the JVM probe join — same bytes the pandas probe ships as a
+    blob, reshaped into a relation Catalyst can join.
+
+    Memoized per (session, n_added): the driver-side pandas->Spark
+    conversion costs ~0.5 s at 32k buckets, which would otherwise be
+    paid on every probe call (measured 27 -> 83 M probes/s)."""
+    cached = getattr(filt, "_jvm_bucket_df", None)
+    if cached is not None and cached[0] is spark and cached[1] == filt.n_added:
+        return cached[2]
+    nb = filt.num_buckets
+    words = (filt.buckets.reshape(-1).view(np.uint64)
+             .reshape(nb, 4).view(np.int64))
+    pdf = pd.DataFrame({"_bb_bucket": np.arange(nb, dtype=np.int64)})
+    for j in range(4):
+        pdf[f"_bb_w{j}"] = words[:, j]
+    bdf = spark.createDataFrame(pdf)
+    filt._jvm_bucket_df = (spark, filt.n_added, bdf)
+    return bdf
+
+
+def _bb_jvm_project(filt, df: DataFrame, col: str) -> DataFrame:
+    """Probe-side projection: bucket id + the four 64-bit *need* words
+    (the per-key MakeMask, lane pairs packed like the bucket words).
+    Chained selects keep ``_bb_h`` a materialized column: CollapseProject
+    refuses to inline a non-cheap alias referenced 16x, so xxhash64 runs
+    ONCE per row (the md5-inlining trap from the gram pipelines applies
+    to any helper that re-references its argument expression)."""
+    from ..kernels.blocked_bloom import _SALTS
+
+    key = F.col(col).cast("long")
+    seed = filt.seed if filt.seed < 1 << 63 else filt.seed - (1 << 64)
+    # NULL keys route to bucket 0 so the inner join keeps the row; the
+    # predicate's isNotNull() term forces their flag to false
+    h = F.xxhash64(F.coalesce(key, F.lit(0).cast("long"))
+                   .bitwiseXOR(F.lit(seed)))
+    out = df.select("*", h.alias("_bb_h"))
+    hh = F.col("_bb_h")
+    a = hh.bitwiseAND(F.lit(0xFFFF))
+    b = F.shiftrightunsigned(hh, 16).bitwiseAND(F.lit(0xFFFF))
+
+    def bit(s: int) -> Column:
+        # ANSI-safe 16-bit-limb form of (h32 * s) mod 2^32, then >> 27
+        lo16 = (b * F.lit(s)).bitwiseAND(F.lit(0xFFFF))
+        prod = ((a * F.lit(s) + F.shiftleft(lo16, 16))
+                .bitwiseAND(F.lit(0xFFFFFFFF)))
+        return F.shiftright(prod, 27)
+
+    one = F.lit(1).cast("long")
+    needs = [
+        (F.call_function("shiftleft", one, bit(int(_SALTS[2 * j])))
+         .bitwiseOR(F.call_function(
+             "shiftleft", one, bit(int(_SALTS[2 * j + 1])) + F.lit(32))))
+        .alias(f"_bb_n{j}")
+        for j in range(4)
+    ]
+    bucket = (F.shiftrightunsigned(hh, 32)
+              .bitwiseAND(F.lit(filt.num_buckets - 1)).alias("_bb_bucket"))
+    return out.select("*", bucket, *needs)
+
+
+def _bb_jvm_join(spark: SparkSession, filt, df: DataFrame,
+                 col: str) -> tuple[DataFrame, Column]:
+    from ..kernels.blocked_bloom import JvmBlockedBloomFilter
+
+    if not isinstance(filt, JvmBlockedBloomFilter):
+        raise TypeError(
+            "JVM probe requires JvmBlockedBloomFilter (its hash is the "
+            "Spark-expressible one); got " + type(filt).__name__)
+    from .udaf import require_key_col
+
+    if require_key_col(df, col):  # eager driver-side refusal, not a
+        raise TypeError(          # mid-job executor CAST error
+            f"column {col!r} is an array; the JVM probe takes scalar keys")
+    have = {c.lower() for c in df.columns}
+    clash = [c for c in _BB_JVM_COLS if c in have]
+    if clash:  # Spark resolution is case-insensitive (CLAUDE.md trap)
+        raise ValueError(f"input columns collide with probe internals: {clash}")
+    bdf = blocked_bloom_jvm_bucket_df(spark, filt)
+    joined = _bb_jvm_project(filt, df, col).join(F.broadcast(bdf), "_bb_bucket")
+    pred = F.col(col).isNotNull()
+    for j in range(4):
+        n = F.col(f"_bb_n{j}")
+        pred = pred & (F.col(f"_bb_w{j}").bitwiseAND(n) == n)
+    return joined, pred
+
+
+def blocked_bloom_jvm_filter(spark: SparkSession, filt, df: DataFrame,
+                             col: str) -> DataFrame:
+    """``df`` rows whose ``col`` is a (probable) member — the Bloom
+    semi-join, entirely JVM-side (NULL keys never match). Plan shape:
+    one BroadcastHashJoin + codegen filter; no Python stage, no shuffle
+    (pinned by tests/test_round5.py)."""
+    joined, pred = _bb_jvm_join(spark, filt, df, col)
+    return joined.where(pred).drop(*_BB_JVM_COLS)
+
+
+def blocked_bloom_jvm_flag(spark: SparkSession, filt, df: DataFrame,
+                           col: str, flag: str = "is_member") -> DataFrame:
+    """``df`` plus a boolean membership flag column (false for NULL
+    keys), entirely JVM-side."""
+    have = {c.lower() for c in df.columns}
+    if flag.lower() in have:
+        raise ValueError(f"flag column {flag!r} already present")
+    joined, pred = _bb_jvm_join(spark, filt, df, col)
+    return joined.withColumn(flag, pred).drop(*_BB_JVM_COLS)

@@ -274,3 +274,137 @@ def test_plan_audit_drops_aqe_initial_plans():
     assert a["shuffle_ex"] == 1
     assert a["scans"] == 1
     assert a["aqe"]
+
+
+# ---------------------------------------------------------------------------
+# JvmBlockedBloomFilter: the zero-Python probe (codegen + broadcast join)
+# ---------------------------------------------------------------------------
+def _jvm_bb(n=20000, seed=0xABCDEF1234):
+    from cuckoofilter_spark.kernels.blocked_bloom import JvmBlockedBloomFilter
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 62, n, dtype=np.int64)
+    f = JvmBlockedBloomFilter.create(n, seed=seed, bits_per_key=8)
+    f.add_many(members.view(np.uint64))
+    return f, members, rng
+
+
+def test_jvm_blocked_bloom_parity_with_kernel(spark):
+    """JVM join-probe == numpy contains_many bit-for-bit, INCLUDING
+    false positives and sign-bit (negative long) keys."""
+    from cuckoofilter_spark.sketch.membership import blocked_bloom_jvm_flag
+
+    f, members, rng = _jvm_bb()
+    probes = np.unique(np.concatenate([
+        members[:5000],
+        rng.integers(-(1 << 62), 1 << 62, 20000, dtype=np.int64)]))
+    expect = f.contains_many(probes.view(np.uint64))
+    assert 0 < int(expect.sum()) < probes.size  # non-degenerate mix
+    df = spark.createDataFrame([(int(x),) for x in probes], "k long")
+    got = dict((r["k"], r["is_member"])
+               for r in blocked_bloom_jvm_flag(spark, f, df, "k").collect())
+    assert all(got[int(x)] == bool(e) for x, e in zip(probes, expect))
+
+
+def test_jvm_blocked_bloom_null_and_filter(spark):
+    from cuckoofilter_spark.sketch.membership import (
+        blocked_bloom_jvm_filter, blocked_bloom_jvm_flag)
+
+    f, members, _ = _jvm_bb()
+    df = spark.createDataFrame(
+        [(int(members[0]),), (None,)], "k long")
+    rows = {r["k"]: r["is_member"]
+            for r in blocked_bloom_jvm_flag(spark, f, df, "k").collect()}
+    assert rows[int(members[0])] is True
+    assert rows[None] is False  # NULL keys never match, row kept
+    kept = blocked_bloom_jvm_filter(spark, f, df, "k").collect()
+    assert [r["k"] for r in kept] == [int(members[0])]
+
+
+def test_jvm_blocked_bloom_plan_is_pure_jvm(spark):
+    """The probe plan: ONE BroadcastHashJoin, ZERO Python stages, ZERO
+    shuffle exchanges, xxhash64 computed once (the md5-inlining trap
+    would show as 16 copies)."""
+    import re
+
+    from cuckoofilter_spark.sketch.membership import blocked_bloom_jvm_filter
+
+    f, members, _ = _jvm_bb()
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    plan = (blocked_bloom_jvm_filter(spark, f, df, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") == 1
+    assert not re.findall(r"ArrowEval|BatchEval|MapInPandas|PythonUDF", plan)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("xxhash64") == 1
+
+
+def test_jvm_blocked_bloom_guards(spark):
+    from cuckoofilter_spark.kernels.blocked_bloom import (
+        BlockedBloomFilter, JvmBlockedBloomFilter)
+    from cuckoofilter_spark.sketch.membership import (
+        blocked_bloom_jvm_filter, blocked_bloom_jvm_flag)
+
+    f, _, _ = _jvm_bb()
+    # internal-name collision refused (case-insensitive resolution trap)
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("_BB_N0"))
+    with pytest.raises(ValueError, match="collide"):
+        blocked_bloom_jvm_filter(spark, f, df, "k")
+    df2 = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("IS_MEMBER"))
+    with pytest.raises(ValueError, match="already present"):
+        blocked_bloom_jvm_flag(spark, f, df2, "k")
+    # non-integer key column refused eagerly (driver-side), matching
+    # the keys_to_u64 convention — not a mid-job executor CAST error
+    df3 = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(TypeError, match="integer"):
+        blocked_bloom_jvm_filter(spark, f, df3, "k")
+    # plain blocked-bloom (simple_mix_split hash) refused: its hash is
+    # not JVM-expressible, probing it through this path would be garbage
+    plain = BlockedBloomFilter.create(100, seed=1)
+    with pytest.raises(TypeError, match="JvmBlockedBloomFilter"):
+        blocked_bloom_jvm_filter(spark, plain, spark.range(5), "id")
+    # cross-class merge refused (same layout, different hash family)
+    jvm2 = JvmBlockedBloomFilter(plain.num_buckets, plain.seed)
+    with pytest.raises(ValueError, match="incompatible"):
+        BlockedBloomFilter.merge(plain, jvm2)
+
+
+def test_jvm_blocked_bloom_blob_roundtrip():
+    from cuckoofilter_spark.kernels.blocked_bloom import (
+        BlockedBloomFilter, JvmBlockedBloomFilter)
+
+    f, members, _ = _jvm_bb(n=5000)
+    g = JvmBlockedBloomFilter.from_bytes(f.to_bytes())
+    assert np.array_equal(f.buckets, g.buckets)
+    assert g._params() == f._params()
+    probe = np.arange(10000, dtype=np.uint64)
+    assert np.array_equal(f.contains_many(probe), g.contains_many(probe))
+    # the JVM-variant blob refuses to load as the plain class and
+    # vice versa — hash family is filter identity
+    with pytest.raises(ValueError, match="header"):
+        BlockedBloomFilter.from_bytes(f.to_bytes())
+
+
+def test_jvm_blocked_bloom_distributed_build_parity(spark):
+    """blocked_bloom_jvm_sketch (UDAF tree-merge build) == local
+    add_many over the same keys; JVM probe agrees on members + a
+    disjoint negative range."""
+    from cuckoofilter_spark.kernels.blocked_bloom import JvmBlockedBloomFilter
+    from cuckoofilter_spark.sketch.aggregates import blocked_bloom_jvm_sketch
+    from cuckoofilter_spark.sketch.membership import blocked_bloom_jvm_flag
+
+    n = 30000
+    df = spark.range(n).select((F.col("id") * 7919).alias("k"))
+    filt = blocked_bloom_jvm_sketch(df, "k", capacity=n, seed=0x5EED)
+    local = JvmBlockedBloomFilter.create(n, seed=0x5EED)
+    local.add_many((np.arange(n, dtype=np.uint64) * np.uint64(7919)))
+    assert np.array_equal(filt.buckets, local.buckets)
+    probes = spark.range(2000).select(
+        (F.col("id") * 7919).alias("k")).unionAll(
+        spark.range(2000).select((F.col("id") * 7919 + 1).alias("k")))
+    got = blocked_bloom_jvm_flag(spark, filt, probes, "k").toPandas()
+    gm = dict(zip(got["k"], got["is_member"]))
+    keys = np.array(sorted(gm), dtype=np.int64)
+    expect = local.contains_many(keys.view(np.uint64))
+    assert all(gm[int(x)] == bool(e) for x, e in zip(keys, expect))
+    assert all(gm[int(i * 7919)] for i in range(2000))  # no false negatives
