@@ -99,6 +99,29 @@ def q_cf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("hit").select(F.col("p_partkey").alias("member_key")))
 
 
+def q_cf_jvm_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter semi-join probed entirely JVM-side: JvmCuckooFilter
+    hashes with Spark's xxhash64, so Contain (cuckoofilter.h:184-204)
+    compiles to codegen tag/index arithmetic + ONE broadcast LEFT SEMI
+    join against the mirror table (each stored tag listed under both
+    candidate buckets — AltIndex involution; victims are ordinary mirror
+    rows). Zero Python stages, zero Arrow crossings
+    (sketch/membership.cuckoo_jvm_filter). 16-bit tags; zero FP verified
+    for SEED on the gate keyspace (sf<=0.01 and its fuzz subsets; at
+    sf0.1's 200k-part keyspace the ~2^-13 fpp shows up as a few FPs,
+    as the bound predicts)."""
+    from cuckoofilter_spark.sketch.membership import (
+        cuckoo_jvm_build, cuckoo_jvm_filter)
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 1000)
+    filt = cuckoo_jvm_build(li, "l_partkey", capacity=1000, bits=16,
+                            seed=SEED, num_shards=8)
+    part = _t(spark, sf_dir, "part")
+    return (cuckoo_jvm_filter(spark, filt,
+                              part.select(F.col("p_partkey")), "p_partkey")
+            .select(F.col("p_partkey").alias("member_key")))
+
+
 def q_cf_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cuckoo-filter semi-join through the SHARD-PARTITIONED probe: the
     no-broadcast scale path (blobs persist as one file per shard via
@@ -1685,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) new in round 5 ----------------------------------------
         "multimap_find_sharded": q_multimap_find_sharded,
         "blocked_bloom_jvm_membership": q_blocked_bloom_jvm_membership,
+        "cf_jvm_membership": q_cf_jvm_membership,
         # -- (c) gated r3 but dropped by the r4 gate's 50-row cap ------
         "cqf_enumerate": q_cqf_enumerate,
         "kll_quantiles": q_kll_quantiles,
@@ -1785,6 +1809,10 @@ def oracle_sql() -> dict[str, str]:
     _mh_vals = ", ".join(f"({i}, {_mh_a[i]}, {_mh_b[i]})" for i in range(32))
     sql = {
         "cf_membership": """
+            SELECT p_partkey AS member_key FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        "cf_jvm_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
         """,

@@ -236,16 +236,22 @@ def filter_family_suite(spark) -> dict:
     from cuckoofilter_spark.sketch.gcsfilter import gcs_build, gcs_contains_col
     from cuckoofilter_spark.sketch.membership import (
         blocked_bloom_jvm_filter, crate_build, crate_contains_col,
-        shingle_build, shingle_contains_col, tail_build, tail_contains_col,
+        cuckoo_jvm_build, cuckoo_jvm_filter, shingle_build,
+        shingle_contains_col, tail_build, tail_contains_col,
         xor_build, xor_contains_col, xorplus_build, xorplus_contains_col)
 
-    # JVM-native probe: returns the FILTERED DataFrame (codegen +
-    # broadcast join, no Python stage) — the loop counts it directly
+    # JVM-native probes: return the FILTERED DataFrame (codegen +
+    # broadcast join, no Python stage) — the loop counts them directly
     def _jvm_probe_df(spark_, filt, probes_):
         return blocked_bloom_jvm_filter(spark_, filt, probes_, "id")
     _jvm_probe_df.takes_df = True
 
+    def _cf_jvm_probe_df(spark_, filt, probes_):
+        return cuckoo_jvm_filter(spark_, filt, probes_, "id")
+    _cf_jvm_probe_df.takes_df = True
+
     n = 1_000_000
+    n_cfj = 917_504  # 28672 keys x 32 shards: 0.875 load after pow2 round
     # 40M probes: the probe stage has a ~0.5s fixed pipeline cost
     # (measured: a 10M-probe pass took 0.50s while the same filter at
     # 40M took 0.88s — so 10M rows were floor-bound at ~20M finds/s no
@@ -306,6 +312,17 @@ def filter_family_suite(spark) -> dict:
             ("blocked_bloom_jvm", lambda: blocked_bloom_jvm_sketch(
                 keys_bb, "id", capacity=n_bb, seed=SEED, bits_per_key=8),
              _jvm_probe_df, n_bb),
+            # flagship family through the pure-JVM mirror semi-join:
+            # the fixed per-action mirror broadcast (~1s at this size)
+            # dominates 40M-probe actions; the amortized row below
+            # reports the marginal scan rate at 200M probes. n chosen
+            # to land the pow2 sizing at 0.875 load (28672 keys/shard
+            # against 32768 slots) — n=1M would trip the 0.94 doubling
+            # rule and halve the load
+            ("cuckoo12_jvm", lambda: cuckoo_jvm_build(
+                spark.range(n_cfj), "id", capacity=n_cfj, bits=12,
+                seed=SEED, num_shards=32),
+             _cf_jvm_probe_df, n_cfj),
             # fixed-fpp variant: exact 12.0 b/i spend, non-pow2 directory
             ("blocked_bloom_fixed", lambda: fixed_blocked_bloom_sketch(
                 keys, "id", capacity=n, seed=SEED, bits_per_key=12),
@@ -388,6 +405,25 @@ def filter_family_suite(spark) -> dict:
             out[name]["probe_runs_sec"].append(round(dt, 3))
             out[name]["finds_per_sec"] = round(
                 probes_n / min(out[name]["probe_runs_sec"]), 1)
+        # amortization point for the JVM cuckoo probe: the mirror
+        # broadcast is a FIXED per-action cost (the 40M row above pays
+        # it in full); a 200M-probe action shows the marginal codegen
+        # scan rate — the number a 100 TB scan actually sees
+        for name, fn in probe_fns:
+            if name != "cuckoo12_jvm":
+                continue
+            big_n = 200_000_000
+            big = spark.range(n, n + big_n)
+            filt_fn = fn  # closure holds filt; rebuild probe over big
+            filt = filt_fn.__defaults__[0]
+            bfn = lambda: _cf_jvm_probe_df(spark, filt, big).count()  # noqa: E731
+            runs = []
+            for _ in range(2):
+                t0 = _t.time()
+                bfn()
+                runs.append(round(_t.time() - t0, 3))
+            out[name]["probe_200m_runs_sec"] = runs
+            out[name]["finds_per_sec_200m"] = round(big_n / min(runs), 1)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
     return out

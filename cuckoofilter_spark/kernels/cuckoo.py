@@ -158,6 +158,15 @@ class CuckooFilter:
     ``seed`` replaces the reference's random_device-seeded hasher.
     """
 
+    _BLOB_MAGIC = _MAGIC
+
+    @classmethod
+    def key_hash64(cls, keys, seed: int) -> "np.ndarray":
+        """64-bit key hash — the filter-identity function (subclasses
+        trade hash families; JvmCuckooFilter picks the one Spark can
+        evaluate in codegen)."""
+        return simple_mix_split(keys, seed)
+
     def __init__(self, num_buckets: int, bits: int, seed: int, capacity: int,
                  mode: str = "single", stable: bool = False):
         if stable:
@@ -219,7 +228,7 @@ class CuckooFilter:
         """GenerateIndexTagHash (cuckoofilter.h:66-73; stable variant
         cuckoofilter_stable.h:48-65: Lemire reduce of the low word,
         tag from the high word)."""
-        h = simple_mix_split(keys, self.seed)
+        h = type(self).key_hash64(keys, self.seed)
         if self.stable:
             from .hashing import lemire_reduce
             index = lemire_reduce(h & U64(0xFFFFFFFF),
@@ -577,7 +586,7 @@ class CuckooFilter:
         (packedtable.h) — 6 bytes/bucket at bits=13 instead of 8."""
         mode_byte = (1 if self.mode == "semisort" else 0) | (2 if self.stable else 0)
         hdr = struct.pack(_FMT,
-            _MAGIC, 2, self.bits, mode_byte,
+            self._BLOB_MAGIC, 2, self.bits, mode_byte,
             self.num_buckets,
             self.seed, self.num_items, self.capacity,
             int(self.victim_used), self.victim_index, self.victim_tag,
@@ -590,7 +599,7 @@ class CuckooFilter:
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
         magic, ver, bits, mode, nb, seed, nitems, cap, vused, vindex, vtag = struct.unpack_from(_FMT, blob)
-        if magic != _MAGIC or ver != 2:
+        if magic != cls._BLOB_MAGIC or ver != 2:
             raise ValueError("bad cuckoo blob header")
         f = cls(nb, bits, seed, cap,
                 mode="semisort" if (mode & 1) else "single",
@@ -620,7 +629,10 @@ class CuckooFilter:
         return canon.astype(np.int64), tags
 
     def _params(self) -> tuple:
-        return (self.num_buckets, self.bits, self.seed, self.mode, self.stable)
+        # class name LAST: _FlatProbe compares _params()[1:] to allow
+        # per-shard num_buckets variance while refusing cross-class mixes
+        return (self.num_buckets, self.bits, self.seed, self.mode,
+                self.stable, type(self).__name__)
 
     @classmethod
     def merge(cls, a: "CuckooFilter", b: "CuckooFilter") -> "CuckooFilter":
@@ -652,3 +664,43 @@ class CuckooFilter:
                          mode=self.mode, stable=self.stable)
         out._add_tags(ci[srt], ct[srt].astype(out.table.dtype), raise_on_full=True)
         return out
+
+
+_JVM_SEED_GOLDEN = 0x9E3779B97F4A7C15
+
+
+class JvmCuckooFilter(CuckooFilter):
+    """Cuckoo filter whose key hash is Spark's built-in ``xxhash64``
+    over a seed-mixed key — the ONLY change vs CuckooFilter (same
+    GenerateIndexTagHash split, TagHash 0-remap, AltIndex involution;
+    cuckoofilter.h:59-81).
+
+    The hash swap makes Contain (cuckoofilter.h:184-204) expressible in
+    whole-stage-codegen JVM arithmetic: tag/index extraction is masking
+    and shifts, AltIndex's ``i ^ (tag * 0x5bd1e995)`` stays under 2^48
+    (ANSI-safe as a single BIGINT multiply), and the two bucket reads
+    become broadcast hash joins against the bucket table AS DATA — see
+    ``sketch/membership.cuckoo_jvm_filter``. Same motivation as
+    JvmBlockedBloomFilter: the ~49 M/s Arrow pipe floor bounds every
+    Python-side probe; this variant's probe plan has no Python at all.
+
+    The xor constant is ``(seed * golden) | 1`` — never zero, so the
+    filter hash ``xxhash64(key ^ c)`` stays decorrelated from the shard
+    route ``xxhash64(key)`` (with c=0 the tag's low bits would repeat
+    the shard id inside every shard, inflating per-shard fpp by the
+    shard count). ``xxhash64_long`` (kernels/hashing.py) is the proven
+    bit-exact numpy twin of ``F.xxhash64(long_col)``.
+    """
+
+    _BLOB_MAGIC = b"CKFV"
+
+    @classmethod
+    def seed_xor_const(cls, seed: int) -> int:
+        return ((seed * _JVM_SEED_GOLDEN) | 1) & 0xFFFFFFFFFFFFFFFF
+
+    @classmethod
+    def key_hash64(cls, keys, seed: int) -> "np.ndarray":
+        from .hashing import xxhash64_long
+
+        v = np.asarray(keys).astype(np.uint64, copy=False)
+        return xxhash64_long(v ^ U64(cls.seed_xor_const(seed)), 42)

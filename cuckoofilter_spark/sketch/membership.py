@@ -93,11 +93,12 @@ class _FlatProbe:
     amortize per-call overhead by keeping the whole batch in flight.
     """
 
-    def __init__(self, blobs: list[bytes]):
-        filters = [CuckooFilter.from_bytes(b) for b in blobs]
+    def __init__(self, blobs: list[bytes], kernel_cls=CuckooFilter):
+        filters = [kernel_cls.from_bytes(b) for b in blobs]
         f0 = filters[0]
         if any(f._params()[1:] != f0._params()[1:] for f in filters):
             raise ValueError("shards disagree on (bits, seed, mode, stable)")
+        self.kernel_cls = kernel_cls
         self.bits, self.seed = f0.bits, f0.seed
         self.stable = f0.stable
         self.num_shards = len(filters)
@@ -118,7 +119,7 @@ class _FlatProbe:
 
         sh = shard_of(keys, self.num_shards)
         nb = self.nb[sh]
-        h = simple_mix_split(keys, self.seed)
+        h = self.kernel_cls.key_hash64(keys, self.seed)
         if self.stable:
             # cuckoofilter_stable.h:48-102 with per-key bucket counts
             i1 = ((h & U64(0xFFFFFFFF)) * nb) >> U64(32)
@@ -236,24 +237,26 @@ def _sharded_build_blobs(df: DataFrame, col: str, num_shards: int,
 class ShardedCuckooFilter:
     """num_shards independent cuckoo filters addressed by a key hash."""
 
-    def __init__(self, blobs: list[bytes], bits: int, seed: int):
+    def __init__(self, blobs: list[bytes], bits: int, seed: int,
+                 kernel_cls=CuckooFilter):
         self.num_shards = len(blobs)
         if self.num_shards & (self.num_shards - 1):
             raise ValueError("num_shards must be a power of two")
         self.bits = bits
         self.seed = seed
+        self.kernel_cls = kernel_cls
         self.blobs = blobs
         self._filters: list[CuckooFilter | None] = [None] * self.num_shards
         self._flat: _FlatProbe | None = None
 
     def _filter(self, s: int) -> CuckooFilter:
         if self._filters[s] is None:
-            self._filters[s] = CuckooFilter.from_bytes(self.blobs[s])
+            self._filters[s] = self.kernel_cls.from_bytes(self.blobs[s])
         return self._filters[s]
 
     def contains_u64(self, keys: np.ndarray) -> np.ndarray:
         if self._flat is None:
-            self._flat = _FlatProbe(self.blobs)
+            self._flat = _FlatProbe(self.blobs, self.kernel_cls)
         return self._flat.contains_u64(keys)
 
     def delete_u64(self, keys: np.ndarray) -> np.ndarray:
@@ -376,11 +379,16 @@ def cuckoo_contains_col(spark: SparkSession, filt: ShardedCuckooFilter, col) -> 
     answered by a single hash pass + two table gathers (no per-row
     Python, no per-shard sub-batches).
     """
-    bc = spark.sparkContext.broadcast(filt.blobs)
+    # kernel class rides as its NAME (cloudpickle pickles classes by
+    # value when captured, dragging module globals — CLAUDE.md trap)
+    bc = spark.sparkContext.broadcast((filt.blobs, filt.kernel_cls.__name__))
 
     @F.pandas_udf(T.BooleanType())
     def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        local = _cached_probe(bc, _FlatProbe)
+        from ..kernels import cuckoo as _ck
+
+        local = _cached_probe(
+            bc, lambda v: _FlatProbe(v[0], getattr(_ck, v[1])))
         for s in it:
             yield pd.Series(local.contains_u64(keys_to_u64(s)))
 
@@ -1300,3 +1308,226 @@ def blocked_bloom_jvm_flag(spark: SparkSession, filt, df: DataFrame,
         raise ValueError(f"flag column {flag!r} already present")
     joined, pred = _bb_jvm_join(spark, filt, df, col)
     return joined.withColumn(flag, pred).drop(*_BB_JVM_COLS)
+
+
+# -- JVM-native cuckoo probe (zero Python in the probe path) ----------------
+#
+# Same motivation as the blocked-Bloom JVM probe above, for the flagship
+# family: JvmCuckooFilter's hash is Spark's xxhash64, so Contain
+# (cuckoofilter.h:184-204) compiles to codegen arithmetic — tag =
+# TagHash(h) with the 0-remap, i1 from the high word — plus ONE
+# broadcast LEFT SEMI join against a MIRROR table: every stored tag t
+# at bucket b is listed under BOTH b and AltIndex(b, t) (the involution
+# makes ``t in table[i2]`` equivalent to a mirror entry at i1, so the
+# probe never computes i2), and the victim entry becomes two ordinary
+# mirror rows. The mirror key packs (shard, bucket) into one long —
+# a composite key would force Spark's generic UnsafeHashedRelation
+# (measured 3.3 s vs 0.74 s for 40M lookups against 524k entries);
+# the single-long key gets LongHashedRelation. Tags are nonzero by the
+# 0-remap, so zero-padding in the packed words can never match.
+
+_CF_JVM_COLS = ("_cf_shard", "_cf_h", "_cf_tag", "_cf_i1", "_cf_sb",
+                "_cf_mask", "_cf_w")
+
+
+def cuckoo_jvm_build(
+    df: DataFrame,
+    col: str,
+    capacity: int | None = None,
+    bits: int = 12,
+    seed: int = 0x5EED,
+    num_shards: int = 32,
+    dedupe: bool = True,
+) -> ShardedCuckooFilter:
+    """``cuckoo_build`` with the JVM-probeable kernel (single-table,
+    non-stable — the probe arithmetic the JVM path compiles; same
+    one-shuffle sharded build scaffold)."""
+    from ..kernels.cuckoo import JvmCuckooFilter
+    from .udaf import approx_distinct_capacity
+
+    if bits > 16:
+        raise ValueError("JVM probe packs tags into 64-bit words; "
+                         "bits must be <= 16")
+    if capacity is None:
+        capacity = approx_distinct_capacity(df, col)
+    shard_cap = max(64, capacity // num_shards)
+
+    def make_shard(keys: np.ndarray):
+        filt = JvmCuckooFilter.create(max(shard_cap, keys.size), bits=bits,
+                                      seed=seed)
+        filt.add_many(keys)
+        return filt
+
+    empty = JvmCuckooFilter.create(shard_cap, bits=bits, seed=seed).to_bytes()
+    blobs = _sharded_build_blobs(df, col, num_shards, make_shard, empty,
+                                 dedupe=dedupe)
+    return ShardedCuckooFilter(blobs, bits=bits, seed=seed,
+                               kernel_cls=JvmCuckooFilter)
+
+
+def _cf_jvm_tables(spark: SparkSession, filt: ShardedCuckooFilter):
+    """(meta_df, mirror_df) for the JVM probe, memoized per session.
+
+    meta: one row per shard — the bucket mask (shards may round to
+    different power-of-two sizes). mirror: rows (_cf_sb, _cf_w) where
+    _cf_sb = shard<<32 | bucket and _cf_w packs up to 63//bits stored
+    tags LSB-first; cells with more entries span extra rows (the semi
+    join makes row multiplicity harmless). Driver cost is the same
+    bytes the pandas probe broadcasts."""
+    from ..kernels.cuckoo import JvmCuckooFilter
+
+    cached = getattr(filt, "_jvm_dfs", None)
+    if cached is not None and cached[0] is spark:
+        return cached[1], cached[2]
+    if filt.kernel_cls is not JvmCuckooFilter:
+        raise TypeError(
+            "JVM probe requires a cuckoo_jvm_build filter (xxhash64 key "
+            "hash); got kernel " + filt.kernel_cls.__name__)
+    slots = 63 // filt.bits
+    metas, cells_all, tags_all = [], [], []
+    for s in range(filt.num_shards):
+        f = filt._filter(s)
+        if f.stable or f.mode != "single" or f.bits > 16:
+            raise ValueError("JVM probe supports single-table, "
+                             "non-stable shards with bits <= 16")
+        metas.append((s, f.num_buckets - 1))
+        bi, sl = np.nonzero(f.table)
+        tags = f.table[bi, sl]
+        if f.victim_used:
+            bi = np.append(bi, f.victim_index)
+            tags = np.append(tags, f.table.dtype.type(f.victim_tag))
+        alt = f.alt_index(bi, tags)
+        cells = np.concatenate([bi, alt]).astype(np.int64)
+        ts = np.concatenate([tags, tags]).astype(np.uint64)
+        sb = (np.int64(s) << np.int64(32)) | cells
+        # dedupe (cell, tag) pairs (self-loop alts, duplicate tags in a
+        # bucket) — fewer rows, same answer set
+        pair = (sb.astype(np.uint64) << np.uint64(16)) | ts
+        pair = np.unique(pair)
+        sb = (pair >> np.uint64(16)).view(np.int64)
+        ts = pair & np.uint64(0xFFFF)
+        cells_all.append(sb)
+        tags_all.append(ts)
+    sb = np.concatenate(cells_all)
+    ts = np.concatenate(tags_all)
+    # pack runs of equal sb into words of <= slots tags (sorted by the
+    # unique() above within shards; shards are emitted in order)
+    order = np.argsort(sb, kind="stable")
+    sb, ts = sb[order], ts[order]
+    starts = np.empty(sb.size, dtype=bool)
+    word_rows = np.empty(0, dtype=np.int64)
+    words = np.empty(0, dtype=np.uint64)
+    if sb.size:
+        starts[0] = True
+        np.not_equal(sb[1:], sb[:-1], out=starts[1:])
+        run_id = np.cumsum(starts) - 1
+        first = np.flatnonzero(starts)
+        rank = np.arange(sb.size) - first[run_id]
+        word_of = rank // slots
+        slot_of = (rank % slots).astype(np.uint64)
+        vals = ts << (np.uint64(filt.bits) * slot_of)
+        wstart = np.empty(sb.size, dtype=bool)
+        wstart[0] = True
+        np.logical_or(starts[1:], word_of[1:] != word_of[:-1],
+                      out=wstart[1:])
+        ws = np.flatnonzero(wstart)
+        words = np.bitwise_or.reduceat(vals, ws)
+        word_rows = sb[ws]
+    meta_df = spark.createDataFrame(
+        pd.DataFrame(metas, columns=["_cf_shard", "_cf_mask"]))
+    mirror_df = spark.createDataFrame(pd.DataFrame({
+        "_cf_sb": word_rows, "_cf_w": words.view(np.int64)}))
+    filt._jvm_dfs = (spark, meta_df, mirror_df)
+    return meta_df, mirror_df
+
+
+def _cf_jvm_probe_side(spark: SparkSession, filt: ShardedCuckooFilter,
+                       df: DataFrame, col: str) -> DataFrame:
+    """Probe-side projection + tiny meta join: shard, materialized h,
+    TagHash, i1, and the packed long join key _cf_sb."""
+    from .udaf import require_key_col
+
+    if require_key_col(df, col):
+        raise TypeError(f"column {col!r} is an array; the JVM probe "
+                        "takes scalar keys")
+    have = {c.lower() for c in df.columns}
+    clash = [c for c in _CF_JVM_COLS if c in have]
+    if clash:  # Spark resolution is case-insensitive (CLAUDE.md trap)
+        raise ValueError(f"input columns collide with probe internals: {clash}")
+    meta_df, _ = _cf_jvm_tables(spark, filt)
+    key = F.col(col).cast("long")
+    seed_c = filt.kernel_cls.seed_xor_const(filt.seed)
+    seed_c = seed_c if seed_c < 1 << 63 else seed_c - (1 << 64)
+    h = F.xxhash64(F.coalesce(key, F.lit(0).cast("long"))
+                   .bitwiseXOR(F.lit(seed_c)))
+    tag_mask = (1 << filt.bits) - 1
+    # chained selects: aliases are referenced repeatedly below and
+    # CollapseProject would otherwise inline the xxhash64 subtree into
+    # every use (the md5-inlining trap)
+    out = (df
+           .select("*", shard_col(col, filt.num_shards).alias("_cf_shard"),
+                   h.alias("_cf_h"))
+           .join(F.broadcast(meta_df), "_cf_shard"))
+    t_raw = F.col("_cf_h").bitwiseAND(F.lit(tag_mask))
+    tag = F.when(t_raw == 0, F.lit(1)).otherwise(t_raw)  # TagHash 0-remap
+    out = out.select(
+        "*", tag.alias("_cf_tag"),
+        (F.shiftrightunsigned(F.col("_cf_h"), 32)
+         .bitwiseAND(F.col("_cf_mask"))).alias("_cf_i1"))
+    sb = (F.shiftleft(F.col("_cf_shard").cast("long"), 32)
+          .bitwiseOR(F.col("_cf_i1")))
+    return out.select("*", sb.alias("_cf_sb"))
+
+
+def _cf_jvm_match_cond(filt) -> Column:
+    """Semi-join condition: key equality + tag among the word's slots."""
+    tag_mask = (1 << filt.bits) - 1
+    cond = F.col("_cf_sb") == F.col("_cf_msb")
+    hit = F.lit(False)
+    for j in range(63 // filt.bits):
+        slot = (F.shiftrightunsigned(F.col("_cf_w"), filt.bits * j)
+                .bitwiseAND(F.lit(tag_mask)))
+        hit = hit | (slot == F.col("_cf_tag"))
+    return cond & hit
+
+
+def _cf_jvm_mirror(spark, filt) -> DataFrame:
+    _, mirror_df = _cf_jvm_tables(spark, filt)
+    return mirror_df.select(F.col("_cf_sb").alias("_cf_msb"),
+                            F.col("_cf_w"))
+
+
+def cuckoo_jvm_filter(spark: SparkSession, filt: ShardedCuckooFilter,
+                      df: DataFrame, col: str) -> DataFrame:
+    """``df`` rows whose ``col`` is a (probable) member — the cuckoo
+    semi-join, entirely JVM-side (NULL keys never match). Plan: one
+    tiny broadcast meta join + ONE broadcast LEFT SEMI join against the
+    mirror table (LongHashedRelation key), codegen everywhere, no
+    Python stage, no shuffle (pinned in tests/test_round5.py)."""
+    probe = (_cf_jvm_probe_side(spark, filt, df, col)
+             .where(F.col(col).isNotNull()))
+    out = probe.join(F.broadcast(_cf_jvm_mirror(spark, filt)),
+                     _cf_jvm_match_cond(filt), "left_semi")
+    return out.drop(*_CF_JVM_COLS)
+
+
+def cuckoo_jvm_flag(spark: SparkSession, filt: ShardedCuckooFilter,
+                    df: DataFrame, col: str,
+                    flag: str = "is_member") -> DataFrame:
+    """``df`` plus a boolean membership flag (false for NULL keys),
+    entirely JVM-side: semi-join rows flag true, anti-join rows and
+    NULL keys flag false."""
+    have = {c.lower() for c in df.columns}
+    if flag.lower() in have:
+        raise ValueError(f"flag column {flag!r} already present")
+    probe = _cf_jvm_probe_side(spark, filt, df, col)
+    nn = probe.where(F.col(col).isNotNull())
+    mirror = F.broadcast(_cf_jvm_mirror(spark, filt))
+    cond = _cf_jvm_match_cond(filt)
+    yes = (nn.join(mirror, cond, "left_semi")
+           .drop(*_CF_JVM_COLS).withColumn(flag, F.lit(True)))
+    no = (nn.join(mirror, cond, "left_anti")
+          .drop(*_CF_JVM_COLS).withColumn(flag, F.lit(False)))
+    nulls = (probe.where(F.col(col).isNull())
+             .drop(*_CF_JVM_COLS).withColumn(flag, F.lit(False)))
+    return yes.unionAll(no).unionAll(nulls)

@@ -408,3 +408,141 @@ def test_jvm_blocked_bloom_distributed_build_parity(spark):
     expect = local.contains_many(keys.view(np.uint64))
     assert all(gm[int(x)] == bool(e) for x, e in zip(keys, expect))
     assert all(gm[int(i * 7919)] for i in range(2000))  # no false negatives
+
+
+# ---------------------------------------------------------------------------
+# JvmCuckooFilter: the flagship family's zero-Python probe (mirror semi-join)
+# ---------------------------------------------------------------------------
+def _jvm_cf(spark, bits=8, n=30000, shards=4, seed=0x5EED):
+    from cuckoofilter_spark.sketch.membership import cuckoo_jvm_build
+
+    rng = np.random.default_rng(11)
+    members = np.unique(rng.integers(0, 1 << 62, n, dtype=np.int64))
+    df = spark.createDataFrame([(int(x),) for x in members], "k long")
+    filt = cuckoo_jvm_build(df, "k", capacity=members.size, bits=bits,
+                            seed=seed, num_shards=shards)
+    return filt, members, rng
+
+
+def test_jvm_cuckoo_parity_with_kernel(spark):
+    """JVM mirror semi-join == the sharded kernel probe bit-for-bit,
+    including false positives (bits=8 forces a real FP population) and
+    sign-bit keys; flag and filter forms agree."""
+    from cuckoofilter_spark.sketch.membership import (
+        cuckoo_jvm_filter, cuckoo_jvm_flag)
+
+    filt, members, rng = _jvm_cf(spark)
+    probes = np.unique(np.concatenate([
+        members[:5000],
+        rng.integers(-(1 << 62), 1 << 62, 30000, dtype=np.int64)]))
+    expect = filt.contains_u64(probes.view(np.uint64))
+    n_true = int(expect.sum())
+    assert 5000 < n_true < probes.size  # members + genuine FPs, not all
+    pdf = spark.createDataFrame([(int(x),) for x in probes], "k long")
+    got = {r["k"]: r["is_member"]
+           for r in cuckoo_jvm_flag(spark, filt, pdf, "k").collect()}
+    assert len(got) == probes.size  # flag keeps every row exactly once
+    assert all(got[int(x)] == bool(e) for x, e in zip(probes, expect))
+    fil = {r["k"] for r in cuckoo_jvm_filter(spark, filt, pdf, "k").collect()}
+    assert fil == {int(x) for x, e in zip(probes, expect) if e}
+
+
+def test_jvm_cuckoo_victim_and_null(spark):
+    """The victim entry (kick-loop overflow spill) answers through the
+    mirror rows; NULL keys never match but flag rows are kept."""
+    from cuckoofilter_spark.kernels.cuckoo import JvmCuckooFilter
+    from cuckoofilter_spark.sketch.membership import (
+        ShardedCuckooFilter, cuckoo_jvm_filter, cuckoo_jvm_flag)
+
+    f = JvmCuckooFilter.create(240, bits=12, seed=7)
+    f.add_many(np.arange(5000, dtype=np.uint64), raise_on_full=False)
+    assert f.victim_used
+    w = ShardedCuckooFilter([f.to_bytes()], bits=12, seed=7,
+                            kernel_cls=JvmCuckooFilter)
+    probes = np.arange(6000, dtype=np.int64)
+    expect = w.contains_u64(probes.view(np.uint64))
+    pdf = spark.createDataFrame([(int(x),) for x in probes], "k long")
+    got = {r["k"]: r["is_member"]
+           for r in cuckoo_jvm_flag(spark, w, pdf, "k").collect()}
+    assert all(got[int(x)] == bool(e) for x, e in zip(probes, expect))
+    ndf = spark.createDataFrame([(0,), (None,)], "k long")
+    rows = {r["k"]: r["is_member"]
+            for r in cuckoo_jvm_flag(spark, w, ndf, "k").collect()}
+    assert rows[None] is False
+    kept = cuckoo_jvm_filter(spark, w, ndf, "k").collect()
+    assert None not in {r["k"] for r in kept}
+
+
+def test_jvm_cuckoo_plan_is_pure_jvm(spark):
+    """Probe plan: 2 broadcast joins (tiny shard meta + mirror semi),
+    ZERO Python stages, ZERO shuffles, xxhash64 exactly twice (shard
+    route + filter hash — the md5-inlining trap would multiply them)."""
+    import re
+
+    from cuckoofilter_spark.sketch.membership import cuckoo_jvm_filter
+
+    filt, _, _ = _jvm_cf(spark)
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    plan = (cuckoo_jvm_filter(spark, filt, df, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") == 2
+    assert not re.findall(r"ArrowEval|BatchEval|MapInPandas|PythonUDF", plan)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("xxhash64") == 2
+
+
+def test_jvm_cuckoo_guards(spark):
+    from cuckoofilter_spark.kernels.cuckoo import CuckooFilter, JvmCuckooFilter
+    from cuckoofilter_spark.sketch.membership import (
+        ShardedCuckooFilter, cuckoo_build, cuckoo_jvm_build,
+        cuckoo_jvm_filter, cuckoo_jvm_flag)
+
+    filt, _, _ = _jvm_cf(spark)
+    # plain-kernel sharded filter refused (hash not JVM-expressible)
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    plain = cuckoo_build(keys, "k", capacity=100, bits=12, seed=1,
+                         num_shards=2)
+    with pytest.raises(TypeError, match="cuckoo_jvm_build"):
+        cuckoo_jvm_filter(spark, plain, keys, "k")
+    # bits > 16 refused at build (word packing)
+    with pytest.raises(ValueError, match="<= 16"):
+        cuckoo_jvm_build(keys, "k", capacity=100, bits=32)
+    # internal-name collision + flag-name collision refused
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("_CF_SB"))
+    with pytest.raises(ValueError, match="collide"):
+        cuckoo_jvm_filter(spark, filt, df, "k")
+    df2 = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("IS_MEMBER"))
+    with pytest.raises(ValueError, match="already present"):
+        cuckoo_jvm_flag(spark, filt, df2, "k")
+    # string keys refused eagerly
+    df3 = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(TypeError, match="integer"):
+        cuckoo_jvm_filter(spark, filt, df3, "k")
+    # blob identity: JVM blobs refuse to load as the plain kernel
+    blob = filt.blobs[0]
+    assert JvmCuckooFilter.from_bytes(blob) is not None
+    with pytest.raises(ValueError, match="header"):
+        CuckooFilter.from_bytes(blob)
+    # cross-class merge refused (params carry the class name)
+    a = CuckooFilter.create(100, bits=12, seed=1)
+    b = JvmCuckooFilter(a.num_buckets, a.bits, a.seed, a.capacity)
+    with pytest.raises(ValueError, match="incompatible"):
+        CuckooFilter.merge(a, b)
+
+
+def test_jvm_cuckoo_pandas_path_matches_jvm_path(spark):
+    """The pandas blob probe (cuckoo_contains_col now threads the
+    kernel class by name) and the JVM semi-join agree on the same
+    sharded JVM filter."""
+    from cuckoofilter_spark.sketch.membership import (
+        cuckoo_contains_col, cuckoo_jvm_filter)
+
+    filt, members, rng = _jvm_cf(spark, bits=12, n=20000)
+    probes = np.unique(np.concatenate([
+        members[:3000], rng.integers(0, 1 << 62, 20000, dtype=np.int64)]))
+    pdf = spark.createDataFrame([(int(x),) for x in probes], "k long")
+    via_pandas = {r["k"] for r in pdf.withColumn(
+        "hit", cuckoo_contains_col(spark, filt, "k")).where("hit").collect()}
+    via_jvm = {r["k"] for r in cuckoo_jvm_filter(spark, filt, pdf, "k").collect()}
+    assert via_pandas == via_jvm
+    assert {int(m) for m in members[:3000]} <= via_jvm  # no false negatives
