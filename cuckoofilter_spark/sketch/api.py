@@ -137,8 +137,27 @@ def _build_crate(df, col, capacity, seed, **kw):
     return crate_build(df, col, capacity=capacity, seed=seed, **kw)
 
 
+def _build_cuckoo_jvm(df, col, capacity, seed, **kw):
+    from .membership import cuckoo_jvm_build
+
+    return cuckoo_jvm_build(df, col, capacity=capacity, seed=seed, **kw)
+
+
+def _build_blocked_bloom_jvm(df, col, capacity, seed, **kw):
+    from .aggregates import blocked_bloom_jvm_sketch
+
+    return blocked_bloom_jvm_sketch(
+        df, col, capacity=_need_capacity(df, col, capacity), seed=seed, **kw)
+
+
 _BUILDERS = {
     "cuckoo": _build_cuckoo,
+    # JVM-probeable variants (round 5): same structures, xxhash64 key
+    # hash — probe via the zero-Python joins in sketch/membership, or
+    # through this facade's contains_col (pandas blob path, identical
+    # answers)
+    "cuckoo_jvm": _build_cuckoo_jvm,
+    "blocked_bloom_jvm": _build_blocked_bloom_jvm,
     "cuckoo_semisort": lambda df, col, capacity, seed, **kw:
         _build_cuckoo(df, col, capacity, seed, mode="semisort",
                       bits=kw.pop("bits", 13), **kw),
@@ -184,7 +203,7 @@ def contains_col(spark: SparkSession, filt, col) -> Column:
     (dispatch on type — the FilterAPI Contain leg)."""
     from ..kernels.blocked_bloom import BlockedBloomFilter, \
         BlockedBloomFilter64, FixedBlockedBloomFilter, \
-        GrowBlockedBloomFilter
+        GrowBlockedBloomFilter, JvmBlockedBloomFilter
     from ..kernels.bloom import BloomFilter
     from ..kernels.gcs import GcsFilter
     from ..kernels.xor import XorFilter
@@ -203,6 +222,9 @@ def contains_col(spark: SparkSession, filt, col) -> Column:
         (GrowBlockedBloomFilter, agg.grow_blocked_bloom_contains_col),
         (BlockedBloomFilter64, agg.blocked_bloom64_contains_col),
         (FixedBlockedBloomFilter, agg.fixed_blocked_bloom_contains_col),
+        # Jvm subclass BEFORE the base class: the base blob path would
+        # refuse the SBFV magic worker-side
+        (JvmBlockedBloomFilter, agg.blocked_bloom_jvm_contains_col),
         (BlockedBloomFilter, agg.blocked_bloom_contains_col),
         (BloomFilter, agg.bloom_contains_col),
     )
