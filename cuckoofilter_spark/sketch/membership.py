@@ -1384,40 +1384,11 @@ def _cf_jvm_tables(spark: SparkSession, filt: ShardedCuckooFilter):
             "JVM probe requires a cuckoo_jvm_build filter (xxhash64 key "
             "hash); got kernel " + filt.kernel_cls.__name__)
     slots = 63 // filt.bits
-    metas, cells_all, tags_all = [], [], []
-    for s in range(filt.num_shards):
-        f = filt._filter(s)
-        if f.stable or f.mode != "single" or f.bits > 16:
-            raise ValueError("JVM probe supports single-table, "
-                             "non-stable shards with bits <= 16")
-        metas.append((s, f.num_buckets - 1))
-        bi, sl = np.nonzero(f.table)
-        tags = f.table[bi, sl]
-        if f.victim_used:
-            bi = np.append(bi, f.victim_index)
-            tags = np.append(tags, f.table.dtype.type(f.victim_tag))
-        alt = f.alt_index(bi, tags)
-        cells = np.concatenate([bi, alt]).astype(np.int64)
-        ts = np.concatenate([tags, tags]).astype(np.uint64)
-        sb = (np.int64(s) << np.int64(32)) | cells
-        # dedupe (cell, tag) pairs (self-loop alts, duplicate tags in a
-        # bucket) — fewer rows, same answer set
-        pair = (sb.astype(np.uint64) << np.uint64(16)) | ts
-        pair = np.unique(pair)
-        sb = (pair >> np.uint64(16)).view(np.int64)
-        ts = pair & np.uint64(0xFFFF)
-        cells_all.append(sb)
-        tags_all.append(ts)
-    sb = np.concatenate(cells_all)
-    ts = np.concatenate(tags_all)
-    # pack runs of equal sb into words of <= slots tags (sorted by the
-    # unique() above within shards; shards are emitted in order)
-    order = np.argsort(sb, kind="stable")
-    sb, ts = sb[order], ts[order]
-    starts = np.empty(sb.size, dtype=bool)
-    word_rows = np.empty(0, dtype=np.int64)
-    words = np.empty(0, dtype=np.uint64)
-    if sb.size:
+
+    def _pack_shard(sb: np.ndarray, ts: np.ndarray):
+        """Pack a shard's sorted (sb, tag) pairs into <=slots-tag words
+        (one (sb, word) row per run chunk)."""
+        starts = np.empty(sb.size, dtype=bool)
         starts[0] = True
         np.not_equal(sb[1:], sb[:-1], out=starts[1:])
         run_id = np.cumsum(starts) - 1
@@ -1431,11 +1402,48 @@ def _cf_jvm_tables(spark: SparkSession, filt: ShardedCuckooFilter):
         np.logical_or(starts[1:], word_of[1:] != word_of[:-1],
                       out=wstart[1:])
         ws = np.flatnonzero(wstart)
-        words = np.bitwise_or.reduceat(vals, ws)
-        word_rows = sb[ws]
+        return sb[ws], np.bitwise_or.reduceat(vals, ws)
+
+    # packed PER SHARD (shards own disjoint sb ranges, so per-shard
+    # sorted outputs concatenate into a valid global table): peak
+    # driver memory = one shard's entry arrays + the packed outputs,
+    # not 2x the whole mirror (measured ~2 GB -> ~0.6 GB at 10M keys)
+    metas, row_parts, word_parts = [], [], []
+    for s in range(filt.num_shards):
+        f = filt._filter(s)
+        if f.stable or f.mode != "single" or f.bits > 16:
+            raise ValueError("JVM probe supports single-table, "
+                             "non-stable shards with bits <= 16")
+        metas.append((s, f.num_buckets - 1))
+        bi, sl = np.nonzero(f.table)
+        tags = f.table[bi, sl]
+        if f.victim_used:
+            bi = np.append(bi, f.victim_index)
+            tags = np.append(tags, f.table.dtype.type(f.victim_tag))
+        if not bi.size:
+            continue
+        alt = f.alt_index(bi, tags)
+        cells = np.concatenate([bi, alt]).astype(np.int64)
+        ts = np.concatenate([tags, tags]).astype(np.uint64)
+        sb = (np.int64(s) << np.int64(32)) | cells
+        # dedupe (cell, tag) pairs (self-loop alts, duplicate tags in a
+        # bucket) — fewer rows, same answer set; unique also sorts
+        pair = (sb.astype(np.uint64) << np.uint64(16)) | ts
+        pair = np.unique(pair)
+        rows, words = _pack_shard((pair >> np.uint64(16)).view(np.int64),
+                                  pair & np.uint64(0xFFFF))
+        row_parts.append(rows)
+        word_parts.append(words)
     meta_df = spark.createDataFrame(
         pd.DataFrame(metas, columns=["_cf_shard", "_cf_mask"]))
-    mirror_df = spark.createDataFrame(pd.DataFrame({
+    # pyarrow Table, not pandas: no full-copy of the mirror arrays
+    import pyarrow as pa
+
+    word_rows = (np.concatenate(row_parts) if row_parts
+                 else np.empty(0, dtype=np.int64))
+    words = (np.concatenate(word_parts) if word_parts
+             else np.empty(0, dtype=np.uint64))
+    mirror_df = spark.createDataFrame(pa.table({
         "_cf_sb": word_rows, "_cf_w": words.view(np.int64)}))
     filt._jvm_dfs = (spark, meta_df, mirror_df)
     return meta_df, mirror_df
