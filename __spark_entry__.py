@@ -1681,6 +1681,39 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_within_bound boolean, kll_within_bound boolean")
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample without replacement (k=20, weights =
+    n_chars) by Duffield-Lund-Thorup priority sampling
+    (ops/packing.priority_sample): the fixed-budget mixing-stage
+    sampler. Integer-exact quantized priorities from the cross-engine
+    md5-LE64 uniform — both engines rank bit-identical int64 keys, so
+    the sampled id set is engine-reproducible. Salted two-level top-k
+    (salt_buckets=8) exercises the hot-stratum scale path; the
+    rank-(k+1) row rides along as the DLT threshold."""
+    from cuckoofilter_spark.ops.packing import priority_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = priority_sample(d, "doc_id", "n_chars", "source", k=20,
+                          salt_buckets=8)
+    return out.select("source", "doc_id", F.col("_w").alias("w"),
+                      F.col("_s").alias("s"), "rk", "in_sample")
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + per-coordinate variance of the embedding
+    table in integer micro-units (ops/similarity.embedding_centroids) —
+    IVF-cell statistics / per-source drift panel. One hash aggregate on
+    (label, dim) with map-side partials; vectors never cross an
+    exchange. All sums exact (decimal38), outputs int64, both engines
+    quantize the same IEEE double once per coordinate."""
+    from cuckoofilter_spark.ops.similarity import embedding_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_centroids(e, "embedding", "label").select(
+        F.col("label").cast("long").alias("label"), "dim", "n_vecs",
+        "centroid_micro", "var_micro2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cuckoo-filter membership semi-join on sf0.001."""
     _ensure_pkg(spark)
@@ -1709,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimap_find_sharded": q_multimap_find_sharded,
         "blocked_bloom_jvm_membership": q_blocked_bloom_jvm_membership,
         "cf_jvm_membership": q_cf_jvm_membership,
+        "priority_sample": q_priority_sample,
+        "embedding_centroids": q_embedding_centroids,
         # -- (c) gated r3 but dropped by the r4 gate's 50-row cap ------
         "cqf_enumerate": q_cqf_enumerate,
         "kll_quantiles": q_kll_quantiles,
@@ -1819,6 +1854,52 @@ def oracle_sql() -> dict[str, str]:
         "cf_sharded_membership": """
             SELECT p_partkey AS member_key FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 1000)
+        """,
+        # integer-exact DLT priority sampling: u = odd 52-bit uniform,
+        # key s = (u*1024)//w (both engines truncate toward zero; all
+        # operands positive, u*1024 < 2^62 so BIGINT throughout)
+        "priority_sample": """
+            WITH h AS (
+                SELECT source, doc_id, greatest(n_chars, 1) AS w,
+                       (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
+                                              || '#prio')
+                             & 4611686018427387903 AS BIGINT)
+                        & 4503599627370495) | 1 AS u
+                FROM documents),
+            s AS (SELECT source, doc_id, w, (u * 1024) // w AS s FROM h),
+            r AS (SELECT source, doc_id, w, s,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY s, doc_id) AS rk
+                  FROM s)
+            SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+                   CAST(s AS BIGINT) AS s, CAST(rk AS BIGINT) AS rk,
+                   rk <= 20 AS in_sample
+            FROM r WHERE rk <= 21
+        """,
+        # each coordinate quantized ONCE to micro-units (round of the
+        # same IEEE double; both engines round half away from zero),
+        # then exact HUGEINT sums; // truncates toward zero = Spark div
+        "embedding_centroids": """
+            WITH e AS (
+                SELECT label,
+                       unnest([{'dim': i - 1,
+                                'xm': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                                 * 1000000.0) AS BIGINT)}
+                               FOR i IN range(1, len(embedding) + 1)],
+                              recursive := true)
+                FROM embeddings),
+            a AS (SELECT label, dim,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(CAST(xm AS HUGEINT)) AS HUGEINT) AS sx,
+                         CAST(sum(CAST(xm AS HUGEINT)
+                                  * CAST(xm AS HUGEINT)) AS HUGEINT) AS sxx
+                  FROM e GROUP BY label, dim)
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   CAST(n AS BIGINT) AS n_vecs,
+                   CAST(sx // n AS BIGINT) AS centroid_micro,
+                   CAST((n * sxx - sx * sx) // (n * n) AS BIGINT)
+                       AS var_micro2
+            FROM a
         """,
         "pruned_scan": """
             SELECT l_returnflag,

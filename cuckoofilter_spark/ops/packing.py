@@ -314,3 +314,63 @@ def per_key_topk(df: DataFrame, key_col: str, order_by: list,
                  .where(F.col("_rk") <= k).drop("_rk"))
     return (survivors.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k).drop("_rk"))
+
+
+# 52-bit mask for priority_sample's uniform: keeps u * 1024 < 2^62 so
+# the quantized priority key stays exact int64 arithmetic in BOTH
+# engines (no HUGEINT intermediate, no float anywhere).
+_MASK52 = (1 << 52) - 1
+
+
+def priority_sample(df: DataFrame, id_col: str, weight_col: str,
+                    stratum_col: str, k: int, salt: str = "#prio",
+                    salt_buckets: int | None = None) -> DataFrame:
+    """Weighted sample without replacement of size ``k`` per stratum by
+    priority sampling (Duffield-Lund-Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM 2007) — the principled
+    way to take a small weighted sample whose subset-sum estimates are
+    unbiased with near-optimal variance. The mixing-stage companion to
+    ``temperature_resample``: where that op keeps a RATE per stratum,
+    this keeps a fixed per-stratum BUDGET, preferring heavy rows.
+
+    Each row draws u = a 52-bit odd uniform from the cross-engine
+    md5-LE64 hash of its id, and gets DLT priority q = w / u (heavier
+    rows draw larger priorities). The sample is the top-k by q; the
+    rank-(k+1) row is kept too (``in_sample = false``) because its
+    priority is the DLT threshold tau, from which the unbiased
+    subset-sum estimator is w_hat_i = max(w_i, tau).
+
+    Integer-exact on any engine: rows are ranked by the quantized
+    inverse key s = (u * 1024) div w ascending (div truncates toward
+    zero in Spark and DuckDB alike; all values positive here) — a
+    monotone transform of q, so the cut is the DLT cut up to the
+    documented 10-bit quantization, and both engines compute
+    bit-identical int64 keys (u < 2^52 so u * 1024 < 2^62; ties break
+    on id). No float, ln, or exp crosses the engine boundary.
+
+    Plan shape: a pure projection for the keys, then the exact salted
+    two-level top-k of ``per_key_topk`` (hot strata spread over
+    ``salt_buckets`` tasks) — the final rank window runs on <= k+1
+    rows per stratum, bounded regardless of corpus size. Weights are
+    clamped to >= 1 (a zero/negative weight would divide-by-zero or
+    flip the ordering; clamped rows just sample uniformly).
+    """
+    _require_absent(df, ("_u", "_w", "_s", "rk", "in_sample"),
+                    "priority_sample")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (md5_le64(F.col(id_col).cast("string"), salt)
+         .bitwiseAND(F.lit(_MASK62)).bitwiseAND(F.lit(_MASK52))
+         .bitwiseOR(F.lit(1)))
+    keyed = (df.withColumn("_u", u)
+             .withColumn("_w", F.greatest(F.col(weight_col).cast("long"),
+                                          F.lit(1)))
+             .withColumn("_s", F.expr("(_u * 1024) div _w")))
+    order = [F.col("_s").asc(), F.col(id_col).asc()]
+    kept = per_key_topk(keyed, stratum_col, order, k + 1,
+                        salt_buckets=salt_buckets,
+                        salt_on=None if salt_buckets is None else id_col)
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (kept.withColumn("rk", F.row_number().over(w).cast("long"))
+            .withColumn("in_sample", F.col("rk") <= k)
+            .drop("_u"))

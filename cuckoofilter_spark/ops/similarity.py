@@ -394,3 +394,52 @@ def embedding_neardup_pairs(
                          F.round(dot / F.greatest(norm(F.col("ea")) * norm(F.col("eb")),
                                                   F.lit(1e-12)), 4).alias("cos"))
             .where(F.col("cos") >= threshold))
+
+
+def embedding_centroids(emb: DataFrame, vec_col: str, group_col: str,
+                        scale: int = 1_000_000) -> DataFrame:
+    """Per-group centroid and dispersion of an embedding column, in
+    integer micro-units — the coarse-quantizer statistics an IVF index
+    maintains per cell (and a per-source/per-cluster drift monitor for
+    multimodal corpora).
+
+    Returns one row per (group, dim):
+
+      n_vecs, centroid_micro = sum(round(x * scale)) div n, and
+      var_micro2 = (n * sum(xm^2) - sum(xm)^2) div n^2 — the
+      population variance of the quantized coordinates.
+
+    Engine-reproducibility: float sums are order-dependent (Spark's
+    partial aggregation order is nondeterministic), so each coordinate
+    is quantized ONCE to an integer (round of the same IEEE double in
+    any engine; Spark's HALF_UP == DuckDB's round-half-away-from-zero
+    on doubles) and every aggregate/division after that is exact
+    integer arithmetic — sums in DECIMAL(38,0) (sum of squares
+    overflows int64 at corpus scale), final div truncating toward
+    zero in both engines, outputs back in int64.
+
+    Plan shape: posexplode -> ONE hash aggregate on (group, dim) with
+    map-side partials; the shuffle carries only (group, dim, count,
+    two decimal sums) per partition — the vectors themselves never
+    cross an exchange. At 10^12 vectors the exchange is
+    |groups| x dims x partitions partial rows, independent of n.
+    """
+    xm = F.round(F.col("_x").cast("double") * F.lit(float(scale))) \
+          .cast("long")
+    exploded = (emb.select(F.col(group_col),
+                           F.posexplode(vec_col).alias("dim", "_x"))
+                .withColumn("_xm", xm))
+    d38 = "decimal(38,0)"
+    agg = (exploded.groupBy(group_col, "dim")
+           .agg(F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(F.col("_xm").cast(d38)).alias("_sx"),
+                # square in decimal: long*long would overflow (ANSI
+                # raise) for |x| >~ 3e3 at scale=1e6
+                F.sum(F.col("_xm").cast(d38)
+                      * F.col("_xm").cast(d38)).alias("_sxx")))
+    return agg.select(
+        group_col, F.col("dim").cast("long").alias("dim"),
+        "n_vecs",
+        F.expr("CAST(_sx div n_vecs AS BIGINT)").alias("centroid_micro"),
+        F.expr("CAST((n_vecs * _sxx - _sx * _sx) div (n_vecs * n_vecs) "
+               "AS BIGINT)").alias("var_micro2"))

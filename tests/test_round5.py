@@ -546,3 +546,96 @@ def test_jvm_cuckoo_pandas_path_matches_jvm_path(spark):
     via_jvm = {r["k"] for r in cuckoo_jvm_filter(spark, filt, pdf, "k").collect()}
     assert via_pandas == via_jvm
     assert {int(m) for m in members[:3000]} <= via_jvm  # no false negatives
+
+
+# ---------------------------------------------------------------------------
+# priority_sample: DLT weighted sampling (round-5 session 5)
+# ---------------------------------------------------------------------------
+def test_priority_sample_salted_matches_plain(spark):
+    from cuckoofilter_spark.ops.packing import priority_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    cols = ["source", "doc_id", "_w", "_s", "rk", "in_sample"]
+    plain = priority_sample(d, "doc_id", "n_chars", "source", k=7)
+    salted = priority_sample(d, "doc_id", "n_chars", "source", k=7,
+                             salt_buckets=5)
+    a = sorted(map(tuple, plain.select(*cols).collect()))
+    b = sorted(map(tuple, salted.select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_priority_sample_shape_and_weight_bias(spark):
+    from cuckoofilter_spark.ops.packing import priority_sample
+
+    # one stratum, 200 heavy rows (w=500) + 200 light rows (w=1):
+    # P(heavy beats light) = 500/501 per pair, so the top-32 should be
+    # almost entirely heavy under any uniform hash draw
+    rows = [(i, 500 if i < 200 else 1, "s") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, wgt long, grp string")
+    out = priority_sample(df, "id", "wgt", "grp", k=32).collect()
+    assert len(out) == 33  # k sample rows + the threshold row
+    ranks = {r["rk"] for r in out}
+    assert ranks == set(range(1, 34))
+    samp = [r for r in out if r["in_sample"]]
+    assert len(samp) == 32
+    heavy = sum(1 for r in samp if r["_w"] == 500)
+    assert heavy >= 30, f"weighted sample should prefer heavy rows: {heavy}"
+    # strata smaller than k keep everything, in_sample all true
+    tiny = spark.createDataFrame([(1, 5, "t"), (2, 9, "t")],
+                                 "id long, wgt long, grp string")
+    t = priority_sample(tiny, "id", "wgt", "grp", k=32).collect()
+    assert len(t) == 2 and all(r["in_sample"] for r in t)
+
+
+def test_priority_sample_guards(spark):
+    from cuckoofilter_spark.ops.packing import priority_sample
+
+    df = spark.createDataFrame([(1, 2, "a")], "id long, rk long, grp string")
+    with pytest.raises(ValueError, match="rk"):
+        priority_sample(df, "id", "rk", "grp", k=3)
+    ok = spark.createDataFrame([(1, 2, "a")], "id long, w long, grp string")
+    with pytest.raises(ValueError, match="k must be positive"):
+        priority_sample(ok, "id", "w", "grp", k=0)
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroids: integer micro-unit IVF-cell stats (r5 session 5)
+# ---------------------------------------------------------------------------
+def test_embedding_centroids_matches_numpy(spark):
+    from cuckoofilter_spark.ops.similarity import embedding_centroids
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {(r["label"], r["dim"]): (r["n_vecs"], r["centroid_micro"],
+                                    r["var_micro2"])
+           for r in embedding_centroids(e, "embedding", "label").collect()}
+    pdf = e.toPandas()
+    import numpy as np
+    want = {}
+    for label, g in pdf.groupby("label"):
+        m = np.stack(g["embedding"].to_numpy())
+        # quantize exactly as the op does: round half away from zero of
+        # the widened double (np.round is half-to-even — use floor(x+.5)
+        # on the sign-folded value instead)
+        x = m.astype(np.float64) * 1e6
+        xm = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(object)
+        n = xm.shape[0]
+        for dim in range(xm.shape[1]):
+            col = [int(v) for v in xm[:, dim]]
+            sx, sxx = sum(col), sum(v * v for v in col)
+            want[(int(label), dim)] = (
+                n,
+                int(sx // n) if sx >= 0 else -int(-sx // n),
+                int((n * sxx - sx * sx) // (n * n)))
+    assert got == want
+
+
+def test_embedding_centroids_single_exchange(spark):
+    from cuckoofilter_spark.ops.similarity import embedding_centroids
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = embedding_centroids(e, "embedding", "label") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" in plan  # posexplode stays JVM-side
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
