@@ -639,3 +639,17 @@ def test_embedding_centroids_single_exchange(spark):
     assert "Generate" in plan  # posexplode stays JVM-side
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_priority_sample_plan_shape(spark):
+    from cuckoofilter_spark.ops.packing import priority_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = priority_sample(d, "doc_id", "n_chars", "source", k=7,
+                          salt_buckets=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (stratum, salt) exchange + stratum exchange; the final bounded
+    # rank window REUSES the stratum partitioning (no third exchange)
+    assert plan.count("Exchange") == 2, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
