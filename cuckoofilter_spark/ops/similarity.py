@@ -414,32 +414,45 @@ def embedding_centroids(emb: DataFrame, vec_col: str, group_col: str,
     is quantized ONCE to an integer (round of the same IEEE double in
     any engine; Spark's HALF_UP == DuckDB's round-half-away-from-zero
     on doubles) and every aggregate/division after that is exact
-    integer arithmetic — sums in DECIMAL(38,0) (sum of squares
-    overflows int64 at corpus scale), final div truncating toward
-    zero in both engines, outputs back in int64.
+    integer arithmetic, final div truncating toward zero in both
+    engines, outputs back in int64.
 
-    Plan shape: posexplode -> ONE hash aggregate on (group, dim) with
-    map-side partials; the shuffle carries only (group, dim, count,
-    two decimal sums) per partition — the vectors themselves never
-    cross an exchange. At 10^12 vectors the exchange is
+    The hot aggregation stays pure int64 codegen (a DECIMAL(38) sum is
+    a per-row BigDecimal object op — measured 10x slower at 64M
+    coords): sum(xm) fits int64 even at 10^12 rows x |xm|<=1e6, and
+    sum(xm^2) is decomposed into hi = sum((xm*xm) div 2^20) and
+    lo = sum((xm*xm) % 2^20) — hi <= n * |xm|^2 / 2^20 and
+    lo < n * 2^20 both fit int64 past 10^12 rows — recombined exactly
+    in decimal only for the final |groups| x dims cells. ANSI mode
+    raises (never wraps) on |x| beyond ~3e3 * (1e6/scale), the one
+    domain bound.
+
+    Plan shape: posexplode_outer (outer: Catalyst infers a
+    size(arr)>0 filter under a plain explode and PUSHES the whole
+    array expression below the aggregate for computed vectors — the
+    CLAUDE.md InferFiltersFromGenerate trap; the cheap dim-not-null
+    filter after the generate restores inner semantics) -> ONE hash
+    aggregate on (group, dim) with map-side partials; the shuffle
+    carries only (group, dim, count, three int64 sums) per partition —
+    vectors never cross an exchange. At 10^12 vectors the exchange is
     |groups| x dims x partitions partial rows, independent of n.
     """
     xm = F.round(F.col("_x").cast("double") * F.lit(float(scale))) \
           .cast("long")
     exploded = (emb.select(F.col(group_col),
-                           F.posexplode(vec_col).alias("dim", "_x"))
+                           F.posexplode_outer(vec_col).alias("dim", "_x"))
+                .where(F.col("dim").isNotNull())
                 .withColumn("_xm", xm))
-    d38 = "decimal(38,0)"
     agg = (exploded.groupBy(group_col, "dim")
            .agg(F.count(F.lit(1)).alias("n_vecs"),
-                F.sum(F.col("_xm").cast(d38)).alias("_sx"),
-                # square in decimal: long*long would overflow (ANSI
-                # raise) for |x| >~ 3e3 at scale=1e6
-                F.sum(F.col("_xm").cast(d38)
-                      * F.col("_xm").cast(d38)).alias("_sxx")))
+                F.sum("_xm").alias("_sx"),
+                F.sum(F.expr("(_xm * _xm) div 1048576")).alias("_sq"),
+                F.sum(F.expr("(_xm * _xm) % 1048576")).alias("_sr")))
+    d38 = "CAST(1048576 AS DECIMAL(38,0))"
     return agg.select(
         group_col, F.col("dim").cast("long").alias("dim"),
         "n_vecs",
         F.expr("CAST(_sx div n_vecs AS BIGINT)").alias("centroid_micro"),
-        F.expr("CAST((n_vecs * _sxx - _sx * _sx) div (n_vecs * n_vecs) "
-               "AS BIGINT)").alias("var_micro2"))
+        F.expr(f"CAST((n_vecs * ({d38} * _sq + _sr) "
+               "- CAST(_sx AS DECIMAL(38,0)) * _sx) "
+               "div (n_vecs * n_vecs) AS BIGINT)").alias("var_micro2"))

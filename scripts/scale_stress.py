@@ -13,6 +13,10 @@ Validates, at 10M distinct keys / 20M probes:
   with a 50%-hot key, funnel (vs an independent join formulation) and
   retention (cell mass == exact user-day pairs),
 - shuffle_shard at 10M rows (dense per-shard ranks, deterministic),
+- priority_sample at 10M rows with a 50%-hot stratum (exact k+1 cut
+  per stratum, dense ranks, weighted bias, determinism),
+- embedding_centroids at 1M x 64-dim synthetic vectors (bit-exact
+  numpy parity on every (label, dim) cell),
 - MinHash-LSH leakage at 1M docs with planted cross-source duplicates
   and a hot source holding half the corpus (recall == 100% on exact
   dups),
@@ -258,6 +262,87 @@ print(f"shuffle_shard: {n_rows} rows -> 64 shards in {t_sh:.1f}s "
       f"deterministic {'OK' if chk1 == chk2 else 'BROKEN'}", flush=True)
 assert n_rows == N and bad == 0 and chk1 == chk2
 sh.unpersist()
+
+# ---- priority_sample at 10M rows, 50%-hot stratum (round 5 s5) ----
+from cuckoofilter_spark.ops.packing import priority_sample
+
+# stratum "hot" holds half the corpus; 15 cold strata share the rest.
+# weights cycle 1..1000 so the weighted-bias invariant is checkable.
+mix = spark.range(N).select(
+    F.col("id").alias("doc_id"),
+    F.when(F.col("id") % 2 == 0, F.lit("hot"))
+     .otherwise(F.concat(F.lit("s"), (F.col("id") % 15).cast("string")))
+     .alias("stratum"),
+    (F.col("id") % 1000 + 1).alias("w"))
+t0 = time.time()
+ps = priority_sample(mix, "doc_id", "w", "stratum", k=100,
+                     salt_buckets=32).cache()
+n_ps = ps.count()
+t_ps = time.time() - t0
+per = ps.groupBy("stratum").agg(
+    F.count(F.lit(1)).alias("c"), F.max("rk").alias("mx"),
+    F.count_distinct("rk").alias("dr"),
+    F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("ns"),
+    F.avg(F.when(F.col("in_sample"), F.col("_w"))).alias("mean_w"))
+rows = {r["stratum"]: r for r in per.collect()}
+assert len(rows) == 16 and all(
+    r["c"] == 101 and r["mx"] == 101 and r["dr"] == 101 and r["ns"] == 100
+    for r in rows.values()), rows
+# E[w] corpus-wide is 500.5; the DLT sample must skew heavy
+mean_w = sum(r["mean_w"] for r in rows.values()) / 16
+det1 = ps.agg(F.bit_xor(F.xxhash64("stratum", "doc_id", "rk"))) \
+    .collect()[0][0]
+det2 = (priority_sample(mix, "doc_id", "w", "stratum", k=100,
+                        salt_buckets=32)
+        .agg(F.bit_xor(F.xxhash64("stratum", "doc_id", "rk")))
+        .collect()[0][0])
+print(f"priority_sample: {N} rows -> {n_ps} kept in {t_ps:.1f}s "
+      f"({N/t_ps/1e6:.1f}M rows/s); mean sampled w {mean_w:.0f} "
+      f"(corpus 500.5); deterministic {'OK' if det1 == det2 else 'BROKEN'}",
+      flush=True)
+assert mean_w > 650 and det1 == det2
+ps.unpersist()
+
+# ---- embedding_centroids at 1M x 64-dim, exact numpy parity ----
+from cuckoofilter_spark.ops.similarity import embedding_centroids
+
+D_DIM, N_EMB, G = 64, 1_000_000, 16
+# deterministic synthetic embeddings: v[d] = ((id*(d+1)) % 1000)/1000
+# - 0.5 — float32 like the real table, closed-form checkable in numpy
+vec = F.array(*[
+    ((F.col("id") * (d + 1)) % 1000).cast("double") / 1000.0 - 0.5
+    for d in range(D_DIM)]).cast("array<float>")
+embt = spark.range(N_EMB).select(
+    (F.col("id") % G).cast("int").alias("label"), vec.alias("embedding"))
+t0 = time.time()
+cent = embedding_centroids(embt, "embedding", "label").cache()
+n_cent = cent.count()
+t_c = time.time() - t0
+got = {(r["label"], r["dim"]): (r["n_vecs"], r["centroid_micro"],
+                                r["var_micro2"])
+       for r in cent.collect()}
+ids = np.arange(N_EMB, dtype=np.int64)
+labels = ids % G
+mism = 0
+for d in range(D_DIM):
+    x32 = (((ids * (d + 1)) % 1000).astype(np.float64) / 1000.0
+           - 0.5).astype(np.float32)
+    x = x32.astype(np.float64) * 1e6
+    xm = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    for g in range(G):
+        col = xm[labels == g]
+        n, sx = len(col), int(col.sum())
+        # int64 is safe at this scale: xm^2 <= 2.5e11, n*max < 2^63
+        sxx = int((col * col).sum())
+        want = (n, int(sx // n) if sx >= 0 else -int(-sx // n),
+                int((n * sxx - sx * sx) // (n * n)))
+        if got[(g, d)] != want:
+            mism += 1
+print(f"embedding_centroids: {N_EMB}x{D_DIM} -> {n_cent} cells in "
+      f"{t_c:.1f}s ({N_EMB*D_DIM/t_c/1e6:.0f}M coords/s); "
+      f"numpy mismatches {mism}", flush=True)
+assert n_cent == G * D_DIM and mism == 0
+cent.unpersist()
 
 # ---- LSH leakage at 1M docs, planted cross-source dups (round 5) ----
 # every doc gets 8 near-unique words; docs i and i+500000 (i<1000) are
