@@ -653,3 +653,24 @@ def test_priority_sample_plan_shape(spark):
     assert plan.count("Exchange") == 2, plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_priority_sample_dlt_estimator(spark):
+    """The statistical payoff of DLT priority sampling (Duffield-Lund-
+    Thorup, JACM 2007): with tau = the rank-(k+1) priority, the
+    estimator sum(max(w_i, tau)) over the k sampled rows is an
+    unbiased estimate of the stratum's TOTAL weight. Our sort key is
+    the quantized inverse priority s = floor(u_int * 1024 / w) with
+    u = u_int / 2^52, so tau = w/u recovers as 2^52 * 1024 / s_(k+1).
+    Deterministic given the hash — pinned within 15% of exact on a
+    10k-row heavy-tailed stratum at k=64 (never flakes)."""
+    from cuckoofilter_spark.ops.packing import priority_sample
+
+    rows = [(i, (i % 97) ** 2 + 1, "s") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, wgt long, grp string")
+    exact = sum(w for _, w, _ in rows)
+    out = priority_sample(df, "id", "wgt", "grp", k=64).collect()
+    s_k1 = next(r["_s"] for r in out if r["rk"] == 65)
+    tau = (1 << 52) * 1024.0 / s_k1
+    est = sum(max(float(r["_w"]), tau) for r in out if r["in_sample"])
+    assert abs(est - exact) / exact < 0.15, (est, exact)
