@@ -1699,6 +1699,20 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("_s").alias("s"), "rk", "in_sample")
 
 
+def q_priority_sum_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DLT subset-sum estimate from the k=20 priority
+    sample (ops/packing.priority_sum_estimate): total n_chars mass per
+    source audited from a fixed-budget sample. tau recovers from the
+    integer key as 2^62/s_(k+1); each max(w, tau) is one IEEE op on
+    identical doubles in both engines, micro-quantized before the
+    order-free integer sum."""
+    from cuckoofilter_spark.ops.packing import priority_sum_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    return priority_sum_estimate(d, "doc_id", "n_chars", "source", k=20,
+                                 salt_buckets=8)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid + per-coordinate variance of the embedding
     table in integer micro-units (ops/similarity.embedding_centroids) —
@@ -1743,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_bloom_jvm_membership": q_blocked_bloom_jvm_membership,
         "cf_jvm_membership": q_cf_jvm_membership,
         "priority_sample": q_priority_sample,
+        "priority_sum_est": q_priority_sum_est,
         "embedding_centroids": q_embedding_centroids,
         # -- (c) gated r3 but dropped by the r4 gate's 50-row cap ------
         "cqf_enumerate": q_cqf_enumerate,
@@ -1875,6 +1890,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s AS BIGINT) AS s, CAST(rk AS BIGINT) AS rk,
                    rk <= 20 AS in_sample
             FROM r WHERE rk <= 21
+        """,
+        # DLT estimator on the same integer-exact sample: tau = 2^62 /
+        # s_(k+1) (one exact int64->double cast + one IEEE divide per
+        # stratum), max(w, tau) micro-quantized BEFORE the sum so the
+        # per-stratum aggregate is an order-free integer sum
+        "priority_sum_est": """
+            WITH h AS (
+                SELECT source, doc_id, greatest(n_chars, 1) AS w,
+                       (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
+                                              || '#prio')
+                             & 4611686018427387903 AS BIGINT)
+                        & 4503599627370495) | 1 AS u
+                FROM documents),
+            s AS (SELECT source, doc_id, w, (u * 1024) // w AS s FROM h),
+            r AS (SELECT source, w, s,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY s, doc_id) AS rk
+                  FROM s),
+            t AS (SELECT source,
+                         CAST(4611686018427387904 AS DOUBLE)
+                             / CAST(s AS DOUBLE) AS tau
+                  FROM r WHERE rk = 21)
+            SELECT r.source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(greatest(CAST(r.w AS DOUBLE),
+                                                COALESCE(t.tau, 0.0))
+                                       * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS est_micro,
+                   CAST(max(CAST(round(COALESCE(t.tau, 0.0) * 1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS tau_micro
+            FROM r LEFT JOIN t ON r.source = t.source
+            WHERE r.rk <= 20
+            GROUP BY r.source
         """,
         # each coordinate quantized ONCE to micro-units (round of the
         # same IEEE double; both engines round half away from zero),

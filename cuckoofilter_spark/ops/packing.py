@@ -374,3 +374,49 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
     return (kept.withColumn("rk", F.row_number().over(w).cast("long"))
             .withColumn("in_sample", F.col("rk") <= k)
             .drop("_u"))
+
+
+def priority_sum_estimate(df: DataFrame, id_col: str, weight_col: str,
+                          stratum_col: str, k: int, salt: str = "#prio",
+                          salt_buckets: int | None = None) -> DataFrame:
+    """Per-stratum subset-sum estimate from the DLT priority sample —
+    the estimator ``priority_sample`` exists to serve (Duffield-Lund-
+    Thorup, JACM 2007): with tau = the rank-(k+1) priority,
+    E[ sum_{i in sample} max(w_i, tau) ] = the stratum's TOTAL weight.
+    This is how a mixing pipeline audits per-source token mass from a
+    tiny fixed-budget sample instead of a full pass.
+
+    Returns one row per stratum: ``n_rows`` (sampled row count, <= k),
+    ``est_micro`` (the estimate in integer micro-weight units) and
+    ``tau_micro``. Strata with <= k rows have no threshold row; the
+    estimate is then the exact sampled sum (tau_micro = 0), which is
+    the DLT convention (tau = 0 when the sample is exhaustive).
+
+    Engine-reproducibility: tau = w/u recovers from the quantized key
+    as 2^62 / s_(k+1) (both engines: one exact int64->double cast,
+    one IEEE divide), each max(w, tau) and its micro-quantization is
+    one more identical float op, and the per-stratum sum runs over
+    <= k pre-quantized int64s — order-free. The corpus-sized pass is
+    ``priority_sample``'s; everything here happens on its bounded
+    output (<= (k+1) rows per stratum).
+    """
+    kept = priority_sample(df, id_col, weight_col, stratum_col, k,
+                           salt=salt, salt_buckets=salt_buckets)
+    # tau in weight units: q = w/u with u = u_int/2^52 and
+    # s = (u_int * 1024) div w  =>  w/u = 2^52 * 1024 / s = 2^62 / s
+    thresh = (kept.where(~F.col("in_sample"))
+              .select(F.col(stratum_col),
+                      (F.lit(float(1 << 62))
+                       / F.col("_s").cast("double")).alias("_tau")))
+    samp = kept.where(F.col("in_sample"))
+    est = (samp.join(thresh, stratum_col, "left")
+           .select(F.col(stratum_col),
+                   F.round(F.greatest(F.col("_w").cast("double"),
+                                      F.coalesce(F.col("_tau"), F.lit(0.0)))
+                           * 1e6).cast("long").alias("_wm"),
+                   F.round(F.coalesce(F.col("_tau"), F.lit(0.0)) * 1e6)
+                   .cast("long").alias("_tm")))
+    return (est.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("_wm").alias("est_micro"),
+                 F.max("_tm").alias("tau_micro")))

@@ -674,3 +674,35 @@ def test_priority_sample_dlt_estimator(spark):
     tau = (1 << 52) * 1024.0 / s_k1
     est = sum(max(float(r["_w"]), tau) for r in out if r["in_sample"])
     assert abs(est - exact) / exact < 0.15, (est, exact)
+
+
+def test_priority_sum_estimate_matches_manual(spark):
+    """priority_sum_estimate == the manual DLT estimator computed from
+    priority_sample's rows (same tau recovery, same micro-quantized
+    max), and its estimate lands near the exact total (k=64 over a
+    10k-row heavy-tailed stratum; deterministic, never flakes). Small
+    strata (<= k rows) take the exhaustive branch: tau = 0, estimate
+    exact."""
+    from cuckoofilter_spark.ops.packing import (priority_sample,
+                                                priority_sum_estimate)
+
+    rows = [(i, (i % 97) ** 2 + 1, "s") for i in range(10_000)]
+    rows += [(100_000 + i, 7, "tiny") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, wgt long, grp string")
+    got = {r["grp"]: r for r in
+           priority_sum_estimate(df, "id", "wgt", "grp", k=64).collect()}
+
+    samp = priority_sample(df, "id", "wgt", "grp", k=64).collect()
+    s_k1 = next(r["_s"] for r in samp if r["grp"] == "s" and r["rk"] == 65)
+    tau = float(1 << 62) / float(s_k1)
+    want = sum(int(round(max(float(r["_w"]), tau) * 1e6))
+               for r in samp if r["grp"] == "s" and r["in_sample"])
+    assert got["s"]["est_micro"] == want
+    assert got["s"]["tau_micro"] == int(round(tau * 1e6))
+    assert got["s"]["n_rows"] == 64
+    exact = sum(w for _, w, g in rows if g == "s")
+    assert abs(got["s"]["est_micro"] / 1e6 - exact) / exact < 0.15
+    # exhaustive stratum: exact sum, zero threshold
+    assert got["tiny"]["n_rows"] == 5
+    assert got["tiny"]["est_micro"] == 5 * 7 * 1_000_000
+    assert got["tiny"]["tau_micro"] == 0
