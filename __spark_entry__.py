@@ -1876,10 +1876,9 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": """
             WITH h AS (
                 SELECT source, doc_id, greatest(n_chars, 1) AS w,
-                       (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
-                                              || '#prio')
-                             & 4611686018427387903 AS BIGINT)
-                        & 4503599627370495) | 1 AS u
+                       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
+                                             || '#prio')
+                            & 4503599627370495 AS BIGINT) | 1 AS u
                 FROM documents),
             s AS (SELECT source, doc_id, w, (u * 1024) // w AS s FROM h),
             r AS (SELECT source, doc_id, w, s,
@@ -1898,10 +1897,9 @@ def oracle_sql() -> dict[str, str]:
         "priority_sum_est": """
             WITH h AS (
                 SELECT source, doc_id, greatest(n_chars, 1) AS w,
-                       (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
-                                              || '#prio')
-                             & 4611686018427387903 AS BIGINT)
-                        & 4503599627370495) | 1 AS u
+                       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
+                                             || '#prio')
+                            & 4503599627370495 AS BIGINT) | 1 AS u
                 FROM documents),
             s AS (SELECT source, doc_id, w, (u * 1024) // w AS s FROM h),
             r AS (SELECT source, w, s,

@@ -355,13 +355,16 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
     clamped to >= 1 (a zero/negative weight would divide-by-zero or
     flip the ordering; clamped rows just sample uniformly).
     """
-    _require_absent(df, ("_u", "_w", "_s", "rk", "in_sample"),
+    _require_absent(df, ("_u", "_w", "_s", "_rk", "rk", "in_sample"),
                     "priority_sample")
     if k <= 0:
         raise ValueError("k must be positive")
+    # NULL-id rows can't draw a hash (u would be NULL, and Spark ranks
+    # NULL sort keys FIRST while DuckDB ranks them LAST) — exclude them
+    # rather than let them deterministically pollute the sample.
+    df = df.where(F.col(id_col).isNotNull())
     u = (md5_le64(F.col(id_col).cast("string"), salt)
-         .bitwiseAND(F.lit(_MASK62)).bitwiseAND(F.lit(_MASK52))
-         .bitwiseOR(F.lit(1)))
+         .bitwiseAND(F.lit(_MASK52)).bitwiseOR(F.lit(1)))
     keyed = (df.withColumn("_u", u)
              .withColumn("_w", F.greatest(F.col(weight_col).cast("long"),
                                           F.lit(1)))
@@ -398,24 +401,35 @@ def priority_sum_estimate(df: DataFrame, id_col: str, weight_col: str,
     one more identical float op, and the per-stratum sum runs over
     <= k pre-quantized int64s — order-free. The corpus-sized pass is
     ``priority_sample``'s; everything here happens on its bounded
-    output (<= (k+1) rows per stratum).
+    output (<= (k+1) rows per stratum), and tau reaches the sampled
+    rows via a window over the SAME stratum partitioning — no join,
+    no second derivation of the sample.
+
+    Domain bound: micro-quantization caps at int64, i.e. max(w, tau)
+    < ~9.2e12 — tau ~= W_total/(k+1), so a single stratum may carry
+    up to ~9.2e12 * (k+1) total weight (~10^15 tokens at k=100)
+    before the final cast raises (both engines fail loudly under
+    ANSI/strict casts; nothing wraps silently).
     """
+    _require_absent(df, ("_tau",), "priority_sum_estimate")
     kept = priority_sample(df, id_col, weight_col, stratum_col, k,
                            salt=salt, salt_buckets=salt_buckets)
     # tau in weight units: q = w/u with u = u_int/2^52 and
-    # s = (u_int * 1024) div w  =>  w/u = 2^52 * 1024 / s = 2^62 / s
-    thresh = (kept.where(~F.col("in_sample"))
-              .select(F.col(stratum_col),
-                      (F.lit(float(1 << 62))
-                       / F.col("_s").cast("double")).alias("_tau")))
-    samp = kept.where(F.col("in_sample"))
-    est = (samp.join(thresh, stratum_col, "left")
+    # s = (u_int * 1024) div w  =>  w/u = 2^52 * 1024 / s = 2^62 / s.
+    # max() over the stratum window sees only the rank-(k+1) row's
+    # value (NULL elsewhere); exhaustive strata (<= k rows) have no
+    # threshold row -> tau = 0, the DLT exhaustive convention.
+    w_str = Window.partitionBy(stratum_col)
+    tau_row = F.when(~F.col("in_sample"),
+                     F.lit(float(1 << 62)) / F.col("_s").cast("double"))
+    est = (kept.withColumn("_tau", F.coalesce(F.max(tau_row).over(w_str),
+                                              F.lit(0.0)))
+           .where(F.col("in_sample"))
            .select(F.col(stratum_col),
                    F.round(F.greatest(F.col("_w").cast("double"),
-                                      F.coalesce(F.col("_tau"), F.lit(0.0)))
+                                      F.col("_tau"))
                            * 1e6).cast("long").alias("_wm"),
-                   F.round(F.coalesce(F.col("_tau"), F.lit(0.0)) * 1e6)
-                   .cast("long").alias("_tm")))
+                   F.round(F.col("_tau") * 1e6).cast("long").alias("_tm")))
     return (est.groupBy(stratum_col)
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("_wm").alias("est_micro"),

@@ -437,6 +437,11 @@ def embedding_centroids(emb: DataFrame, vec_col: str, group_col: str,
     vectors never cross an exchange. At 10^12 vectors the exchange is
     |groups| x dims x partitions partial rows, independent of n.
     """
+    reserved = {"dim", "_x", "_xm", "n_vecs", "_sx", "_sq", "_sr"}
+    if group_col.lower() in reserved or vec_col.lower() in reserved:
+        raise ValueError(
+            f"embedding_centroids: column names {sorted(reserved)} are "
+            f"reserved (case-insensitive) — rename {group_col!r}/{vec_col!r}")
     xm = F.round(F.col("_x").cast("double") * F.lit(float(scale))) \
           .cast("long")
     exploded = (emb.select(F.col(group_col),
@@ -453,6 +458,9 @@ def embedding_centroids(emb: DataFrame, vec_col: str, group_col: str,
         group_col, F.col("dim").cast("long").alias("dim"),
         "n_vecs",
         F.expr("CAST(_sx div n_vecs AS BIGINT)").alias("centroid_micro"),
+        # divisor squared in decimal too: long*long n_vecs^2 would
+        # overflow at n > ~3e9 per cell, inside the stated envelope
         F.expr(f"CAST((n_vecs * ({d38} * _sq + _sr) "
                "- CAST(_sx AS DECIMAL(38,0)) * _sx) "
-               "div (n_vecs * n_vecs) AS BIGINT)").alias("var_micro2"))
+               "div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)")
+        .alias("var_micro2"))
